@@ -1,0 +1,242 @@
+"""Typed configuration system.
+
+Replaces the reference's three-tier argparse option stack
+(``options/base_options.py`` + ``train_options.py`` + ``test_options.py``,
+~60-70 flags threaded through every constructor as a flat ``opt``
+namespace — SURVEY.md §2.4) with frozen dataclasses grouped by subsystem.
+Frozen + hashable so configs can be closed over by ``jax.jit`` as static
+structure without retracing hazards.
+
+Like the reference's ``opt.txt`` dump, every run serializes its resolved
+config as JSON into the run directory (``save_config``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field, fields
+from typing import Any, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Network architecture knobs (reference: --model/--netG/--ngf/... flags)."""
+
+    # "pix2pix" (GAN+L1), "pix2pixhd" (multiscale D + FM + VGG),
+    # "temporal" (previous-frame conditioning on top of either).
+    model: str = "pix2pix"
+    # Generator: resnet_9blocks | resnet_6blocks | unet_256 | unet_128 |
+    #            global | local  (pix2pixHD coarse / coarse-to-fine)
+    net_g: str = "resnet_9blocks"
+    # Discriminator: n_layers (PatchGAN) | multiscale
+    net_d: str = "n_layers"
+    input_nc: int = 3
+    output_nc: int = 3
+    ngf: int = 64
+    ndf: int = 64
+    n_layers_d: int = 3
+    num_d: int = 2  # number of pyramid scales for multiscale D
+    norm: str = "instance"  # instance | batch | none
+    # pix2pixHD generator shape knobs
+    n_downsample_global: int = 4
+    n_blocks_global: int = 9
+    n_blocks_local: int = 3
+    n_local_enhancers: int = 1
+    # upsampling op inside generators: deconv (ConvTranspose parity) |
+    # resize_conv (nearest-resize + conv; TPU-friendlier, no checkerboard)
+    upsample: str = "deconv"
+    # D taps intermediate features (needed for feature-matching loss)
+    get_interm_feat: bool = True
+    # temporal mode: how many previous generated frames condition G
+    n_frames_g: int = 2
+    # dtype policy: params fp32; compute bf16 on TPU ("bf16") or fp32
+    compute_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data pipeline knobs (reference: --dataroot/--loadSize/... flags)."""
+
+    dataroot: str = ""
+    phase: str = "train"
+    # resize_and_crop | crop | scale_width | scale_width_and_crop | none
+    preprocess: str = "resize_and_crop"
+    load_size: int = 286
+    crop_size: int = 256
+    batch_size: int = 1
+    serial_batches: bool = False
+    no_flip: bool = False
+    max_dataset_size: Optional[int] = None
+    num_workers: int = 2
+    # temporal dataset: frames per training window
+    n_frames_total: int = 4
+    # directory layout: "AB" (paired side-by-side images), "A_B" (A/ and B/
+    # subfolders of aligned frames)
+    direction: str = "AtoB"
+    dataset_mode: str = "aligned"  # aligned | temporal
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss weights and switches (reference train_options flags)."""
+
+    gan_mode: str = "lsgan"  # lsgan | vanilla | hinge
+    lambda_l1: float = 100.0
+    lambda_feat: float = 10.0
+    lambda_vgg: float = 10.0
+    no_gan_feat_loss: bool = False
+    no_vgg_loss: bool = False
+    pool_size: int = 0  # pix2pixHD default 0; classic pix2pix used 50
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer / schedule / checkpoint cadence."""
+
+    name: str = "experiment"
+    checkpoints_dir: str = "./checkpoints"
+    niter: int = 100          # epochs at constant lr
+    niter_decay: int = 100    # epochs of linear lr decay to 0
+    lr: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    # coarse-to-fine: epochs during which only the local enhancer trains
+    niter_fix_global: int = 0
+    save_latest_freq: int = 1000   # steps
+    save_epoch_freq: int = 10      # epochs
+    print_freq: int = 100          # steps
+    display_freq: int = 400        # steps
+    continue_train: bool = False
+    which_epoch: str = "latest"
+    seed: int = 0
+    # data-parallel device count; 0 = all visible devices
+    num_devices: int = 0
+    donate: bool = True
+
+
+@dataclass(frozen=True)
+class InferConfig:
+    results_dir: str = "./results"
+    which_epoch: str = "latest"
+    how_many: Optional[int] = None
+    aspect_ratio: float = 1.0
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    infer: InferConfig = field(default_factory=InferConfig)
+
+    def replace(self, **sections) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+    def run_dir(self) -> str:
+        return os.path.join(self.train.checkpoints_dir, self.train.name)
+
+
+# Presets mirroring BASELINE.json's five configs.
+PRESETS = {
+    # BASELINE.json:7 — single-frame 256x256 ResNet-9 inference
+    "resnet9_256": Config(
+        model=ModelConfig(model="pix2pix", net_g="resnet_9blocks"),
+        data=DataConfig(load_size=286, crop_size=256),
+    ),
+    # BASELINE.json:8 — pix2pix U-Net + 70x70 PatchGAN, GAN+L1
+    "pix2pix_unet256": Config(
+        model=ModelConfig(model="pix2pix", net_g="unet_256", net_d="n_layers",
+                          get_interm_feat=False),
+        loss=LossConfig(no_gan_feat_loss=True, no_vgg_loss=True),
+    ),
+    # BASELINE.json:9 — pix2pixHD global+local, multiscale D, FM+VGG @512
+    "pix2pixhd_512": Config(
+        model=ModelConfig(model="pix2pixhd", net_g="local", net_d="multiscale",
+                          num_d=2),
+        data=DataConfig(load_size=572, crop_size=512),
+        loss=LossConfig(lambda_l1=0.0),
+        train=TrainConfig(niter_fix_global=10),
+    ),
+    # pix2pixHD global-only @512 (coarse stage)
+    "pix2pixhd_global_512": Config(
+        model=ModelConfig(model="pix2pixhd", net_g="global", net_d="multiscale",
+                          num_d=2),
+        data=DataConfig(load_size=572, crop_size=512),
+        loss=LossConfig(lambda_l1=0.0),
+    ),
+    # BASELINE.json:10 — temporal previous-frame conditioning
+    "temporal_256": Config(
+        model=ModelConfig(model="temporal", net_g="resnet_9blocks",
+                          net_d="multiscale", num_d=2, n_frames_g=2),
+        data=DataConfig(dataset_mode="temporal", n_frames_total=4),
+    ),
+}
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix: str) -> None:
+    for f in fields(cls):
+        name = f"--{prefix}{f.name}"
+        if f.type in ("bool", bool):
+            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=None)
+        elif f.type in ("Optional[int]", Optional[int]):
+            parser.add_argument(name, type=int, default=None)
+        elif f.type in ("int", int):
+            parser.add_argument(name, type=int, default=None)
+        elif f.type in ("float", float):
+            parser.add_argument(name, type=float, default=None)
+        else:
+            parser.add_argument(name, type=str, default=None)
+
+
+_SECTIONS = {"model": ModelConfig, "data": DataConfig, "loss": LossConfig,
+             "train": TrainConfig, "infer": InferConfig}
+
+
+def parse_cli(argv=None, default: Optional[Config] = None) -> Config:
+    """Parse ``--preset name --section.field value`` style CLI overrides."""
+    parser = argparse.ArgumentParser("ir2rgb_tpu")
+    parser.add_argument("--preset", type=str, default=None,
+                        choices=sorted(PRESETS.keys()))
+    parser.add_argument("--config", type=str, default=None,
+                        help="path to a config JSON to start from")
+    for section, cls in _SECTIONS.items():
+        _add_dataclass_args(parser, cls, f"{section}.")
+    args = parser.parse_args(argv)
+    cfg = default or Config()
+    if args.config:
+        cfg = load_config(args.config)
+    if args.preset:
+        cfg = PRESETS[args.preset]
+    return config_from_args(cfg, args)
+
+
+def config_from_args(cfg: Config, args: argparse.Namespace) -> Config:
+    updates = {}
+    for section, cls in _SECTIONS.items():
+        sec_updates = {}
+        for f in fields(cls):
+            v = getattr(args, f"{section}.{f.name}", None)
+            if v is not None:
+                sec_updates[f.name] = v
+        if sec_updates:
+            updates[section] = dataclasses.replace(getattr(cfg, section), **sec_updates)
+    return cfg.replace(**updates) if updates else cfg
+
+
+def save_config(cfg: Config, path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(dataclasses.asdict(cfg), fh, indent=2, sort_keys=True)
+
+
+def load_config(path: str) -> Config:
+    with open(path) as fh:
+        raw = json.load(fh)
+    return Config(**{
+        section: cls(**raw.get(section, {})) for section, cls in _SECTIONS.items()
+    })

@@ -1,0 +1,101 @@
+"""Frame-folder discovery.
+
+Rebuild of the reference's ``data/image_folder.py`` + aligned/temporal
+dataset indexing (SURVEY.md §2.3): recursive walk filtering image
+extensions, sorted so paired IR (``A/``) and RGB (``B/``) folders align by
+index; temporal mode groups per-video subfolders into frame sequences.
+
+Supported layouts:
+- ``root/A/*.png`` + ``root/B/*.png`` — aligned pairs by sorted order;
+- ``root/trainA`` / ``root/trainB`` (phase-prefixed variant);
+- ``root/A/<video>/*.png`` + ``root/B/<video>/*.png`` — temporal sequences.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".tif", ".tiff",
+                  ".webp")
+
+
+def is_image_file(name: str) -> bool:
+    return name.lower().endswith(IMG_EXTENSIONS)
+
+
+def make_dataset(directory: str,
+                 max_size: Optional[int] = None) -> List[str]:
+    """Sorted recursive list of image paths (reference make_dataset)."""
+    paths: List[str] = []
+    for root, _, files in sorted(os.walk(directory)):
+        for f in sorted(files):
+            if is_image_file(f):
+                paths.append(os.path.join(root, f))
+    if max_size is not None:
+        paths = paths[:max_size]
+    return paths
+
+
+def _resolve_ab_dirs(root: str, phase: str) -> Tuple[str, str]:
+    candidates = [
+        (os.path.join(root, f"{phase}A"), os.path.join(root, f"{phase}B")),
+        (os.path.join(root, "A", phase), os.path.join(root, "B", phase)),
+        (os.path.join(root, "A"), os.path.join(root, "B")),
+    ]
+    for a, b in candidates:
+        if os.path.isdir(a) and os.path.isdir(b):
+            return a, b
+    raise FileNotFoundError(
+        f"no A/B (IR/RGB) folder pair under {root} for phase {phase}; "
+        f"tried {[c for c in candidates]}")
+
+
+def find_aligned_pairs(root: str, phase: str = "train",
+                       max_size: Optional[int] = None
+                       ) -> List[Tuple[str, str]]:
+    """Index-aligned (IR, RGB) path pairs."""
+    a_dir, b_dir = _resolve_ab_dirs(root, phase)
+    a_paths = make_dataset(a_dir)
+    b_paths = make_dataset(b_dir)
+    if len(a_paths) != len(b_paths):
+        n = min(len(a_paths), len(b_paths))
+        a_paths, b_paths = a_paths[:n], b_paths[:n]
+    pairs = list(zip(a_paths, b_paths))
+    if max_size is not None:
+        pairs = pairs[:max_size]
+    return pairs
+
+
+def find_temporal_sequences(root: str, phase: str = "train",
+                            n_frames: int = 4,
+                            stride: int = 1,
+                            max_size: Optional[int] = None
+                            ) -> List[List[Tuple[str, str]]]:
+    """Sliding windows of n_frames aligned (IR, RGB) pairs per video.
+
+    Videos are subfolders of A/ and B/; flat folders are treated as one
+    video (sequential frames).
+    """
+    a_dir, b_dir = _resolve_ab_dirs(root, phase)
+    subdirs = sorted(d for d in os.listdir(a_dir)
+                     if os.path.isdir(os.path.join(a_dir, d)))
+    videos: List[List[Tuple[str, str]]] = []
+    if subdirs:
+        for d in subdirs:
+            a_paths = make_dataset(os.path.join(a_dir, d))
+            b_paths = make_dataset(os.path.join(b_dir, d))
+            n = min(len(a_paths), len(b_paths))
+            videos.append(list(zip(a_paths[:n], b_paths[:n])))
+    else:
+        a_paths = make_dataset(a_dir)
+        b_paths = make_dataset(b_dir)
+        n = min(len(a_paths), len(b_paths))
+        videos.append(list(zip(a_paths[:n], b_paths[:n])))
+    windows: List[List[Tuple[str, str]]] = []
+    for frames in videos:
+        for start in range(0, len(frames) - n_frames + 1, stride):
+            windows.append(frames[start:start + n_frames])
+    if max_size is not None:
+        windows = windows[:max_size]
+    return windows

@@ -1,0 +1,140 @@
+"""Host-side frame loader with background prefetch.
+
+Rebuild of the reference's ``CreateDataLoader`` / torch DataLoader
+(SURVEY.md §2.3): the host's only jobs are file decode and resize to
+``load_size`` uint8 (variable-size work that can't live under jit) plus a
+prefetch thread that keeps the next batch ready; all augmentation runs on
+device (transforms.py), and the trainer shards batches to the mesh.
+
+No torch dependency — PIL decode, numpy batching, a deque + thread for
+double-buffered prefetch (the reference uses nThreads worker processes; on
+a TPU VM the decode is cheap relative to the step, one prefetch thread
+suffices and keeps the loader dependency-free).
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ir2rgb_tpu.config import Config
+from .folder import find_aligned_pairs, find_temporal_sequences
+
+
+def _decode_resize(path: str, load_size: int, gray: bool = False
+                   ) -> np.ndarray:
+    from PIL import Image
+    with Image.open(path) as im:
+        im = im.convert("L" if gray else "RGB")
+        if im.size != (load_size, load_size):
+            im = im.resize((load_size, load_size), Image.BICUBIC)
+        arr = np.asarray(im, np.uint8)
+    if gray:
+        arr = arr[..., None]
+    return arr
+
+
+class DataLoader:
+    """Iterable over uint8 host batches.
+
+    Aligned mode yields {'a': (B,S,S,Ca), 'b': (B,S,S,Cb)}; temporal mode
+    {'a': (B,T,S,S,Ca), 'b': ...}. S = load_size; device-side transforms
+    crop to crop_size.
+    """
+
+    def __init__(self, cfg: Config, phase: Optional[str] = None,
+                 shuffle: Optional[bool] = None):
+        d = cfg.data
+        self.cfg = cfg
+        self.phase = phase or d.phase
+        self.load_size = d.load_size
+        self.batch_size = d.batch_size
+        self.gray_a = cfg.model.input_nc == 1
+        self.temporal = d.dataset_mode == "temporal"
+        if self.temporal:
+            self.items: Sequence = find_temporal_sequences(
+                d.dataroot, self.phase, d.n_frames_total,
+                max_size=d.max_dataset_size)
+        else:
+            self.items = find_aligned_pairs(d.dataroot, self.phase,
+                                            max_size=d.max_dataset_size)
+        if not self.items:
+            raise FileNotFoundError(
+                f"no data under {d.dataroot} (phase {self.phase})")
+        self.shuffle = (not d.serial_batches if shuffle is None else shuffle)
+        self._rng = np.random.RandomState(cfg.train.seed)
+
+    def __len__(self) -> int:
+        return len(self.items) // self.batch_size
+
+    def _load_item(self, item):
+        if self.temporal:
+            a = np.stack([_decode_resize(pa, self.load_size, self.gray_a)
+                          for pa, _ in item])
+            b = np.stack([_decode_resize(pb, self.load_size)
+                          for _, pb in item])
+            paths = [pa for pa, _ in item]
+        else:
+            pa, pb = item
+            a = _decode_resize(pa, self.load_size, self.gray_a)
+            b = _decode_resize(pb, self.load_size)
+            paths = [pa]
+        return a, b, paths
+
+    def _epoch_order(self) -> List[int]:
+        order = list(range(len(self.items)))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        return order
+
+    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+        """One pass; final partial batch dropped (static shapes for jit)."""
+        order = self._epoch_order()
+        for i in range(0, len(order) - self.batch_size + 1,
+                       self.batch_size):
+            idxs = order[i:i + self.batch_size]
+            loaded = [self._load_item(self.items[j]) for j in idxs]
+            yield {
+                "a": np.stack([l[0] for l in loaded]),
+                "b": np.stack([l[1] for l in loaded]),
+                "paths": [l[2] for l in loaded],
+            }
+
+    def __iter__(self):
+        """Endless prefetched stream over repeating epochs."""
+        return _prefetch(self._endless(), depth=2)
+
+    def _endless(self):
+        while True:
+            yield from self.epoch()
+
+
+def _prefetch(it: Iterator, depth: int = 2) -> Iterator:
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+def create_dataloader(cfg: Config, phase: Optional[str] = None,
+                      shuffle: Optional[bool] = None) -> DataLoader:
+    """Reference ``CreateDataLoader`` analog."""
+    return DataLoader(cfg, phase=phase, shuffle=shuffle)

@@ -1,0 +1,107 @@
+"""On-device paired augmentation — jitted, HBM-resident.
+
+Rebuild of the reference's ``data/base_dataset.py`` transforms
+(SURVEY.md §2.3: resize → random crop → horizontal flip → normalize to
+[-1, 1], with **identical parameters applied to the IR and RGB frame of a
+pair** — the "paired IR/RGB augmentation" of BASELINE.json:5).
+
+TPU-first split of responsibilities: the host decodes and resizes frames to
+``load_size`` uint8 (variable-size decode can't live under jit); everything
+random and arithmetic — paired crop offsets, flip, [0,255]→[-1,1] — runs
+on device in one jitted function over the whole batch, so augmented batches
+are born in HBM and never round-trip.
+
+A single PRNG key drives both frames of each pair (SURVEY.md §4.1
+"transform determinism").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _normalize(x_uint8: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[0,255] uint8 -> [-1,1] (mean .5 / std .5 per channel, as the
+    reference's Normalize((0.5,...),(0.5,...)))."""
+    return (x_uint8.astype(dtype) / 127.5) - 1.0
+
+
+def _paired_crop_flip(a: jax.Array, b: jax.Array, key: jax.Array,
+                      crop: int, flip_enabled: bool
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """One pair (H, W, C): same random crop offset + flip for both."""
+    h, w = a.shape[0], a.shape[1]
+    k1, k2, k3 = jax.random.split(key, 3)
+    oy = jax.random.randint(k1, (), 0, h - crop + 1)
+    ox = jax.random.randint(k2, (), 0, w - crop + 1)
+    a = jax.lax.dynamic_slice(a, (oy, ox, 0), (crop, crop, a.shape[2]))
+    b = jax.lax.dynamic_slice(b, (oy, ox, 0), (crop, crop, b.shape[2]))
+    if flip_enabled:
+        do_flip = jax.random.bernoulli(k3)
+        a = jnp.where(do_flip, a[:, ::-1, :], a)
+        b = jnp.where(do_flip, b[:, ::-1, :], b)
+    return a, b
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size", "no_flip", "train"))
+def preprocess_pair_batch(a_uint8: jax.Array, b_uint8: jax.Array,
+                          key: jax.Array, crop_size: int,
+                          no_flip: bool = False,
+                          train: bool = True) -> Dict[str, jax.Array]:
+    """(B, loadH, loadW, C) uint8 pairs -> augmented normalized batch.
+
+    Eval path (train=False): deterministic center crop, no flip.
+    """
+    bsz = a_uint8.shape[0]
+    if train:
+        keys = jax.random.split(key, bsz)
+        crop_fn = functools.partial(_paired_crop_flip, crop=crop_size,
+                                    flip_enabled=not no_flip)
+        a, b = jax.vmap(crop_fn)(a_uint8, b_uint8, keys)
+    else:
+        h, w = a_uint8.shape[1], a_uint8.shape[2]
+        oy, ox = (h - crop_size) // 2, (w - crop_size) // 2
+        a = a_uint8[:, oy:oy + crop_size, ox:ox + crop_size, :]
+        b = b_uint8[:, oy:oy + crop_size, ox:ox + crop_size, :]
+    return {"a": _normalize(a), "b": _normalize(b)}
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size", "no_flip", "train"))
+def preprocess_sequence_batch(a_uint8: jax.Array, b_uint8: jax.Array,
+                              key: jax.Array, crop_size: int,
+                              no_flip: bool = False,
+                              train: bool = True) -> Dict[str, jax.Array]:
+    """(B, T, loadH, loadW, C) uint8 windows -> augmented batch.
+
+    One crop/flip decision per *window* (temporal consistency: every frame
+    of a sequence gets the same spatial transform).
+    """
+    bsz, t = a_uint8.shape[0], a_uint8.shape[1]
+    if train:
+        keys = jax.random.split(key, bsz)
+
+        def window_fn(a_seq, b_seq, k):
+            # fold time into channels so one crop applies to all frames
+            h, w, c = a_seq.shape[1], a_seq.shape[2], a_seq.shape[3]
+            cb = b_seq.shape[3]
+            a_flat = jnp.moveaxis(a_seq, 0, -2).reshape(h, w, t * c)
+            b_flat = jnp.moveaxis(b_seq, 0, -2).reshape(h, w, t * cb)
+            a_c, b_c = _paired_crop_flip(a_flat, b_flat, k, crop_size,
+                                         not no_flip)
+            a_out = jnp.moveaxis(
+                a_c.reshape(crop_size, crop_size, t, c), -2, 0)
+            b_out = jnp.moveaxis(
+                b_c.reshape(crop_size, crop_size, t, cb), -2, 0)
+            return a_out, b_out
+
+        a, b = jax.vmap(window_fn)(a_uint8, b_uint8, keys)
+    else:
+        h, w = a_uint8.shape[2], a_uint8.shape[3]
+        oy, ox = (h - crop_size) // 2, (w - crop_size) // 2
+        a = a_uint8[:, :, oy:oy + crop_size, ox:ox + crop_size, :]
+        b = b_uint8[:, :, oy:oy + crop_size, ox:ox + crop_size, :]
+    return {"a": _normalize(a), "b": _normalize(b)}

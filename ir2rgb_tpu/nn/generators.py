@@ -1,0 +1,365 @@
+"""Generator zoo — pure-functional, NHWC.
+
+Rebuilds the reference generator family (``models/networks.py`` —
+SURVEY.md §2.1: ``define_G`` variants):
+
+- ``resnet_9blocks`` / ``resnet_6blocks``: c7s1-64, two stride-2 downs,
+  N residual blocks, two transposed-conv ups, c7s1-3 + tanh
+  (BASELINE.json:7 config).
+- ``unet_256`` / ``unet_128``: 8/7-level U-Net with skip concats
+  (BASELINE.json:8 config).
+- ``global``: pix2pixHD coarse generator — c7s1-ngf, 4 stride-2 downs,
+  9 res blocks, 4 ups (BASELINE.json:9).
+- ``local``: pix2pixHD coarse-to-fine — global trunk at half resolution
+  (output head stripped) + local enhancer branch joined by elementwise sum.
+
+Conventions (see ops.py): params are nested dicts; conv kernels HWIO;
+``use_bias`` follows the family rule (bias iff the following norm has no
+affine rescale, i.e. instance/none); weights ~ N(0, 0.02).
+
+Residual-block structure per the family spec: ReflectionPad1 + 3x3 conv +
+norm + ReLU + ReflectionPad1 + 3x3 conv + norm, additive skip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import ops
+from .ops import Params
+
+
+@dataclasses.dataclass(frozen=True)
+class GenConfig:
+    """Static generator hyperparameters (hashable, jit-closable)."""
+
+    net_g: str = "resnet_9blocks"
+    input_nc: int = 3
+    output_nc: int = 3
+    ngf: int = 64
+    norm: str = "instance"
+    upsample: str = "deconv"  # deconv | resize_conv
+    use_dropout: bool = False
+    # pix2pixHD knobs
+    n_downsample_global: int = 4
+    n_blocks_global: int = 9
+    n_blocks_local: int = 3
+    n_local_enhancers: int = 1
+    compute_dtype: Any = jnp.float32
+
+
+def _use_bias(norm: str) -> bool:
+    # Conv bias is redundant directly before an affine batch norm.
+    return norm != "batch"
+
+
+# ---------------------------------------------------------------------------
+# Shared building blocks
+# ---------------------------------------------------------------------------
+
+def _conv_norm_init(key, cin, cout, k, norm, use_bias):
+    k1, k2 = jax.random.split(key)
+    return {"conv": ops.conv_init(k1, cin, cout, k, use_bias=use_bias),
+            "norm": ops.norm_init(k2, norm, cout)}
+
+
+def _resnet_block_init(key, c, norm, use_bias):
+    k1, k2 = jax.random.split(key)
+    return {"conv0": _conv_norm_init(k1, c, c, 3, norm, use_bias),
+            "conv1": _conv_norm_init(k2, c, c, 3, norm, use_bias)}
+
+
+def _resnet_block_apply(p, x, cfg: GenConfig, *, train=False, rng=None):
+    h = ops.reflect_pad(x, 1)
+    h = ops.conv_apply(p["conv0"]["conv"], h, compute_dtype=cfg.compute_dtype)
+    h = ops.norm_act(p["conv0"].get("norm", {}), h, cfg.norm, "relu")
+    if cfg.use_dropout and train and rng is not None:
+        h = ops.dropout(rng, h, 0.5)
+    h = ops.reflect_pad(h, 1)
+    h = ops.conv_apply(p["conv1"]["conv"], h, compute_dtype=cfg.compute_dtype)
+    h = ops.norm_act(p["conv1"].get("norm", {}), h, cfg.norm, "none")
+    return x + h
+
+
+def _up_init(key, cin, cout, cfg: GenConfig, use_bias):
+    k1, k2 = jax.random.split(key)
+    if cfg.upsample == "deconv":
+        up = ops.deconv_init(k1, cin, cout, 3, use_bias=use_bias)
+    else:  # resize_conv: nearest x2 + 3x3 conv (no checkerboard artifacts)
+        up = ops.conv_init(k1, cin, cout, 3, use_bias=use_bias)
+    return {"up": up, "norm": ops.norm_init(k2, cfg.norm, cout)}
+
+
+def _up_apply(p, x, cfg: GenConfig, act="relu"):
+    if cfg.upsample == "deconv":
+        h = ops.deconv_apply(p["up"], x, stride=2, k=3, pad=1,
+                             output_padding=1, compute_dtype=cfg.compute_dtype)
+    else:
+        h = ops.resize_nearest(x, 2)
+        h = ops.conv_apply(p["up"], h, padding=1,
+                           compute_dtype=cfg.compute_dtype)
+    return ops.norm_act(p.get("norm", {}), h, cfg.norm, act)
+
+
+# ---------------------------------------------------------------------------
+# ResNet generator (resnet_9blocks / resnet_6blocks)
+# ---------------------------------------------------------------------------
+
+def resnet_generator_init(key, cfg: GenConfig,
+                          n_blocks: Optional[int] = None,
+                          n_downsampling: int = 2,
+                          input_nc: Optional[int] = None,
+                          ngf: Optional[int] = None,
+                          with_tail: bool = True) -> Params:
+    if n_blocks is None:
+        n_blocks = 9 if cfg.net_g.endswith("9blocks") else 6
+    input_nc = cfg.input_nc if input_nc is None else input_nc
+    ngf = cfg.ngf if ngf is None else ngf
+    bias = _use_bias(cfg.norm)
+    keys = jax.random.split(key, 2 + 2 * n_downsampling + n_blocks + 1)
+    ki = iter(keys)
+    p: Params = {"head": _conv_norm_init(next(ki), input_nc, ngf, 7,
+                                         cfg.norm, bias)}
+    mult = 1
+    for i in range(n_downsampling):
+        p[f"down{i}"] = _conv_norm_init(next(ki), ngf * mult, ngf * mult * 2,
+                                        3, cfg.norm, bias)
+        mult *= 2
+    for i in range(n_blocks):
+        p[f"block{i}"] = _resnet_block_init(next(ki), ngf * mult, cfg.norm,
+                                            bias)
+    for i in range(n_downsampling):
+        p[f"up{i}"] = _up_init(next(ki), ngf * mult, ngf * mult // 2, cfg,
+                               bias)
+        mult //= 2
+    if with_tail:
+        p["tail"] = {"conv": ops.conv_init(next(ki), ngf, cfg.output_nc, 7)}
+    return p
+
+
+def resnet_generator_apply(p: Params, x: jax.Array, cfg: GenConfig, *,
+                           n_blocks: Optional[int] = None,
+                           n_downsampling: int = 2,
+                           train: bool = False,
+                           rng: Optional[jax.Array] = None) -> jax.Array:
+    if n_blocks is None:
+        n_blocks = 9 if cfg.net_g.endswith("9blocks") else 6
+    x = x.astype(cfg.compute_dtype)
+    h = ops.reflect_pad(x, 3)
+    h = ops.conv_apply(p["head"]["conv"], h, compute_dtype=cfg.compute_dtype)
+    h = ops.norm_act(p["head"].get("norm", {}), h, cfg.norm, "relu")
+    for i in range(n_downsampling):
+        h = ops.conv_apply(p[f"down{i}"]["conv"], h, stride=2, padding=1,
+                           compute_dtype=cfg.compute_dtype)
+        h = ops.norm_act(p[f"down{i}"].get("norm", {}), h, cfg.norm, "relu")
+    rngs = (jax.random.split(rng, n_blocks) if rng is not None else
+            [None] * n_blocks)
+    for i in range(n_blocks):
+        h = _resnet_block_apply(p[f"block{i}"], h, cfg, train=train,
+                                rng=rngs[i])
+    for i in range(n_downsampling):
+        h = _up_apply(p[f"up{i}"], h, cfg)
+    if "tail" not in p:
+        return h  # headless trunk (used by the local enhancer)
+    h = ops.reflect_pad(h, 3)
+    h = ops.conv_apply(p["tail"]["conv"], h, compute_dtype=cfg.compute_dtype)
+    return jnp.tanh(h.astype(jnp.float32)).astype(cfg.compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# pix2pixHD Global generator — a ResNet generator with 4 downs / 9 blocks
+# ---------------------------------------------------------------------------
+
+def global_generator_init(key, cfg: GenConfig, ngf: Optional[int] = None,
+                          with_tail: bool = True) -> Params:
+    return resnet_generator_init(
+        key, cfg, n_blocks=cfg.n_blocks_global,
+        n_downsampling=cfg.n_downsample_global, ngf=ngf, with_tail=with_tail)
+
+
+def global_generator_apply(p, x, cfg: GenConfig, *, train=False, rng=None):
+    return resnet_generator_apply(
+        p, x, cfg, n_blocks=cfg.n_blocks_global,
+        n_downsampling=cfg.n_downsample_global, train=train, rng=rng)
+
+
+# ---------------------------------------------------------------------------
+# pix2pixHD Local enhancer (coarse-to-fine)
+# ---------------------------------------------------------------------------
+
+def local_enhancer_init(key, cfg: GenConfig) -> Params:
+    """Global trunk (at 1/2^n_local_enhancers res, output head stripped,
+    width ngf * 2^n_local_enhancers) + per-level enhancer branches."""
+    n_local = cfg.n_local_enhancers
+    ngf_global = cfg.ngf * (2 ** n_local)
+    keys = jax.random.split(key, 1 + n_local)
+    p: Params = {"global": resnet_generator_init(
+        keys[0], cfg, n_blocks=cfg.n_blocks_global,
+        n_downsampling=cfg.n_downsample_global, ngf=ngf_global,
+        with_tail=False)}
+    bias = _use_bias(cfg.norm)
+    for n in range(1, n_local + 1):
+        ngf_n = cfg.ngf * (2 ** (n_local - n))
+        ks = jax.random.split(keys[n], 3 + cfg.n_blocks_local + 1)
+        enh: Params = {
+            "down0": _conv_norm_init(ks[0], cfg.input_nc, ngf_n, 7, cfg.norm,
+                                     bias),
+            "down1": _conv_norm_init(ks[1], ngf_n, ngf_n * 2, 3, cfg.norm,
+                                     bias),
+        }
+        for i in range(cfg.n_blocks_local):
+            enh[f"block{i}"] = _resnet_block_init(ks[2 + i], ngf_n * 2,
+                                                  cfg.norm, bias)
+        enh["up"] = _up_init(ks[2 + cfg.n_blocks_local], ngf_n * 2, ngf_n,
+                             cfg, bias)
+        if n == n_local:
+            enh["tail"] = {"conv": ops.conv_init(ks[-1], ngf_n,
+                                                 cfg.output_nc, 7)}
+        p[f"enhancer{n}"] = enh
+    return p
+
+
+def local_enhancer_apply(p: Params, x: jax.Array, cfg: GenConfig, *,
+                         train: bool = False,
+                         rng: Optional[jax.Array] = None) -> jax.Array:
+    n_local = cfg.n_local_enhancers
+    x = x.astype(cfg.compute_dtype)
+    # input pyramid: x at full res, then avg-pool halvings
+    pyramid = [x]
+    for _ in range(n_local):
+        pyramid.append(ops.avg_pool(pyramid[-1], 3, 2, 1,
+                                    count_include_pad=False))
+    out = resnet_generator_apply(
+        p["global"], pyramid[-1], cfg, n_blocks=cfg.n_blocks_global,
+        n_downsampling=cfg.n_downsample_global, train=train, rng=rng)
+    for n in range(1, n_local + 1):
+        enh = p[f"enhancer{n}"]
+        xi = pyramid[n_local - n]
+        h = ops.reflect_pad(xi, 3)
+        h = ops.conv_apply(enh["down0"]["conv"], h,
+                           compute_dtype=cfg.compute_dtype)
+        h = ops.norm_act(enh["down0"].get("norm", {}), h, cfg.norm, "relu")
+        h = ops.conv_apply(enh["down1"]["conv"], h, stride=2, padding=1,
+                           compute_dtype=cfg.compute_dtype)
+        h = ops.norm_act(enh["down1"].get("norm", {}), h, cfg.norm, "relu")
+        h = h + out  # elementwise junction between global trunk and branch
+        for i in range(cfg.n_blocks_local):
+            h = _resnet_block_apply(enh[f"block{i}"], h, cfg, train=train)
+        h = _up_apply(enh["up"], h, cfg)
+        out = h
+        if n == n_local:
+            h = ops.reflect_pad(h, 3)
+            h = ops.conv_apply(enh["tail"]["conv"], h,
+                               compute_dtype=cfg.compute_dtype)
+            out = jnp.tanh(h.astype(jnp.float32)).astype(cfg.compute_dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# U-Net generator (unet_256 / unet_128)
+# ---------------------------------------------------------------------------
+#
+# Level structure (outer -> inner), matching the family's recursive
+# UnetSkipConnectionBlock:
+#   outermost: down = conv;             up = relu, deconv(k4), tanh
+#   middle:    down = lrelu, conv, nrm; up = relu, deconv(k4), nrm [,drop]
+#   innermost: down = lrelu, conv;      up = relu, deconv(k4), nrm
+# Channel plan for unet_256 (8 downs): ngf,2,4,8,8,8,8,8.
+
+def _unet_channels(num_downs: int, ngf: int) -> List[int]:
+    chans = []
+    for i in range(num_downs):
+        chans.append(ngf * min(2 ** i, 8))
+    return chans
+
+
+def unet_generator_init(key, cfg: GenConfig) -> Params:
+    num_downs = 8 if cfg.net_g == "unet_256" else 7
+    chans = _unet_channels(num_downs, cfg.ngf)
+    bias = _use_bias(cfg.norm)
+    keys = jax.random.split(key, num_downs)
+    p: Params = {}
+    for i in range(num_downs):
+        cin = cfg.input_nc if i == 0 else chans[i - 1]
+        cout = chans[i]
+        innermost = i == num_downs - 1
+        outermost = i == 0
+        kd, ku, kn1, kn2 = jax.random.split(keys[i], 4)
+        level: Params = {
+            "down_conv": ops.conv_init(kd, cin, cout, 4, use_bias=bias),
+        }
+        if not outermost and not innermost:
+            level["down_norm"] = ops.norm_init(kn1, cfg.norm, cout)
+        # up path: innermost deconv sees no skip concat; others take 2*cout
+        up_cin = cout if innermost else cout * 2
+        up_cout = cfg.output_nc if outermost else chans[i - 1]
+        level["up_conv"] = ops.deconv_init(ku, up_cin, up_cout, 4,
+                                           use_bias=bias or outermost)
+        if not outermost:
+            level["up_norm"] = ops.norm_init(kn2, cfg.norm, up_cout)
+        p[f"level{i}"] = level
+    return p
+
+
+def unet_generator_apply(p: Params, x: jax.Array, cfg: GenConfig, *,
+                         train: bool = False,
+                         rng: Optional[jax.Array] = None) -> jax.Array:
+    num_downs = 8 if cfg.net_g == "unet_256" else 7
+    x = x.astype(cfg.compute_dtype)
+    skips: List[jax.Array] = []
+    h = x
+    # encoder
+    for i in range(num_downs):
+        level = p[f"level{i}"]
+        if i > 0:
+            h = ops.apply_act(h, "leaky_relu")
+        h = ops.conv_apply(level["down_conv"], h, stride=2, padding=1,
+                           compute_dtype=cfg.compute_dtype)
+        if 0 < i < num_downs - 1:  # middle levels carry a down norm
+            h = ops.apply_norm(level.get("down_norm", {}), h, cfg.norm)
+        skips.append(h)
+    # decoder
+    n_drop = max(num_downs - 5, 0)  # dropout on the inner middle levels
+    drop_rngs = (list(jax.random.split(rng, max(n_drop, 1)))
+                 if rng is not None else [])
+    for i in range(num_downs - 1, -1, -1):
+        level = p[f"level{i}"]
+        h = ops.apply_act(h, "relu")
+        h = ops.deconv_apply(level["up_conv"], h, stride=2, k=4, pad=1,
+                             output_padding=0,
+                             compute_dtype=cfg.compute_dtype)
+        if i == 0:
+            return jnp.tanh(h.astype(jnp.float32)).astype(cfg.compute_dtype)
+        h = ops.apply_norm(level.get("up_norm", {}), h, cfg.norm)
+        # dropout applies to the deepest middle levels (unet_256: levels 4..6)
+        if (cfg.use_dropout and train and drop_rngs
+                and num_downs - 1 - n_drop <= i <= num_downs - 2):
+            h = ops.dropout(drop_rngs[(num_downs - 2) - i], h, 0.5)
+        h = jnp.concatenate([skips[i - 1], h], axis=-1)
+    raise AssertionError("unreachable")
+
+
+# ---------------------------------------------------------------------------
+# Factory (reference define_G analog)
+# ---------------------------------------------------------------------------
+
+def define_g(cfg: GenConfig):
+    """Returns (init, apply) for the configured generator."""
+    name = cfg.net_g
+    if name in ("resnet_9blocks", "resnet_6blocks"):
+        return (lambda key: resnet_generator_init(key, cfg),
+                lambda p, x, **kw: resnet_generator_apply(p, x, cfg, **kw))
+    if name in ("unet_256", "unet_128"):
+        return (lambda key: unet_generator_init(key, cfg),
+                lambda p, x, **kw: unet_generator_apply(p, x, cfg, **kw))
+    if name == "global":
+        return (lambda key: global_generator_init(key, cfg),
+                lambda p, x, **kw: global_generator_apply(p, x, cfg, **kw))
+    if name == "local":
+        return (lambda key: local_enhancer_init(key, cfg),
+                lambda p, x, **kw: local_enhancer_apply(p, x, cfg, **kw))
+    raise ValueError(f"unknown net_g: {name}")

@@ -1,0 +1,280 @@
+"""Core functional NN ops — NHWC, TPU-native layouts.
+
+This is the L1 layer of the rebuild (reference: ``models/networks.py``,
+SURVEY.md §2.1), built as pure functions over parameter pytrees instead of
+``torch.nn`` modules:
+
+- every layer is an ``init(key, ...) -> params`` / ``apply(params, x, ...)``
+  pair; params are plain nested dicts of ``jnp.ndarray``;
+- layouts are TPU-native: activations NHWC, conv kernels HWIO (XLA's
+  preferred layouts for the MXU) — the torch-checkpoint importer transposes
+  from torch's NCHW/OIHW (see ``ir2rgb_tpu/checkpoint/torch_import.py``);
+- transposed convolution is expressed as an lhs-dilated forward conv with a
+  spatially pre-flipped kernel (exact integer-parity with
+  ``torch.nn.ConvTranspose2d`` — verified with integer-valued kernels);
+- instance norm keeps fp32 statistics regardless of compute dtype
+  (mandatory for the >=40 dB parity bar, SURVEY.md §7 "hard parts" #1);
+- the instance-norm+activation hot path dispatches to a fused Pallas TPU
+  kernel when enabled (``ir2rgb_tpu/kernels``).
+
+Initialization matches the reference family's ``weights_init``:
+conv/deconv weights ~ N(0, 0.02), norm gamma ~ N(1, 0.02), beta = 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, Any]
+
+INIT_STD = 0.02  # reference weights_init: N(0, 0.02)
+INSTANCE_NORM_EPS = 1e-5  # torch InstanceNorm2d default
+BATCH_NORM_EPS = 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Convolution
+# ---------------------------------------------------------------------------
+
+def conv_init(key: jax.Array, cin: int, cout: int, k: int,
+              use_bias: bool = True, dtype=jnp.float32) -> Params:
+    """3x3/4x4/7x7 conv params. Kernel HWIO, weights ~ N(0, 0.02)."""
+    wkey, _ = jax.random.split(key)
+    p = {"w": jax.random.normal(wkey, (k, k, cin, cout), dtype) * INIT_STD}
+    if use_bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def conv_apply(p: Params, x: jax.Array, stride: int = 1,
+               padding="VALID", compute_dtype=None) -> jax.Array:
+    """NHWC conv (cross-correlation, matching torch.nn.Conv2d)."""
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    # HIGHEST: true-f32 conv for f32 inputs (default XLA precision decomposes
+    # to bf16 passes and costs ~5e-3 parity error); bf16 inputs still take
+    # the native MXU bf16 path.
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Transposed convolution (torch ConvTranspose2d parity)
+# ---------------------------------------------------------------------------
+#
+# torch ConvTranspose2d(cin, cout, k, stride=s, padding=p, output_padding=op)
+# == forward conv over the lhs-dilated input with the spatially-flipped
+#    kernel and padding (k-1-p, k-1-p+op) per spatial dim.
+# We store the kernel ALREADY in forward-conv orientation (HWIO, I=cin,
+# O=cout, spatial flip folded in at init/import time) so apply is a single
+# conv_general_dilated — XLA lowers this straight onto the MXU.
+
+def deconv_init(key: jax.Array, cin: int, cout: int, k: int,
+                use_bias: bool = True, dtype=jnp.float32) -> Params:
+    wkey, _ = jax.random.split(key)
+    # N(0, 0.02) is flip-invariant; no orientation concern at init.
+    p = {"w": jax.random.normal(wkey, (k, k, cin, cout), dtype) * INIT_STD}
+    if use_bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def deconv_apply(p: Params, x: jax.Array, stride: int = 2, k: int = 3,
+                 pad: int = 1, output_padding: int = 1,
+                 compute_dtype=None) -> jax.Array:
+    """Transposed conv. Defaults (k=3,s=2,p=1,op=1) double spatial dims,
+    matching the reference generators' upsampling layers."""
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    lo = k - 1 - pad
+    hi = k - 1 - pad + output_padding
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=[(lo, hi), (lo, hi)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+def norm_init(key: jax.Array, norm: str, c: int, dtype=jnp.float32) -> Params:
+    """Norm params. Reference: InstanceNorm2d(affine=False) -> no params;
+    BatchNorm2d -> gamma ~ N(1, 0.02), beta = 0 (weights_init)."""
+    if norm in ("instance", "none"):
+        return {}
+    if norm == "batch":
+        return {
+            "gamma": 1.0 + jax.random.normal(key, (c,), dtype) * INIT_STD,
+            "beta": jnp.zeros((c,), dtype),
+        }
+    raise ValueError(f"unknown norm: {norm}")
+
+
+def instance_norm(x: jax.Array, eps: float = INSTANCE_NORM_EPS) -> jax.Array:
+    """Per-(N, C) normalization over (H, W). fp32 statistics always."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    return y.astype(x.dtype)
+
+
+def batch_norm(p: Params, x: jax.Array,
+               eps: float = BATCH_NORM_EPS,
+               use_running_stats: bool = False) -> jax.Array:
+    """Batch norm over (N, H, W), fp32 stats.
+
+    Uses batch statistics by default — faithful to the pix2pix family's
+    test-time behavior (the reference family evaluates batch-norm nets with
+    batch statistics; at batch size 1 this degenerates to instance norm).
+    If a torch checkpoint supplied running stats, pass
+    ``use_running_stats=True`` to reproduce ``model.eval()`` semantics.
+    """
+    x32 = x.astype(jnp.float32)
+    if use_running_stats and "running_mean" in p:
+        mean = p["running_mean"].astype(jnp.float32)
+        var = p["running_var"].astype(jnp.float32)
+    else:
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        var = jnp.var(x32, axis=(0, 1, 2))
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    y = y * p["gamma"].astype(jnp.float32) + p["beta"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def apply_norm(p: Params, x: jax.Array, norm: str,
+               use_running_stats: bool = False) -> jax.Array:
+    if norm == "instance":
+        return instance_norm(x)
+    if norm == "batch":
+        return batch_norm(p, x, use_running_stats=use_running_stats)
+    if norm == "none":
+        return x
+    raise ValueError(f"unknown norm: {norm}")
+
+
+def norm_act(p: Params, x: jax.Array, norm: str, act: str = "relu",
+             use_running_stats: bool = False,
+             negative_slope: float = 0.2) -> jax.Array:
+    """Norm followed by activation — the generator hot pattern.
+
+    For instance norm this routes through the fused Pallas kernel on TPU
+    (BASELINE.json:5 "Pallas-fused instance-norm+activation").
+    """
+    if norm == "instance":
+        from ir2rgb_tpu.kernels import fused_instance_norm_act
+        return fused_instance_norm_act(x, act=act,
+                                       negative_slope=negative_slope)
+    y = apply_norm(p, x, norm, use_running_stats=use_running_stats)
+    return apply_act(y, act, negative_slope)
+
+
+def apply_act(x: jax.Array, act: str, negative_slope: float = 0.2) -> jax.Array:
+    if act == "relu":
+        return jax.nn.relu(x)
+    if act == "leaky_relu":
+        return jax.nn.leaky_relu(x, negative_slope)
+    if act == "tanh":
+        return jnp.tanh(x)
+    if act == "none":
+        return x
+    raise ValueError(f"unknown act: {act}")
+
+
+# ---------------------------------------------------------------------------
+# Padding / pooling / resizing
+# ---------------------------------------------------------------------------
+
+def reflect_pad(x: jax.Array, pad: int) -> jax.Array:
+    """torch ReflectionPad2d parity (NHWC)."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def replicate_pad(x: jax.Array, pad: int) -> jax.Array:
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+
+
+def avg_pool(x: jax.Array, window: int = 3, stride: int = 2,
+             pad: int = 1, count_include_pad: bool = False) -> jax.Array:
+    """torch AvgPool2d parity (count_include_pad=False by default — the
+    multiscale-discriminator pyramid downsampler)."""
+    dims = (1, window, window, 1)
+    strides = (1, stride, stride, 1)
+    padding = [(0, 0), (pad, pad), (pad, pad), (0, 0)]
+    x32 = x.astype(jnp.float32)
+    s = lax.reduce_window(x32, 0.0, lax.add, dims, strides, padding)
+    if count_include_pad:
+        cnt = float(window * window)
+        y = s / cnt
+    else:
+        ones = jnp.ones((1,) + x.shape[1:3] + (1,), jnp.float32)
+        cnt = lax.reduce_window(ones, 0.0, lax.add, dims, strides, padding)
+        y = s / cnt
+    return y.astype(x.dtype)
+
+
+def resize_nearest(x: jax.Array, scale: int = 2) -> jax.Array:
+    """Nearest-neighbor upsample by integer factor (torch Upsample parity)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                         (n, h, scale, w, scale, c))
+    return x.reshape(n, h * scale, w * scale, c)
+
+
+def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int],
+                    align_corners: bool = False) -> jax.Array:
+    """Bilinear resize. align_corners=False matches torch's default
+    (half-pixel centers), which is also jax.image.resize('linear')."""
+    n, h, w, c = x.shape
+    if align_corners:
+        # torch align_corners=True: endpoints map to endpoints
+        oh, ow = out_hw
+        hs = jnp.linspace(0, h - 1, oh)
+        ws = jnp.linspace(0, w - 1, ow)
+        h0 = jnp.floor(hs).astype(jnp.int32)
+        w0 = jnp.floor(ws).astype(jnp.int32)
+        h1 = jnp.clip(h0 + 1, 0, h - 1)
+        w1 = jnp.clip(w0 + 1, 0, w - 1)
+        th = (hs - h0)[None, :, None, None]
+        tw = (ws - w0)[None, None, :, None]
+        a = x[:, h0][:, :, w0]
+        b = x[:, h0][:, :, w1]
+        cc = x[:, h1][:, :, w0]
+        d = x[:, h1][:, :, w1]
+        top = a * (1 - tw) + b * tw
+        bot = cc * (1 - tw) + d * tw
+        return (top * (1 - th) + bot * th).astype(x.dtype)
+    return jax.image.resize(x, (n,) + tuple(out_hw) + (c,), method="linear")
+
+
+def dropout(key: jax.Array, x: jax.Array, rate: float = 0.5) -> jax.Array:
+    """Inverted dropout (torch parity in expectation); used by U-Net inner
+    blocks during training."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

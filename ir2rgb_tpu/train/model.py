@@ -1,0 +1,306 @@
+"""GAN model layer — the L2 rebuild (reference ``models/`` — SURVEY.md §2.2).
+
+``create_model(cfg)`` is the analog of the reference's factory, returning a
+``GanModel`` that owns the static architecture/loss configuration and
+exposes pure functions:
+
+- ``init_state(key, sample_batch)`` → TrainState (G/D params, optax states,
+  step, RNG, image pool);
+- ``loss_and_metrics`` → the full conditional-GAN objective;
+- ``train_step(state, batch)`` → one fused G+D update (see below);
+- ``generate(g_params, a, ...)`` → inference forward.
+
+The fused step (SURVEY.md §3.1 rebuild note, §7 hard-part #6): instead of
+the reference's two alternating ``optimizer.step()``s, a single scalar loss
+
+    L = L_G(g_params, sg(d_params)) + L_D(d_params, sg(fake))
+
+is differentiated once w.r.t. ``(g_params, d_params)``. The stop-gradient
+walls reproduce the alternating semantics exactly — ``d_params`` gets no
+gradient from L_G, the generator none from L_D — while the shared G/D
+forwards are computed once and CSE'd by XLA into one compiled program.
+
+Loss vector matches the reference's: [G_GAN, G_GAN_Feat, G_VGG, G_L1,
+D_real, D_fake] (SURVEY.md §2.2 pix2pixHD model row).
+
+Temporal mode (BASELINE.json:10): G is conditioned on the previous
+generated frame(s) — training scans a short frame window with the carry on
+device, t=0 conditioned on zeros (SURVEY.md §2.2 temporal/video model row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ir2rgb_tpu.config import Config
+from ir2rgb_tpu.losses import (
+    feature_matching_loss,
+    l1_loss,
+    vgg_loss,
+)
+from ir2rgb_tpu.losses.gan import gan_loss_d_parts, gan_loss_g
+from ir2rgb_tpu.nn import DiscConfig, GenConfig, define_d, define_g, vgg19_init
+from ir2rgb_tpu.train.image_pool import PoolState, init_pool, query_pool
+from ir2rgb_tpu.train.schedule import (
+    global_freeze_mask,
+    linear_decay_schedule,
+)
+
+Params = Dict[str, Any]
+
+
+class TrainState(NamedTuple):
+    g_params: Params
+    d_params: Params
+    g_opt: Any
+    d_opt: Any
+    step: jax.Array        # () int32
+    rng: jax.Array         # PRNG key
+    pool: PoolState
+
+
+def _dtype_of(name: str):
+    return jnp.bfloat16 if name in ("bf16", "bfloat16") else jnp.float32
+
+
+@dataclasses.dataclass
+class GanModel:
+    cfg: Config
+    gen_cfg: GenConfig
+    disc_cfg: DiscConfig
+    g_init: Any
+    g_apply: Any
+    d_init: Any
+    d_apply: Any
+    vgg_params: Optional[Params]
+    g_tx: optax.GradientTransformation
+    d_tx: optax.GradientTransformation
+    freeze_gate: Any
+    steps_per_epoch: int
+
+    # ------------------------------------------------------------------
+    # State
+    # ------------------------------------------------------------------
+
+    def init_state(self, key: jax.Array, sample_batch: Dict[str, Any]
+                   ) -> TrainState:
+        kg, kd, krest = jax.random.split(key, 3)
+        g_params = self.g_init(kg)
+        d_params = self.d_init(kd)
+        b = sample_batch["b"]
+        frame_shape = tuple(b.shape[-3:])  # (H, W, C) of the target frames
+        pool = init_pool(self.cfg.loss.pool_size, frame_shape)
+        return TrainState(
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=self.g_tx.init(g_params),
+            d_opt=self.d_tx.init(d_params),
+            step=jnp.zeros((), jnp.int32),
+            rng=krest,
+            pool=pool,
+        )
+
+    # ------------------------------------------------------------------
+    # Forward / generate
+    # ------------------------------------------------------------------
+
+    def generate(self, g_params: Params, a: jax.Array,
+                 prev: Optional[jax.Array] = None,
+                 train: bool = False,
+                 rng: Optional[jax.Array] = None) -> jax.Array:
+        """Single-frame G forward. In temporal mode ``prev`` is the
+        previously generated frame stack (zeros at t=0)."""
+        if self.cfg.model.model == "temporal":
+            if prev is None:
+                n_prev = self.cfg.model.n_frames_g - 1
+                prev = jnp.zeros(a.shape[:-1]
+                                 + (self.cfg.model.output_nc * n_prev,),
+                                 a.dtype)
+            a = jnp.concatenate([a, prev.astype(a.dtype)], axis=-1)
+        return self.g_apply(g_params, a, train=train, rng=rng)
+
+    # ------------------------------------------------------------------
+    # Losses
+    # ------------------------------------------------------------------
+
+    def _frame_losses(self, g_params, d_params, a, b, fake_for_d,
+                      fake) -> Dict[str, jax.Array]:
+        """Conditional-GAN losses for one frame batch.
+
+        ``fake`` carries gradients to G; ``fake_for_d`` is the (possibly
+        pool-mixed) stop-gradiented fake fed to D's own update."""
+        loss_cfg = self.cfg.loss
+        sg = jax.lax.stop_gradient
+        pair_real = jnp.concatenate([a, b], axis=-1)
+        pair_fake = jnp.concatenate([a, fake], axis=-1)
+        pair_fake_d = jnp.concatenate([a, fake_for_d], axis=-1)
+
+        # G side: frozen D weights
+        d_params_sg = sg(d_params)
+        d_out_fake_g = self.d_apply(d_params_sg, pair_fake)
+        metrics: Dict[str, jax.Array] = {}
+        loss_g = gan_loss_g(d_out_fake_g, loss_cfg.gan_mode)
+        metrics["G_GAN"] = loss_g
+        if not loss_cfg.no_gan_feat_loss and self.disc_cfg.get_interm_feat:
+            d_out_real_g = self.d_apply(d_params_sg, pair_real)
+            fm = feature_matching_loss(d_out_fake_g, d_out_real_g,
+                                       self.disc_cfg.n_layers)
+            fm = fm * loss_cfg.lambda_feat
+            metrics["G_GAN_Feat"] = fm
+            loss_g = loss_g + fm
+        if not loss_cfg.no_vgg_loss and self.vgg_params is not None:
+            vl = vgg_loss(self.vgg_params, fake, b) * loss_cfg.lambda_vgg
+            metrics["G_VGG"] = vl
+            loss_g = loss_g + vl
+        if loss_cfg.lambda_l1 > 0:
+            l1 = l1_loss(fake, b) * loss_cfg.lambda_l1
+            metrics["G_L1"] = l1
+            loss_g = loss_g + l1
+
+        # D side: frozen G output
+        d_out_real = self.d_apply(d_params, pair_real)
+        d_out_fake = self.d_apply(d_params, sg(pair_fake_d))
+        d_real, d_fake = gan_loss_d_parts(d_out_real, d_out_fake,
+                                          loss_cfg.gan_mode)
+        metrics["D_real"] = d_real
+        metrics["D_fake"] = d_fake
+        metrics["_loss_g"] = loss_g
+        metrics["_loss_d"] = d_real + d_fake
+        return metrics
+
+    def loss_and_metrics(self, g_params: Params, d_params: Params,
+                         batch: Dict[str, jax.Array], rng: jax.Array,
+                         pool: PoolState
+                         ) -> Tuple[jax.Array, Tuple[Dict[str, jax.Array],
+                                                     PoolState]]:
+        k_drop, k_pool = jax.random.split(rng)
+        if self.cfg.model.model == "temporal":
+            metrics, pool = self._temporal_losses(g_params, d_params, batch,
+                                                  k_drop, k_pool, pool)
+        else:
+            a, b = batch["a"], batch["b"]
+            fake = self.generate(g_params, a, train=True, rng=k_drop)
+            fake = fake.astype(jnp.float32)
+            fake_for_d, pool = query_pool(
+                pool, jax.lax.stop_gradient(fake), k_pool)
+            metrics = self._frame_losses(g_params, d_params, a, b,
+                                         fake_for_d, fake)
+        total = metrics["_loss_g"] + metrics["_loss_d"]
+        return total, (metrics, pool)
+
+    def _temporal_losses(self, g_params, d_params, batch, k_drop, k_pool,
+                         pool):
+        """Scan a frame window; G sees cat(IR_t, fake_{t-1}...)."""
+        a_seq = batch["a"]  # (B, T, H, W, Ca)
+        b_seq = batch["b"]
+        bsz, t_len = a_seq.shape[0], a_seq.shape[1]
+        n_prev = self.cfg.model.n_frames_g - 1
+        out_nc = self.cfg.model.output_nc
+        prev0 = jnp.zeros(a_seq.shape[:1] + a_seq.shape[2:4]
+                          + (out_nc * n_prev,), jnp.float32)
+
+        def step(prev, xs):
+            a_t, b_t = xs
+            fake = self.generate(g_params, a_t, prev=prev, train=True,
+                                 rng=k_drop).astype(jnp.float32)
+            m = self._frame_losses(g_params, d_params, a_t, b_t, fake, fake)
+            new_prev = (jnp.concatenate([fake, prev], axis=-1)[..., :out_nc * n_prev]
+                        if n_prev > 0 else prev)
+            return new_prev, m
+
+        a_tm = jnp.moveaxis(a_seq, 1, 0)  # (T, B, ...)
+        b_tm = jnp.moveaxis(b_seq, 1, 0)
+        _, metrics_seq = jax.lax.scan(step, prev0, (a_tm, b_tm))
+        metrics = jax.tree.map(lambda x: jnp.mean(x), metrics_seq)
+        return metrics, pool
+
+    # ------------------------------------------------------------------
+    # Fused train step
+    # ------------------------------------------------------------------
+
+    def train_step(self, state: TrainState, batch: Dict[str, jax.Array]
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            g_params, d_params = params
+            # sg-walls: L_G sees sg(d_params) internally; L_D sees sg(fake)
+            return self.loss_and_metrics(g_params, d_params, batch,
+                                         step_rng, state.pool)
+
+        grads, (metrics, pool) = jax.grad(
+            loss_fn, has_aux=True)((state.g_params, state.d_params))
+        g_grads, d_grads = grads
+        g_grads = self.freeze_gate(g_grads, state.step)
+
+        g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt,
+                                            state.g_params)
+        d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt,
+                                            state.d_params)
+        new_state = TrainState(
+            g_params=optax.apply_updates(state.g_params, g_updates),
+            d_params=optax.apply_updates(state.d_params, d_updates),
+            g_opt=g_opt,
+            d_opt=d_opt,
+            step=state.step + 1,
+            rng=rng,
+            pool=pool,
+        )
+        metrics = {k: v for k, v in metrics.items()
+                   if not k.startswith("_")}
+        return new_state, metrics
+
+
+# ---------------------------------------------------------------------------
+# Factory (reference create_model analog)
+# ---------------------------------------------------------------------------
+
+def create_model(cfg: Config, steps_per_epoch: int = 1000,
+                 vgg_weights_npz: Optional[str] = None) -> GanModel:
+    m = cfg.model
+    compute_dtype = _dtype_of(m.compute_dtype)
+    n_prev = (m.n_frames_g - 1) if m.model == "temporal" else 0
+    g_input_nc = m.input_nc + m.output_nc * n_prev
+    gen_cfg = GenConfig(
+        net_g=m.net_g, input_nc=g_input_nc, output_nc=m.output_nc,
+        ngf=m.ngf, norm=m.norm, upsample=m.upsample,
+        n_downsample_global=m.n_downsample_global,
+        n_blocks_global=m.n_blocks_global,
+        n_blocks_local=m.n_blocks_local,
+        n_local_enhancers=m.n_local_enhancers,
+        compute_dtype=compute_dtype,
+    )
+    disc_cfg = DiscConfig(
+        net_d=m.net_d, input_nc=m.input_nc + m.output_nc, ndf=m.ndf,
+        n_layers=m.n_layers_d, num_d=m.num_d, norm=m.norm,
+        get_interm_feat=m.get_interm_feat,
+        compute_dtype=compute_dtype,
+    )
+    g_init, g_apply = define_g(gen_cfg)
+    d_init, d_apply = define_d(disc_cfg)
+
+    vgg_params = None
+    if not cfg.loss.no_vgg_loss:
+        vgg_params = vgg19_init(weights_npz=vgg_weights_npz).params
+
+    tcfg = cfg.train
+    schedule = linear_decay_schedule(tcfg.lr, tcfg.niter, tcfg.niter_decay,
+                                     steps_per_epoch)
+    adam = lambda: optax.adam(learning_rate=schedule, b1=tcfg.beta1,
+                              b2=tcfg.beta2, eps=1e-8)
+    fix_steps = tcfg.niter_fix_global * steps_per_epoch
+    # the freeze gate needs the param-group names only; closure-based
+    freeze_gate = (global_freeze_mask({}, fix_steps)
+                   if m.net_g == "local" else (lambda g, s: g))
+
+    return GanModel(
+        cfg=cfg, gen_cfg=gen_cfg, disc_cfg=disc_cfg,
+        g_init=g_init, g_apply=g_apply, d_init=d_init, d_apply=d_apply,
+        vgg_params=vgg_params, g_tx=adam(), d_tx=adam(),
+        freeze_gate=freeze_gate, steps_per_epoch=steps_per_epoch,
+    )

@@ -1,0 +1,60 @@
+"""Learning-rate schedule and coarse-to-fine parameter gating.
+
+Reference semantics (SURVEY.md §2.2, §3.5): Adam at constant lr for
+``niter`` epochs, then linear decay to 0 over ``niter_decay`` epochs
+(updated once per epoch); pix2pixHD additionally freezes the global
+generator for the first ``niter_fix_global`` epochs.
+
+Both are expressed purely as functions of the step counter so the whole
+train step stays a single compiled program — no optimizer rebuilds, no
+Python-side schedule state (the reference mutates optimizer param groups
+mid-training; here it's a multiplicative gate, SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def linear_decay_schedule(lr: float, niter: int, niter_decay: int,
+                          steps_per_epoch: int) -> Callable[[jax.Array],
+                                                            jax.Array]:
+    """Per-step lr: constant for niter epochs, then linear to 0.
+
+    Matches the reference's per-epoch staircase (lr updates at epoch
+    boundaries, not continuously)."""
+
+    def schedule(step):
+        epoch = step // steps_per_epoch  # 0-based
+        decay_epochs = jnp.maximum(epoch - (niter - 1), 0)
+        frac = 1.0 - decay_epochs / (niter_decay + 1)
+        return lr * jnp.clip(frac, 0.0, 1.0)
+
+    return schedule
+
+
+def global_freeze_mask(g_params: Any, fix_steps: int
+                       ) -> Callable[[Any, jax.Array], Any]:
+    """Returns gate(grads, step) zeroing global-trunk grads while
+    step < fix_steps (coarse-to-fine: only 'enhancer*' groups train).
+
+    Zeroed grads leave Adam moments at zero, so this is equivalent to the
+    reference's param-group freezing without rebuilding the optimizer.
+    """
+    if fix_steps <= 0:
+        return lambda grads, step: grads
+
+    def gate(grads: Dict[str, Any], step: jax.Array):
+        live = (step >= fix_steps).astype(jnp.float32)
+
+        def mask_group(name, g):
+            if name.startswith("enhancer"):
+                return g
+            return jax.tree.map(lambda x: x * live, g)
+
+        return {k: mask_group(k, v) for k, v in grads.items()}
+
+    return gate

@@ -1,0 +1,113 @@
+"""Training driver — the L5 rebuild of the reference's ``train.py``
+(SURVEY.md §3.1), sharding-first.
+
+The reference's inner loop (forward, two optimizer steps, logging,
+checkpointing) becomes ONE jitted ``train_step(state, batch)`` compiled
+over a data-parallel mesh: batches sharded on the 'data' axis, state
+replicated, gradient all-reduce inserted by XLA over ICI
+(BASELINE.json:5,11). Buffer donation recycles the parameter/optimizer
+memory every step.
+
+Host-side cadence mirrors the reference: ``print_freq`` console/loss-log
+lines, ``display_freq`` image dumps, ``save_latest_freq`` step checkpoints
+and per-epoch saves (SURVEY.md §3.1 hooks).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ir2rgb_tpu.checkpoint import CheckpointManager
+from ir2rgb_tpu.config import Config, save_config
+from ir2rgb_tpu.parallel import (
+    batch_sharding,
+    data_parallel_mesh,
+    replicate,
+    shard_batch,
+)
+from ir2rgb_tpu.train.model import GanModel, TrainState
+
+
+class Trainer:
+    def __init__(self, model: GanModel, cfg: Config,
+                 mesh=None, visualizer=None):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh or data_parallel_mesh(cfg.train.num_devices)
+        self.visualizer = visualizer
+        run_dir = cfg.run_dir()
+        os.makedirs(run_dir, exist_ok=True)
+        save_config(cfg, os.path.join(run_dir, "config.json"))
+        self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+
+        rep = replicate(self.mesh)
+        shard = batch_sharding(self.mesh)
+        donate = (0,) if cfg.train.donate else ()
+        self._train_step = jax.jit(
+            model.train_step,
+            in_shardings=(rep, shard),
+            out_shardings=(rep, rep),
+            donate_argnums=donate,
+        )
+
+    # ------------------------------------------------------------------
+
+    def init_or_restore(self, key: jax.Array,
+                        sample_batch: Dict[str, Any]) -> TrainState:
+        state = self.model.init_state(key, sample_batch)
+        state = jax.device_put(state, replicate(self.mesh))
+        if self.cfg.train.continue_train:
+            latest = self.ckpt.latest_step()
+            if latest is not None:
+                state = self.ckpt.restore(latest, template=state)
+                state = jax.device_put(state, replicate(self.mesh))
+        return state
+
+    def shard(self, batch):
+        return shard_batch(batch, self.mesh)
+
+    # ------------------------------------------------------------------
+
+    def fit(self, state: TrainState, data: Iterable[Dict[str, Any]],
+            total_steps: Optional[int] = None) -> TrainState:
+        """Run the epoch/step loop over an iterable of host batches."""
+        tcfg = self.cfg.train
+        steps_per_epoch = self.model.steps_per_epoch
+        if total_steps is None:
+            total_steps = (tcfg.niter + tcfg.niter_decay) * steps_per_epoch
+        t0 = time.time()
+        window = []
+        step = int(jax.device_get(state.step))
+        for batch in data:
+            if step >= total_steps:
+                break
+            batch = self.shard(batch)
+            state, metrics = self._train_step(state, batch)
+            step += 1
+            window.append(metrics)
+            if step % tcfg.print_freq == 0:
+                jax.block_until_ready(metrics)
+                dt = (time.time() - t0) / max(len(window), 1)
+                avg = {k: float(np.mean([jax.device_get(m[k])
+                                         for m in window]))
+                       for k in window[0]}
+                epoch = step // steps_per_epoch + 1
+                if self.visualizer is not None:
+                    self.visualizer.print_current_errors(epoch, step, avg, dt)
+                window.clear()
+                t0 = time.time()
+            if step % tcfg.save_latest_freq == 0:
+                self.ckpt.save(step, jax.device_get(state))
+            if step % steps_per_epoch == 0:
+                epoch = step // steps_per_epoch
+                if epoch % tcfg.save_epoch_freq == 0:
+                    self.ckpt.save(step, jax.device_get(state))
+        self.ckpt.save(step, jax.device_get(state), force=True)
+        self.ckpt.wait()
+        return state

@@ -1,0 +1,138 @@
+"""North-star parity tests (SURVEY.md §4.2): import a torch state_dict,
+run both stacks on the same input, require >=40 dB PSNR (BASELINE.json:5).
+
+Small widths keep CPU runtime sane; the architecture topology is identical
+to full size so the importer's order-based assignment is fully exercised.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from ir2rgb_tpu.checkpoint.torch_import import (
+    import_discriminator,
+    import_generator,
+)
+from ir2rgb_tpu.nn import (
+    DiscConfig,
+    GenConfig,
+    define_d,
+    define_g,
+)
+
+import torch_refs
+
+torch.backends.mkldnn.enabled = False
+
+
+def _sd(model):
+    from collections import OrderedDict
+    return OrderedDict((k, v.detach().numpy())
+                       for k, v in model.state_dict().items())
+
+
+def psnr(a, b, peak=2.0):
+    mse = float(np.mean((np.asarray(a, np.float64)
+                         - np.asarray(b, np.float64)) ** 2))
+    return 10 * np.log10(peak * peak / mse) if mse > 0 else np.inf
+
+
+def _run_pair(tmodel, cfg, size, in_nc=3, seed=0):
+    torch.manual_seed(seed)
+    x_t = torch.randn(1, in_nc, size, size)
+    with torch.no_grad():
+        y_t = tmodel(x_t)
+    _, apply = define_g(cfg)
+    params = import_generator(_sd(tmodel), cfg)
+    y_j = apply(params, jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1)))
+    return np.asarray(y_j).transpose(0, 3, 1, 2), y_t.numpy()
+
+
+@pytest.mark.parametrize("norm", ["instance", "batch"])
+def test_resnet_generator_parity(norm):
+    t = torch_refs.ResnetGenerator(ngf=8, n_blocks=3, norm=norm).eval()
+    # batch norm: family evaluates with batch statistics (see ops.batch_norm)
+    if norm == "batch":
+        t.train()
+    cfg = GenConfig(net_g="resnet_9blocks", ngf=8, norm=norm)
+    torch.manual_seed(0)
+    x_t = torch.randn(1, 3, 32, 32)
+    with torch.no_grad():
+        y_t = t(x_t).numpy()
+    params = import_generator(_sd(t), cfg, n_blocks=3)
+    from ir2rgb_tpu.nn.generators import resnet_generator_apply
+    y_j = resnet_generator_apply(
+        params, jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1)), cfg,
+        n_blocks=3)
+    y_j = np.asarray(y_j).transpose(0, 3, 1, 2)
+    assert psnr(y_j, y_t) >= 40.0, psnr(y_j, y_t)
+    np.testing.assert_allclose(y_j, y_t, atol=1e-4)
+
+
+def test_unet_generator_parity():
+    t = torch_refs.UnetGenerator(num_downs=8, ngf=4).eval()
+    cfg = GenConfig(net_g="unet_256", ngf=4)
+    y_j, y_t = _run_pair(t, cfg, 256)
+    assert psnr(y_j, y_t) >= 40.0
+    np.testing.assert_allclose(y_j, y_t, atol=1e-4)
+
+
+def test_global_generator_parity():
+    t = torch_refs.ResnetGenerator(ngf=4, n_blocks=2, n_downsampling=3,
+                                   norm="instance").eval()
+    cfg = GenConfig(net_g="global", ngf=4, n_downsample_global=3,
+                    n_blocks_global=2)
+    y_j, y_t = _run_pair(t, cfg, 64)
+    assert psnr(y_j, y_t) >= 40.0
+    np.testing.assert_allclose(y_j, y_t, atol=1e-4)
+
+
+def test_local_enhancer_parity():
+    t = torch_refs.LocalEnhancer(ngf=4, n_downsample_global=2,
+                                 n_blocks_global=2, n_blocks_local=1).eval()
+    cfg = GenConfig(net_g="local", ngf=4, n_downsample_global=2,
+                    n_blocks_global=2, n_blocks_local=1,
+                    n_local_enhancers=1)
+    y_j, y_t = _run_pair(t, cfg, 64)
+    assert psnr(y_j, y_t) >= 40.0
+    np.testing.assert_allclose(y_j, y_t, atol=1e-4)
+
+
+def test_nlayer_discriminator_parity():
+    t = torch_refs.NLayerDiscriminator(input_nc=6, ndf=8,
+                                       get_interm_feat=True).eval()
+    cfg = DiscConfig(net_d="n_layers", input_nc=6, ndf=8, d_pad=2,
+                     get_interm_feat=True)
+    torch.manual_seed(1)
+    x_t = torch.randn(1, 6, 64, 64)
+    with torch.no_grad():
+        feats_t = t(x_t)
+    _, apply = define_d(cfg)
+    params = import_discriminator(_sd(t), cfg)
+    feats_j = apply(params, jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1)))
+    assert len(feats_j[0]) == len(feats_t)
+    for fj, ft in zip(feats_j[0], feats_t):
+        np.testing.assert_allclose(
+            np.asarray(fj).transpose(0, 3, 1, 2), ft.numpy(), atol=1e-4)
+
+
+def test_multiscale_discriminator_parity():
+    t = torch_refs.MultiscaleDiscriminator(input_nc=6, ndf=8, num_d=2,
+                                           get_interm_feat=True).eval()
+    cfg = DiscConfig(net_d="multiscale", input_nc=6, ndf=8, num_d=2,
+                     d_pad=2, get_interm_feat=True)
+    torch.manual_seed(2)
+    x_t = torch.randn(1, 6, 64, 64)
+    with torch.no_grad():
+        out_t = t(x_t)
+    _, apply = define_d(cfg)
+    params = import_discriminator(_sd(t), cfg)
+    out_j = apply(params, jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1)))
+    assert len(out_j) == len(out_t)
+    for scale_j, scale_t in zip(out_j, out_t):
+        for fj, ft in zip(scale_j, scale_t):
+            np.testing.assert_allclose(
+                np.asarray(fj).transpose(0, 3, 1, 2), ft.numpy(),
+                atol=1e-4)
