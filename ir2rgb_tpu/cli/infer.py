@@ -1,0 +1,91 @@
+"""Inference entry point — reference ``python test.py`` analog
+(SURVEY.md §3.2): sequential batch-1 translation of a frame folder, PNG
+outputs + HTML gallery + PSNR/SSIM against ground truth when present.
+
+Loads the generator from an Orbax run checkpoint (``--infer.which_epoch``)
+or directly from a torch ``.pth`` via ``--torch_g path`` (parity mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None) -> int:
+    from ir2rgb_tpu.checkpoint import CheckpointManager, import_generator
+    from ir2rgb_tpu.config import parse_cli
+    from ir2rgb_tpu.data import DataLoader, preprocess_pair_batch
+    from ir2rgb_tpu.infer import (
+        StreamingGenerator,
+        psnr,
+        ssim,
+        tensor2im,
+    )
+    from ir2rgb_tpu.obs import Visualizer
+    from ir2rgb_tpu.obs.html import HTMLPage
+    from ir2rgb_tpu.train import create_model
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    torch_g = None
+    if "--torch_g" in argv:
+        i = argv.index("--torch_g")
+        torch_g = argv[i + 1]
+        del argv[i:i + 2]
+    cfg = parse_cli(argv)
+    import dataclasses
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, phase="test", serial_batches=True, no_flip=True,
+        batch_size=1))
+
+    loader = DataLoader(cfg, phase="test", shuffle=False)
+    model = create_model(cfg, steps_per_epoch=max(len(loader), 1))
+
+    if torch_g is not None:
+        g_params = import_generator(torch_g, model.gen_cfg)
+    else:
+        ckpt = CheckpointManager(os.path.join(cfg.run_dir(), "ckpt"))
+        state = ckpt.restore()
+        g_params = state["g_params"] if isinstance(state, dict) else \
+            state.g_params
+
+    size = cfg.data.crop_size
+    stream = StreamingGenerator(model, g_params, (size, size))
+
+    results_dir = os.path.join(cfg.infer.results_dir, cfg.train.name,
+                               f"{cfg.data.phase}_{cfg.infer.which_epoch}")
+    page = HTMLPage(results_dir, f"Results: {cfg.train.name}")
+    vis = Visualizer(results_dir, cfg.train.name)
+
+    psnrs, ssims = [], []
+    how_many = cfg.infer.how_many or float("inf")
+    count = 0
+    for host_batch in loader.epoch():
+        if count >= how_many:
+            break
+        batch = preprocess_pair_batch(
+            jnp.asarray(host_batch["a"]), jnp.asarray(host_batch["b"]),
+            jax.random.PRNGKey(0), crop_size=size, train=False)
+        fake = stream.push_device(batch["a"])
+        psnrs.append(float(psnr(fake, batch["b"])))
+        ssims.append(float(ssim(fake, batch["b"])))
+        vis.save_images(page, {
+            "input": tensor2im(batch["a"]),
+            "generated": tensor2im(fake),
+            "target": tensor2im(batch["b"]),
+        }, host_batch["paths"][0][0])
+        count += 1
+    page.save()
+    if psnrs:
+        print(f"frames: {count}  PSNR: {np.mean(psnrs):.2f} dB  "
+              f"SSIM: {np.mean(ssims):.4f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

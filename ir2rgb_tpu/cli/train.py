@@ -1,0 +1,72 @@
+"""Training entry point — reference ``python train.py`` analog
+(SURVEY.md §3.1), driven by the typed config system.
+
+Example:
+    python -m ir2rgb_tpu.cli.train --preset pix2pix_unet256 \
+        --data.dataroot /data/ir2rgb --train.name run1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None) -> int:
+    from ir2rgb_tpu.config import parse_cli
+    from ir2rgb_tpu.data import (
+        DataLoader,
+        preprocess_pair_batch,
+        preprocess_sequence_batch,
+    )
+    from ir2rgb_tpu.obs import Visualizer
+    from ir2rgb_tpu.train import Trainer, create_model
+    from ir2rgb_tpu.infer.stream import tensor2im
+
+    cfg = parse_cli(argv)
+    loader = DataLoader(cfg)
+    steps_per_epoch = max(len(loader), 1)
+    model = create_model(cfg, steps_per_epoch=steps_per_epoch)
+    vis = Visualizer(cfg.run_dir(), cfg.train.name)
+    trainer = Trainer(model, cfg, visualizer=vis)
+
+    temporal = cfg.data.dataset_mode == "temporal"
+    prep = preprocess_sequence_batch if temporal else preprocess_pair_batch
+    key = jax.random.PRNGKey(cfg.train.seed)
+    aug_key = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    def batches():
+        nonlocal aug_key
+        for host_batch in loader:
+            aug_key, sub = jax.random.split(aug_key)
+            yield prep(jnp.asarray(host_batch["a"]),
+                       jnp.asarray(host_batch["b"]), sub,
+                       crop_size=cfg.data.crop_size,
+                       no_flip=cfg.data.no_flip, train=True)
+
+    it = batches()
+    first = next(it)
+    state = trainer.init_or_restore(key, first)
+
+    def stream():
+        yield first
+        yield from it
+
+    state = trainer.fit(state, stream())
+
+    # final sample dump
+    sample = first["a"] if not temporal else first["a"][:, 0]
+    fake = model.generate(state.g_params, sample, train=False)
+    vis.display_current_results(
+        {"input": tensor2im(sample), "generated": tensor2im(fake)},
+        epoch=cfg.train.niter + cfg.train.niter_decay,
+        step=int(jax.device_get(state.step)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,4 +1,5 @@
 from .config import (
+    PRESETS,
     Config,
     DataConfig,
     InferConfig,
@@ -25,4 +26,5 @@ __all__ = [
     "load_config",
     "REFERENCE_FLAG_TABLE",
     "from_reference_flags",
+    "PRESETS",
 ]

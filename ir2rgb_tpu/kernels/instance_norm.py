@@ -173,9 +173,13 @@ def _supported(x: jax.Array) -> bool:
     if x.ndim != 4:
         return False
     n, h, w, c = x.shape
-    if c % 128 != 0 and c > 128:
+    # C must fill the 128-wide lane dimension: narrower channel counts
+    # waste the VPU and measurably lose to XLA's fused normalization
+    # (observed: enabling the kernel on the C=32/64 high-resolution layers
+    # dropped end-to-end fps ~2x), so those fall back to XLA.
+    if c % 128 != 0:
         return False
-    # lane/sublane alignment: W should be a multiple of 8 for f32 tiles
+    # sublane alignment: W multiple of 8 for f32 tiles
     return w % 8 == 0 and h >= 1
 
 

@@ -1,0 +1,103 @@
+"""Training/inference observability.
+
+Rebuild of the reference's ``util/visualizer.py`` (SURVEY.md §2.4, §5):
+- console loss lines every ``print_freq`` steps;
+- append-only ``loss_log.txt`` (same greppable format);
+- periodic image grids to ``<run_dir>/web/images/`` with an HTML index;
+- plus (new) a structured ``metrics.jsonl`` for machine consumption and
+  optional ``jax.profiler`` trace capture around annotated spans.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Dict, Mapping, Optional
+
+import numpy as np
+
+from .html import HTMLPage
+
+
+class Visualizer:
+    def __init__(self, run_dir: str, name: str = "experiment"):
+        self.run_dir = run_dir
+        self.name = name
+        os.makedirs(run_dir, exist_ok=True)
+        self.web_dir = os.path.join(run_dir, "web")
+        self.img_dir = os.path.join(self.web_dir, "images")
+        os.makedirs(self.img_dir, exist_ok=True)
+        self.log_path = os.path.join(run_dir, "loss_log.txt")
+        self.jsonl_path = os.path.join(run_dir, "metrics.jsonl")
+        with open(self.log_path, "a") as fh:
+            fh.write(f"================ Training Loss ({time.strftime('%c')})"
+                     f" ================\n")
+
+    # ------------------------------------------------------------------
+
+    def print_current_errors(self, epoch: int, step: int,
+                             errors: Mapping[str, float],
+                             step_time: float) -> None:
+        msg = (f"(epoch: {epoch}, iters: {step}, time: {step_time:.3f}) "
+               + " ".join(f"{k}: {v:.3f}" for k, v in errors.items()))
+        print(msg, flush=True)
+        with open(self.log_path, "a") as fh:
+            fh.write(msg + "\n")
+        with open(self.jsonl_path, "a") as fh:
+            fh.write(json.dumps({"epoch": epoch, "step": step,
+                                 "step_time": step_time, **{
+                                     k: float(v) for k, v in errors.items()
+                                 }}) + "\n")
+
+    # ------------------------------------------------------------------
+
+    def display_current_results(self, visuals: Mapping[str, np.ndarray],
+                                epoch: int, step: int) -> None:
+        """visuals: name -> uint8 HWC image."""
+        from PIL import Image
+        names = []
+        for label, img in visuals.items():
+            fname = f"epoch{epoch:03d}_step{step:07d}_{label}.png"
+            Image.fromarray(img).save(os.path.join(self.img_dir, fname))
+            names.append((fname, label))
+        page = HTMLPage(self.web_dir, f"Experiment: {self.name}")
+        page.add_header(f"epoch {epoch}, step {step}")
+        page.add_images([n for n, _ in names], [l for _, l in names])
+        page.save()
+
+    def save_images(self, page: HTMLPage, visuals: Mapping[str, np.ndarray],
+                    image_path: str, width: int = 256) -> None:
+        """Reference visualizer.save_images analog for test-time galleries."""
+        from PIL import Image
+        short = os.path.splitext(os.path.basename(image_path))[0]
+        page.add_header(short)
+        names, caps = [], []
+        for label, img in visuals.items():
+            fname = f"{short}_{label}.png"
+            Image.fromarray(img).save(os.path.join(page.img_dir, fname))
+            names.append(fname)
+            caps.append(label)
+        page.add_images(names, caps, width)
+
+    # ------------------------------------------------------------------
+
+    @contextlib.contextmanager
+    def profile(self, name: str, enabled: bool = True):
+        """jax.profiler trace annotation span (SURVEY.md §5 tracing row)."""
+        if not enabled:
+            yield
+            return
+        import jax
+        with jax.profiler.TraceAnnotation(name):
+            yield
+
+    def start_profiler_trace(self, logdir: Optional[str] = None) -> None:
+        import jax
+        jax.profiler.start_trace(logdir
+                                 or os.path.join(self.run_dir, "trace"))
+
+    def stop_profiler_trace(self) -> None:
+        import jax
+        jax.profiler.stop_trace()

@@ -25,6 +25,11 @@ class PoolState(NamedTuple):
 
 def init_pool(pool_size: int, shape: Tuple[int, ...],
               dtype=jnp.float32) -> PoolState:
+    if pool_size == 0:
+        # pool disabled: (1,1,1,1) placeholder — zero-size arrays are not
+        # checkpointable; callers gate on the static config, not the shape
+        return PoolState(buffer=jnp.zeros((1, 1, 1, 1), dtype),
+                         count=jnp.zeros((), jnp.int32))
     return PoolState(buffer=jnp.zeros((pool_size,) + tuple(shape), dtype),
                      count=jnp.zeros((), jnp.int32))
 

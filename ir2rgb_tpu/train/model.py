@@ -186,8 +186,11 @@ class GanModel:
             a, b = batch["a"], batch["b"]
             fake = self.generate(g_params, a, train=True, rng=k_drop)
             fake = fake.astype(jnp.float32)
-            fake_for_d, pool = query_pool(
-                pool, jax.lax.stop_gradient(fake), k_pool)
+            if self.cfg.loss.pool_size > 0:
+                fake_for_d, pool = query_pool(
+                    pool, jax.lax.stop_gradient(fake), k_pool)
+            else:
+                fake_for_d = fake
             metrics = self._frame_losses(g_params, d_params, a, b,
                                          fake_for_d, fake)
         total = metrics["_loss_g"] + metrics["_loss_d"]

@@ -15,7 +15,7 @@ from ir2rgb_tpu.kernels.instance_norm import (
 @pytest.mark.parametrize("shape", [
     (1, 16, 16, 128),   # aligned channel block
     (2, 8, 16, 256),    # multiple channel blocks
-    (1, 32, 32, 64),    # c < 128 (block == full channel dim)
+    (1, 32, 32, 384),   # three channel blocks
 ])
 @pytest.mark.parametrize("act", ["none", "relu", "leaky_relu", "tanh"])
 def test_fused_instance_norm_act_interpret(shape, act):

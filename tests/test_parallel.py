@@ -1,0 +1,90 @@
+"""Distributed-without-a-cluster tests (SURVEY.md §4.4): the sharded train
+step on a fake 8-device CPU mesh must numerically match the 1-device run
+for the same total batch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ir2rgb_tpu.config import Config, DataConfig, LossConfig, ModelConfig, TrainConfig
+from ir2rgb_tpu.data.synthetic import synthetic_pair_batch
+from ir2rgb_tpu.parallel import (
+    batch_sharding,
+    data_parallel_mesh,
+    replicate,
+    shard_batch,
+)
+from ir2rgb_tpu.train import create_model
+
+
+def _cfg():
+    return Config(
+        model=ModelConfig(model="pix2pix", net_g="resnet_6blocks",
+                          net_d="n_layers", ngf=8, ndf=8),
+        data=DataConfig(crop_size=32, batch_size=8),
+        loss=LossConfig(no_vgg_loss=True),
+        train=TrainConfig(),
+    )
+
+
+def test_eight_fake_devices_available():
+    assert jax.device_count() >= 8, (
+        "conftest must set xla_force_host_platform_device_count=8")
+
+
+def test_dp_matches_single_device():
+    cfg = _cfg()
+    model = create_model(cfg, steps_per_epoch=10)
+    host = synthetic_pair_batch(8, 32)
+    batch = {"a": jnp.asarray(host["a"], jnp.float32) / 127.5 - 1.0,
+             "b": jnp.asarray(host["b"], jnp.float32) / 127.5 - 1.0}
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+
+    # single-device run
+    s1, m1 = jax.jit(model.train_step)(state, batch)
+
+    # 8-device data-parallel run
+    mesh = data_parallel_mesh(8)
+    rep = replicate(mesh)
+    state8 = jax.device_put(state, rep)
+    batch8 = shard_batch(batch, mesh)
+    step8 = jax.jit(model.train_step, in_shardings=(rep, batch_sharding(mesh)),
+                    out_shardings=(rep, rep))
+    s8, m8 = step8(state8, batch8)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=2e-3,
+                                   err_msg=k)
+
+    # gradients agree tightly (all-reduce == single-device sum up to
+    # reassociation noise)
+    def grads_of(st, bt):
+        def loss(params):
+            total, _ = model.loss_and_metrics(params[0], params[1], bt,
+                                              jax.random.PRNGKey(5),
+                                              st.pool)
+            return total
+        return jax.grad(loss)((st.g_params, st.d_params))
+
+    g1 = jax.device_get(jax.jit(grads_of)(state, batch))
+    g8 = jax.device_get(
+        jax.jit(grads_of, in_shardings=(rep, batch_sharding(mesh)),
+                out_shardings=rep)(state8, batch8))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    # params after one Adam step: first-step update is ~sign(g), which
+    # amplifies reassociation noise to O(lr) — loose bound only
+    l1 = jax.tree.leaves(jax.device_get(s1.g_params))
+    l8 = jax.tree.leaves(jax.device_get(s8.g_params))
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_sharded_batch_layout():
+    mesh = data_parallel_mesh(8)
+    x = jnp.zeros((8, 4, 4, 3))
+    xs = shard_batch({"a": x}, mesh)["a"]
+    assert xs.sharding.num_devices == 8

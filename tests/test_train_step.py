@@ -1,0 +1,154 @@
+"""Train-dynamics tests (SURVEY.md §4.3): fused step runs, losses behave,
+overfit smoke improves PSNR, coarse-to-fine gate freezes the global trunk.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ir2rgb_tpu.config import Config, DataConfig, LossConfig, ModelConfig, TrainConfig
+from ir2rgb_tpu.data.synthetic import synthetic_pair_batch
+from ir2rgb_tpu.infer.metrics import psnr
+from ir2rgb_tpu.train import create_model
+
+
+def tiny_cfg(**model_kw):
+    defaults = dict(model="pix2pix", net_g="resnet_6blocks",
+                    net_d="n_layers", ngf=8, ndf=8, get_interm_feat=True)
+    defaults.update(model_kw)
+    return Config(
+        model=ModelConfig(**defaults),
+        data=DataConfig(crop_size=32, batch_size=2),
+        loss=LossConfig(no_vgg_loss=True),
+        train=TrainConfig(niter=1, niter_decay=1),
+    )
+
+
+def _norm_batch(host):
+    return {"a": jnp.asarray(host["a"], jnp.float32) / 127.5 - 1.0,
+            "b": jnp.asarray(host["b"], jnp.float32) / 127.5 - 1.0}
+
+
+def test_fused_train_step_runs_and_metrics():
+    cfg = tiny_cfg()
+    model = create_model(cfg, steps_per_epoch=10)
+    batch = _norm_batch(synthetic_pair_batch(2, 32))
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(model.train_step)
+    state, metrics = step(state, batch)
+    for k in ("G_GAN", "G_GAN_Feat", "G_L1", "D_real", "D_fake"):
+        assert k in metrics, k
+        assert np.isfinite(float(metrics[k])), k
+    assert int(state.step) == 1
+
+
+def test_d_gets_no_gradient_from_g_loss():
+    """The sg-wall property: with lambda_l1 only (no GAN), D grads are 0."""
+    cfg = tiny_cfg()
+    cfg = cfg.replace(loss=LossConfig(no_vgg_loss=True,
+                                      no_gan_feat_loss=True))
+    model = create_model(cfg, steps_per_epoch=10)
+    batch = _norm_batch(synthetic_pair_batch(2, 32))
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+
+    def g_only_loss(g_params):
+        total, _ = model.loss_and_metrics(g_params, state.d_params, batch,
+                                          jax.random.PRNGKey(1), state.pool)
+        return total
+
+    def d_from_g(d_params):
+        # gradient of the *generator* losses w.r.t. d_params must be zero
+        sg = jax.lax.stop_gradient
+        _, (m, _) = model.loss_and_metrics(state.g_params, d_params, batch,
+                                           jax.random.PRNGKey(1), state.pool)
+        return m["G_GAN"] + m.get("G_GAN_Feat", 0.0) + m.get("G_L1", 0.0)
+
+    d_grads = jax.grad(d_from_g)(state.d_params)
+    leaves = jax.tree.leaves(d_grads)
+    assert all(float(jnp.abs(l).max()) == 0.0 for l in leaves)
+
+
+def test_overfit_smoke_psnr_improves():
+    """50 steps on a fixed pair: G loss down, output PSNR up."""
+    cfg = tiny_cfg()
+    model = create_model(cfg, steps_per_epoch=1000)
+    batch = _norm_batch(synthetic_pair_batch(2, 32))
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(model.train_step, donate_argnums=(0,))
+
+    fake0 = model.generate(state.g_params, batch["a"], train=False)
+    psnr0 = float(psnr(fake0, batch["b"]))
+    for _ in range(50):
+        state, metrics = step(state, batch)
+    fake1 = model.generate(state.g_params, batch["a"], train=False)
+    psnr1 = float(psnr(fake1, batch["b"]))
+    assert psnr1 > psnr0 + 1.0, (psnr0, psnr1)
+
+
+def test_temporal_train_step():
+    cfg = tiny_cfg(model="temporal", net_d="multiscale", num_d=2,
+                   n_frames_g=2)
+    model = create_model(cfg, steps_per_epoch=10)
+    a = np.random.RandomState(0).rand(2, 3, 32, 32, 3).astype(np.float32)
+    b = np.random.RandomState(1).rand(2, 3, 32, 32, 3).astype(np.float32)
+    batch = {"a": jnp.asarray(a) * 2 - 1, "b": jnp.asarray(b) * 2 - 1}
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    state, metrics = jax.jit(model.train_step)(state, batch)
+    assert np.isfinite(float(metrics["G_GAN"]))
+    assert int(state.step) == 1
+
+
+def test_coarse_to_fine_freeze():
+    """With niter_fix_global set, global-trunk params must not move while
+    enhancer params do."""
+    cfg = Config(
+        model=ModelConfig(model="pix2pixhd", net_g="local",
+                          net_d="multiscale", ngf=4, ndf=8, num_d=2,
+                          n_downsample_global=2, n_blocks_global=1,
+                          n_blocks_local=1),
+        data=DataConfig(crop_size=32, batch_size=1),
+        loss=LossConfig(no_vgg_loss=True, lambda_l1=10.0),
+        train=TrainConfig(niter_fix_global=1),
+    )
+    model = create_model(cfg, steps_per_epoch=100)  # fix for 100 steps
+    batch = _norm_batch(synthetic_pair_batch(1, 32))
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    g0 = jax.device_get(state.g_params)
+    state, _ = jax.jit(model.train_step)(state, batch)
+    g1 = jax.device_get(state.g_params)
+    diff_global = max(float(np.abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(g0["global"]), jax.tree.leaves(g1["global"])))
+    diff_enh = max(float(np.abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(g0["enhancer1"]), jax.tree.leaves(g1["enhancer1"])))
+    assert diff_global == 0.0
+    assert diff_enh > 0.0
+
+
+def test_lr_schedule_linear_decay():
+    from ir2rgb_tpu.train.schedule import linear_decay_schedule
+    sched = linear_decay_schedule(2e-4, niter=2, niter_decay=4,
+                                  steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(2e-4)
+    assert float(sched(19)) == pytest.approx(2e-4)   # last const epoch
+    # decay epochs: epoch 2..5 -> frac 4/5, 3/5, 2/5, 1/5
+    assert float(sched(20)) == pytest.approx(2e-4 * 4 / 5)
+    assert float(sched(59)) == pytest.approx(2e-4 * 1 / 5, rel=1e-5)
+
+
+def test_image_pool_semantics():
+    from ir2rgb_tpu.train.image_pool import init_pool, query_pool
+    pool = init_pool(4, (8, 8, 3))
+    fakes = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    out, pool = query_pool(pool, fakes, jax.random.PRNGKey(0))
+    # pool not full: passthrough + insert
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(fakes))
+    assert int(pool.count) == 2
+    # fill up
+    out, pool = query_pool(pool, fakes + 100, jax.random.PRNGKey(1))
+    assert int(pool.count) == 4
+    # now full: queries may swap; count stays
+    out, pool = query_pool(pool, fakes + 200, jax.random.PRNGKey(2))
+    assert int(pool.count) == 4
