@@ -71,13 +71,26 @@ def main(argv=None) -> int:
         batch = preprocess_pair_batch(
             jnp.asarray(host_batch["a"]), jnp.asarray(host_batch["b"]),
             jax.random.PRNGKey(0), crop_size=size, train=False)
+        # push_device donates its input buffer — snapshot the input image
+        # for the gallery before handing the array over
+        input_img = tensor2im(batch["a"])
         fake = stream.push_device(batch["a"])
         psnrs.append(float(psnr(fake, batch["b"])))
         ssims.append(float(ssim(fake, batch["b"])))
+
+        def _ar(img):
+            # reference --aspect_ratio: stretch output width for display
+            if cfg.infer.aspect_ratio == 1.0:
+                return img
+            from PIL import Image
+            h, w = img.shape[:2]
+            return np.asarray(Image.fromarray(img).resize(
+                (int(w * cfg.infer.aspect_ratio), h), Image.BICUBIC))
+
         vis.save_images(page, {
-            "input": tensor2im(batch["a"]),
-            "generated": tensor2im(fake),
-            "target": tensor2im(batch["b"]),
+            "input": _ar(input_img),
+            "generated": _ar(tensor2im(fake)),
+            "target": _ar(tensor2im(batch["b"])),
         }, host_batch["paths"][0][0])
         count += 1
     page.save()

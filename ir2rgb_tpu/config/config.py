@@ -54,6 +54,9 @@ class ModelConfig:
     n_frames_g: int = 2
     # dtype policy: params fp32; compute bf16 on TPU ("bf16") or fp32
     compute_dtype: str = "float32"
+    # rematerialize residual blocks in backward (trade FLOPs for HBM;
+    # enables bigger batches at 512px)
+    remat: bool = False
 
 
 @dataclass(frozen=True)
@@ -111,6 +114,9 @@ class TrainConfig:
     display_freq: int = 400        # steps
     continue_train: bool = False
     which_epoch: str = "latest"
+    # warm-start G/D from another run's checkpoint dir (reference
+    # --load_pretrain)
+    load_pretrain: str = ""
     seed: int = 0
     # data-parallel device count; 0 = all visible devices
     num_devices: int = 0

@@ -28,15 +28,16 @@ from .folder import find_aligned_pairs, find_temporal_sequences
 
 def _decode_resize(path: str, load_size: int, gray: bool = False
                    ) -> np.ndarray:
-    from PIL import Image
-    with Image.open(path) as im:
-        im = im.convert("L" if gray else "RGB")
-        if im.size != (load_size, load_size):
-            im = im.resize((load_size, load_size), Image.BICUBIC)
-        arr = np.asarray(im, np.uint8)
-    if gray:
-        arr = arr[..., None]
-    return arr
+    from .native import decode_batch
+    return decode_batch([path], load_size, load_size, gray=gray)[0]
+
+
+def _decode_many(paths: List[str], load_size: int,
+                 gray: bool = False) -> np.ndarray:
+    """Batch decode+resize — C++ thread pool when available, PIL fallback
+    (ir2rgb_tpu/data/native.py)."""
+    from .native import decode_batch
+    return decode_batch(list(paths), load_size, load_size, gray=gray)
 
 
 class DataLoader:
@@ -72,20 +73,6 @@ class DataLoader:
     def __len__(self) -> int:
         return len(self.items) // self.batch_size
 
-    def _load_item(self, item):
-        if self.temporal:
-            a = np.stack([_decode_resize(pa, self.load_size, self.gray_a)
-                          for pa, _ in item])
-            b = np.stack([_decode_resize(pb, self.load_size)
-                          for _, pb in item])
-            paths = [pa for pa, _ in item]
-        else:
-            pa, pb = item
-            a = _decode_resize(pa, self.load_size, self.gray_a)
-            b = _decode_resize(pb, self.load_size)
-            paths = [pa]
-        return a, b, paths
-
     def _epoch_order(self) -> List[int]:
         order = list(range(len(self.items)))
         if self.shuffle:
@@ -98,12 +85,26 @@ class DataLoader:
         for i in range(0, len(order) - self.batch_size + 1,
                        self.batch_size):
             idxs = order[i:i + self.batch_size]
-            loaded = [self._load_item(self.items[j]) for j in idxs]
-            yield {
-                "a": np.stack([l[0] for l in loaded]),
-                "b": np.stack([l[1] for l in loaded]),
-                "paths": [l[2] for l in loaded],
-            }
+            if self.temporal:
+                windows = [self.items[j] for j in idxs]
+                t = len(windows[0])
+                a_paths = [pa for w in windows for pa, _ in w]
+                b_paths = [pb for w in windows for _, pb in w]
+                a = _decode_many(a_paths, self.load_size, self.gray_a)
+                b = _decode_many(b_paths, self.load_size)
+                s = self.load_size
+                yield {
+                    "a": a.reshape(len(windows), t, s, s, -1),
+                    "b": b.reshape(len(windows), t, s, s, -1),
+                    "paths": [[pa for pa, _ in w] for w in windows],
+                }
+            else:
+                pairs = [self.items[j] for j in idxs]
+                a = _decode_many([pa for pa, _ in pairs], self.load_size,
+                                 self.gray_a)
+                b = _decode_many([pb for _, pb in pairs], self.load_size)
+                yield {"a": a, "b": b,
+                       "paths": [[pa] for pa, _ in pairs]}
 
     def __iter__(self):
         """Endless prefetched stream over repeating epochs."""

@@ -1,0 +1,93 @@
+"""ctypes binding for the native C++ frame decoder (native/decoder.cpp).
+
+Builds the shared library on first use (cached beside the source; make is
+a single g++ invocation) and exposes ``decode_batch``; falls back to PIL
+transparently when the toolchain or image libs are unavailable, so the
+Python-only path keeps working everywhere.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_LIB_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_FAILED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libi2rdecode.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_FAILED
+    with _LIB_LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        try:
+            if not os.path.exists(_SO_PATH):
+                subprocess.run(["make", "-C", _NATIVE_DIR],
+                               check=True, capture_output=True)
+            lib = ctypes.CDLL(_SO_PATH)
+            lib.i2r_decode_batch.restype = ctypes.c_int
+            lib.i2r_decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.i2r_decode_resize.restype = ctypes.c_int
+            lib.i2r_decode_resize.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            _LIB = lib
+        except Exception:
+            _LIB_FAILED = True
+        return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def decode_batch(paths: List[str], out_h: int, out_w: int,
+                 gray: bool = False, threads: int = 0) -> np.ndarray:
+    """Decode+resize a list of images to (N, H, W, C) uint8.
+
+    Uses the C++ thread pool when available; PIL otherwise. Failed decodes
+    raise (native path zeroes the slot and reports a count)."""
+    c = 1 if gray else 3
+    lib = _load()
+    if lib is None:
+        return _decode_batch_pil(paths, out_h, out_w, gray)
+    out = np.empty((len(paths), out_h, out_w, c), np.uint8)
+    arr = (ctypes.c_char_p * len(paths))(
+        *[p.encode() for p in paths])
+    failures = lib.i2r_decode_batch(
+        arr, len(paths), out_h, out_w, int(gray), threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if failures:
+        raise IOError(f"native decoder failed on {failures}/{len(paths)} "
+                      f"images (first: {paths[0]})")
+    return out
+
+
+def _decode_batch_pil(paths: List[str], out_h: int, out_w: int,
+                      gray: bool) -> np.ndarray:
+    from PIL import Image
+    c = 1 if gray else 3
+    out = np.empty((len(paths), out_h, out_w, c), np.uint8)
+    for i, p in enumerate(paths):
+        with Image.open(p) as im:
+            im = im.convert("L" if gray else "RGB")
+            if im.size != (out_w, out_h):
+                im = im.resize((out_w, out_h), Image.BILINEAR)
+            a = np.asarray(im, np.uint8)
+        out[i] = a[..., None] if gray else a
+    return out

@@ -50,6 +50,8 @@ class GenConfig:
     n_blocks_local: int = 3
     n_local_enhancers: int = 1
     compute_dtype: Any = jnp.float32
+    # jax.checkpoint the residual blocks (backward recompute, saves HBM)
+    remat: bool = False
 
 
 def _use_bias(norm: str) -> bool:
@@ -74,6 +76,15 @@ def _resnet_block_init(key, c, norm, use_bias):
 
 
 def _resnet_block_apply(p, x, cfg: GenConfig, *, train=False, rng=None):
+    if cfg.remat:
+        fn = jax.checkpoint(
+            lambda p_, x_: _resnet_block_body(p_, x_, cfg, train=train,
+                                              rng=rng))
+        return fn(p, x)
+    return _resnet_block_body(p, x, cfg, train=train, rng=rng)
+
+
+def _resnet_block_body(p, x, cfg: GenConfig, *, train=False, rng=None):
     h = ops.reflect_pad(x, 1)
     h = ops.conv_apply(p["conv0"]["conv"], h, compute_dtype=cfg.compute_dtype)
     h = ops.norm_act(p["conv0"].get("norm", {}), h, cfg.norm, "relu")

@@ -277,6 +277,7 @@ def create_model(cfg: Config, steps_per_epoch: int = 1000,
         n_blocks_local=m.n_blocks_local,
         n_local_enhancers=m.n_local_enhancers,
         compute_dtype=compute_dtype,
+        remat=m.remat,
     )
     disc_cfg = DiscConfig(
         net_d=m.net_d, input_nc=m.input_nc + m.output_nc, ndf=m.ndf,

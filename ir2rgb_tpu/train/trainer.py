@@ -61,6 +61,14 @@ class Trainer:
     def init_or_restore(self, key: jax.Array,
                         sample_batch: Dict[str, Any]) -> TrainState:
         state = self.model.init_state(key, sample_batch)
+        if self.cfg.train.load_pretrain:
+            # warm-start G/D from another run (reference --load_pretrain):
+            # params only — fresh optimizer/step/RNG
+            src = CheckpointManager(
+                os.path.join(self.cfg.train.load_pretrain, "ckpt"))
+            loaded = src.restore(template=jax.device_get(state))
+            state = state._replace(g_params=loaded.g_params,
+                                   d_params=loaded.d_params)
         state = jax.device_put(state, replicate(self.mesh))
         if self.cfg.train.continue_train:
             latest = self.ckpt.latest_step()
@@ -102,6 +110,9 @@ class Trainer:
                     self.visualizer.print_current_errors(epoch, step, avg, dt)
                 window.clear()
                 t0 = time.time()
+            if (self.visualizer is not None
+                    and step % tcfg.display_freq == 0):
+                self._display(state, batch, step)
             if step % tcfg.save_latest_freq == 0:
                 self.ckpt.save(step, jax.device_get(state))
             if step % steps_per_epoch == 0:
@@ -111,3 +122,16 @@ class Trainer:
         self.ckpt.save(step, jax.device_get(state), force=True)
         self.ckpt.wait()
         return state
+
+    def _display(self, state: TrainState, batch, step: int) -> None:
+        """Reference display_freq hook: dump input/generated/target grids."""
+        from ir2rgb_tpu.infer.stream import tensor2im
+        a = batch["a"]
+        b = batch["b"]
+        if a.ndim == 5:  # temporal windows: show the first frame
+            a, b = a[:, 0], b[:, 0]
+        fake = self.model.generate(state.g_params, a, train=False)
+        epoch = step // self.model.steps_per_epoch + 1
+        self.visualizer.display_current_results(
+            {"input": tensor2im(a), "generated": tensor2im(fake),
+             "target": tensor2im(b)}, epoch, step)

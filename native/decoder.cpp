@@ -1,0 +1,226 @@
+// Native frame decoder — the data-loader hot path in C++.
+//
+// The reference's loader spends its host time in Python/PIL decode across
+// nThreads worker processes (SURVEY.md §2.3). Here the equivalent is a
+// C++ thread-pooled PNG/JPEG decode + bilinear resize behind a C ABI,
+// bound via ctypes (ir2rgb_tpu/data/native.py), feeding the on-device
+// augmentation pipeline with ready uint8 batches.
+//
+// API (C ABI):
+//   i2r_decode_resize(path, out_h, out_w, gray, out)       -> 0 | errno
+//   i2r_decode_batch(paths, n, out_h, out_w, gray, threads, out) -> #fail
+//
+// Output layout: HWC uint8, RGB (C=3) or grayscale (C=1), row-major,
+// bilinear-resized with half-pixel centers (matches PIL.BILINEAR closely;
+// exact-match is not required — training augmentation follows on device).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <csetjmp>
+#include <string>
+#include <thread>
+#include <vector>
+#include <atomic>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+struct Image {
+  std::vector<uint8_t> data;  // HWC, C = channels
+  int h = 0, w = 0, c = 0;
+};
+
+// ---------------------------------------------------------------- PNG ----
+
+bool decode_png(FILE* f, Image* im) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+
+  png_uint_32 w = png_get_image_width(png, info);
+  png_uint_32 h = png_get_image_height(png, info);
+  int bit_depth = png_get_bit_depth(png, info);
+  int color_type = png_get_color_type(png, info);
+
+  // normalize everything to 8-bit RGB
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY ||
+      color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  im->h = static_cast<int>(h);
+  im->w = static_cast<int>(w);
+  im->c = 3;
+  im->data.resize(size_t(h) * w * 3);
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 y = 0; y < h; ++y)
+    rows[y] = im->data.data() + size_t(y) * w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+// --------------------------------------------------------------- JPEG ----
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
+bool decode_jpeg(FILE* f, Image* im) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  im->h = cinfo.output_height;
+  im->w = cinfo.output_width;
+  im->c = 3;
+  im->data.resize(size_t(im->h) * im->w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row =
+        im->data.data() + size_t(cinfo.output_scanline) * im->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// ------------------------------------------------------------- resize ----
+
+// bilinear, half-pixel centers, RGB in -> (gray ? 1 : 3) channels out
+void resize_bilinear(const Image& src, int out_h, int out_w, int gray,
+                     uint8_t* out) {
+  const int oc = gray ? 1 : 3;
+  const float sy = float(src.h) / out_h;
+  const float sx = float(src.w) / out_w;
+  for (int y = 0; y < out_h; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = fy < 0 ? 0 : int(fy);
+    if (y0 > src.h - 1) y0 = src.h - 1;
+    int y1 = y0 + 1 < src.h ? y0 + 1 : src.h - 1;
+    float ty = fy - y0;
+    if (ty < 0) ty = 0;
+    for (int x = 0; x < out_w; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = fx < 0 ? 0 : int(fx);
+      if (x0 > src.w - 1) x0 = src.w - 1;
+      int x1 = x0 + 1 < src.w ? x0 + 1 : src.w - 1;
+      float tx = fx - x0;
+      if (tx < 0) tx = 0;
+      float rgb[3];
+      for (int ch = 0; ch < 3; ++ch) {
+        float a = src.data[(size_t(y0) * src.w + x0) * 3 + ch];
+        float b = src.data[(size_t(y0) * src.w + x1) * 3 + ch];
+        float c = src.data[(size_t(y1) * src.w + x0) * 3 + ch];
+        float d = src.data[(size_t(y1) * src.w + x1) * 3 + ch];
+        float top = a + (b - a) * tx;
+        float bot = c + (d - c) * tx;
+        rgb[ch] = top + (bot - top) * ty;
+      }
+      uint8_t* dst = out + (size_t(y) * out_w + x) * oc;
+      if (gray) {
+        // ITU-R 601 luma, matching PIL convert("L")
+        float l = 0.299f * rgb[0] + 0.587f * rgb[1] + 0.114f * rgb[2];
+        dst[0] = uint8_t(l + 0.5f);
+      } else {
+        dst[0] = uint8_t(rgb[0] + 0.5f);
+        dst[1] = uint8_t(rgb[1] + 0.5f);
+        dst[2] = uint8_t(rgb[2] + 0.5f);
+      }
+    }
+  }
+}
+
+bool decode_file(const char* path, Image* im) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  unsigned char magic[8] = {0};
+  size_t got = std::fread(magic, 1, 8, f);
+  std::rewind(f);
+  bool ok = false;
+  if (got >= 8 && !png_sig_cmp(magic, 0, 8)) {
+    ok = decode_png(f, im);
+  } else if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    ok = decode_jpeg(f, im);
+  }
+  std::fclose(f);
+  return ok;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one image and bilinear-resize into out (out_h*out_w*(gray?1:3)).
+// Returns 0 on success, 1 on failure.
+int i2r_decode_resize(const char* path, int out_h, int out_w, int gray,
+                      uint8_t* out) {
+  Image im;
+  if (!decode_file(path, &im) || im.h == 0 || im.w == 0) return 1;
+  resize_bilinear(im, out_h, out_w, gray, out);
+  return 0;
+}
+
+// Thread-pooled batch decode: paths[n] -> out (n, out_h, out_w, C) uint8.
+// Returns the number of failed decodes (their slots are zeroed).
+int i2r_decode_batch(const char** paths, int n, int out_h, int out_w,
+                     int gray, int threads, uint8_t* out) {
+  const size_t stride = size_t(out_h) * out_w * (gray ? 1 : 3);
+  std::atomic<int> next(0), failures(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      uint8_t* slot = out + size_t(i) * stride;
+      if (i2r_decode_resize(paths[i], out_h, out_w, gray, slot) != 0) {
+        std::memset(slot, 0, stride);
+        failures.fetch_add(1);
+      }
+    }
+  };
+  int t = threads > 0 ? threads : int(std::thread::hardware_concurrency());
+  if (t < 1) t = 1;
+  if (t > n) t = n;
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  for (int i = 0; i < t; ++i) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+}  // extern "C"
