@@ -159,10 +159,12 @@ PRESETS = {
                           get_interm_feat=False),
         loss=LossConfig(no_gan_feat_loss=True, no_vgg_loss=True),
     ),
-    # BASELINE.json:9 — pix2pixHD global+local, multiscale D, FM+VGG @512
+    # BASELINE.json:9 — pix2pixHD global+local, multiscale D, FM+VGG @512.
+    # ngf=32 follows the family's 512p convention for the local tier (the
+    # global trunk then runs at ngf_global = 32 * 2^1 = 64).
     "pix2pixhd_512": Config(
         model=ModelConfig(model="pix2pixhd", net_g="local", net_d="multiscale",
-                          num_d=2),
+                          num_d=2, ngf=32),
         data=DataConfig(load_size=572, crop_size=512),
         loss=LossConfig(lambda_l1=0.0),
         train=TrainConfig(niter_fix_global=10),

@@ -117,6 +117,50 @@ def _up_apply(p, x, cfg: GenConfig, act="relu"):
 
 
 # ---------------------------------------------------------------------------
+# Persistent-s2d high-resolution region (see nn/s2d_space.py)
+# ---------------------------------------------------------------------------
+#
+# The full-res layers (head/tail/outer downs/ups/enhancer blocks) run on the
+# s2d representation end-to-end: channel-starved convs become MXU-shaped
+# and the layout copies that dominated the 512px profile disappear. Every
+# transform is exact, so checkpoint parity is unaffected.
+
+_S2D_MIN_RES = 256      # enter s2d only for large inputs
+_S2D_MAX_CH = 64        # layers with <= this many image channels stay s2d
+
+
+def _gen_use_s2d(cfg: GenConfig, x: jax.Array) -> bool:
+    return (cfg.norm == "instance" and cfg.upsample == "deconv"
+            and x.ndim == 4 and x.shape[1] >= _S2D_MIN_RES
+            and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
+
+
+def _conv_s2d_wrap(pc, hs, cfg: GenConfig, *, k, pad=0, stride=1,
+                   out_s2d=True):
+    from .s2d_space import conv_on_s2d
+    w = pc["w"].astype(cfg.compute_dtype)
+    y = conv_on_s2d(hs.astype(cfg.compute_dtype), w, stride=stride, pad=pad,
+                    out_s2d=out_s2d)
+    if "b" in pc:
+        b = pc["b"].astype(y.dtype)
+        y = y + (jnp.tile(b, 4) if out_s2d else b)
+    return y
+
+
+def _resnet_block_apply_s2d(p, hs, cfg: GenConfig, *, train=False, rng=None):
+    from .s2d_space import instance_norm_act_s2d, reflect_pad_s2d
+    h = reflect_pad_s2d(hs, 1)
+    h = _conv_s2d_wrap(p["conv0"]["conv"], h, cfg, k=3)
+    h = instance_norm_act_s2d(h, "relu")
+    if cfg.use_dropout and train and rng is not None:
+        h = ops.dropout(rng, h, 0.5)
+    h = reflect_pad_s2d(h, 1)
+    h = _conv_s2d_wrap(p["conv1"]["conv"], h, cfg, k=3)
+    h = instance_norm_act_s2d(h, "none")
+    return hs + h
+
+
+# ---------------------------------------------------------------------------
 # ResNet generator (resnet_9blocks / resnet_6blocks)
 # ---------------------------------------------------------------------------
 
@@ -156,10 +200,15 @@ def resnet_generator_apply(p: Params, x: jax.Array, cfg: GenConfig, *,
                            n_blocks: Optional[int] = None,
                            n_downsampling: int = 2,
                            train: bool = False,
-                           rng: Optional[jax.Array] = None) -> jax.Array:
+                           rng: Optional[jax.Array] = None,
+                           return_s2d: bool = False) -> jax.Array:
     if n_blocks is None:
         n_blocks = 9 if cfg.net_g.endswith("9blocks") else 6
     x = x.astype(cfg.compute_dtype)
+    if _gen_use_s2d(cfg, x):
+        return _resnet_generator_apply_s2d(
+            p, x, cfg, n_blocks=n_blocks, n_downsampling=n_downsampling,
+            train=train, rng=rng, return_s2d=return_s2d)
     h = ops.reflect_pad(x, 3)
     h = ops.conv_apply(p["head"]["conv"], h, compute_dtype=cfg.compute_dtype)
     h = ops.norm_act(p["head"].get("norm", {}), h, cfg.norm, "relu")
@@ -175,10 +224,93 @@ def resnet_generator_apply(p: Params, x: jax.Array, cfg: GenConfig, *,
     for i in range(n_downsampling):
         h = _up_apply(p[f"up{i}"], h, cfg)
     if "tail" not in p:
+        if return_s2d:
+            from .s2d_space import to_s2d
+            return to_s2d(h)
         return h  # headless trunk (used by the local enhancer)
     h = ops.reflect_pad(h, 3)
     h = ops.conv_apply(p["tail"]["conv"], h, compute_dtype=cfg.compute_dtype)
     return jnp.tanh(h.astype(jnp.float32)).astype(cfg.compute_dtype)
+
+
+def _resnet_generator_apply_s2d(p: Params, x: jax.Array, cfg: GenConfig, *,
+                                n_blocks: int, n_downsampling: int,
+                                train: bool, rng, return_s2d: bool
+                                ) -> jax.Array:
+    """ResNet/global generator with the high-res segment in s2d space.
+
+    State machine: head + downsamplers run in s2d while the layer's image
+    channels stay <= _S2D_MAX_CH; the first wide downsampler exits to the
+    plain rep (its stride-2 conv emits it directly, no transpose); ups
+    re-enter s2d at the last (or only) narrow upsampler via the subpixel
+    deconv's phase output; IN/activation/tail all compute in s2d; one
+    depth-to-space on the 3-channel output.
+    """
+    from .s2d_space import (
+        from_s2d,
+        instance_norm_act_s2d,
+        reflect_pad_s2d,
+        to_s2d,
+    )
+    ngf = p["head"]["conv"]["w"].shape[3]
+    hs = to_s2d(x)
+    hs = reflect_pad_s2d(hs, 3)
+    hs = _conv_s2d_wrap(p["head"]["conv"], hs, cfg, k=7)
+    hs = instance_norm_act_s2d(hs, "relu")
+    in_s2d = True
+    h = None
+    for i in range(n_downsampling):
+        cout = p[f"down{i}"]["conv"]["w"].shape[3]
+        if in_s2d:
+            stay = cout <= _S2D_MAX_CH
+            out = _conv_s2d_wrap(p[f"down{i}"]["conv"], hs, cfg, k=3, pad=1,
+                                 stride=2, out_s2d=stay)
+            if stay:
+                hs = instance_norm_act_s2d(out, "relu")
+            else:
+                h = ops.norm_act(p[f"down{i}"].get("norm", {}), out,
+                                 cfg.norm, "relu")
+                in_s2d = False
+        else:
+            h = ops.conv_apply(p[f"down{i}"]["conv"], h, stride=2, padding=1,
+                               compute_dtype=cfg.compute_dtype)
+            h = ops.norm_act(p[f"down{i}"].get("norm", {}), h, cfg.norm,
+                             "relu")
+    rngs = (jax.random.split(rng, n_blocks) if rng is not None else
+            [None] * n_blocks)
+    for i in range(n_blocks):
+        if in_s2d:
+            hs = _resnet_block_apply_s2d(p[f"block{i}"], hs, cfg,
+                                         train=train, rng=rngs[i])
+        else:
+            h = _resnet_block_apply(p[f"block{i}"], h, cfg, train=train,
+                                    rng=rngs[i])
+    for i in range(n_downsampling):
+        cout = p[f"up{i}"]["up"]["w"].shape[3]
+        last = i == n_downsampling - 1
+        if in_s2d:
+            # a narrow up with s2d input: leave s2d first (rare: only for
+            # very narrow trunks), then continue below
+            h = from_s2d(hs, hs.shape[-1] // 4)
+            in_s2d = False
+        if last or cout <= _S2D_MAX_CH:
+            hs = ops.deconv_apply_s2d_out(p[f"up{i}"]["up"], h, k=3, pad=1,
+                                          compute_dtype=cfg.compute_dtype)
+            hs = instance_norm_act_s2d(hs, "relu")
+            in_s2d = True
+            if not last:
+                h = from_s2d(hs, hs.shape[-1] // 4)
+                in_s2d = False
+        else:
+            h = _up_apply(p[f"up{i}"], h, cfg)
+    if "tail" not in p:
+        if return_s2d:
+            return hs
+        return from_s2d(hs, hs.shape[-1] // 4)
+    hs = reflect_pad_s2d(hs, 3)
+    hs = _conv_s2d_wrap(p["tail"]["conv"], hs, cfg, k=7)
+    hs = jnp.tanh(hs.astype(jnp.float32)).astype(cfg.compute_dtype)
+    return from_s2d(hs, cfg.output_nc)
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +376,9 @@ def local_enhancer_apply(p: Params, x: jax.Array, cfg: GenConfig, *,
     for _ in range(n_local):
         pyramid.append(ops.avg_pool(pyramid[-1], 3, 2, 1,
                                     count_include_pad=False))
+    if _gen_use_s2d(cfg, x):
+        return _local_enhancer_apply_s2d(p, pyramid, cfg, train=train,
+                                         rng=rng)
     out = resnet_generator_apply(
         p["global"], pyramid[-1], cfg, n_blocks=cfg.n_blocks_global,
         n_downsampling=cfg.n_downsample_global, train=train, rng=rng)
@@ -268,6 +403,52 @@ def local_enhancer_apply(p: Params, x: jax.Array, cfg: GenConfig, *,
                                compute_dtype=cfg.compute_dtype)
             out = jnp.tanh(h.astype(jnp.float32)).astype(cfg.compute_dtype)
     return out
+
+
+def _local_enhancer_apply_s2d(p: Params, pyramid, cfg: GenConfig, *,
+                              train: bool, rng) -> jax.Array:
+    """Coarse-to-fine in s2d space: the trunk hands its (headless) output
+    over as an s2d rep; each enhancer level computes its branch, junction,
+    residual blocks, upsample, and tail without leaving s2d."""
+    from .s2d_space import (
+        from_s2d,
+        instance_norm_act_s2d,
+        reflect_pad_s2d,
+        to_s2d,
+    )
+    n_local = cfg.n_local_enhancers
+    out_s2d = resnet_generator_apply(
+        p["global"], pyramid[-1], cfg, n_blocks=cfg.n_blocks_global,
+        n_downsampling=cfg.n_downsample_global, train=train, rng=rng,
+        return_s2d=True)
+    for n in range(1, n_local + 1):
+        enh = p[f"enhancer{n}"]
+        xi = pyramid[n_local - n]
+        hs = to_s2d(xi)
+        hs = reflect_pad_s2d(hs, 3)
+        hs = _conv_s2d_wrap(enh["down0"]["conv"], hs, cfg, k=7)
+        hs = instance_norm_act_s2d(hs, "relu")
+        # stride-2 down, staying in s2d (emits the half-res s2d rep)
+        hs = _conv_s2d_wrap(enh["down1"]["conv"], hs, cfg, k=3, pad=1,
+                            stride=2, out_s2d=True)
+        hs = instance_norm_act_s2d(hs, "relu")
+        hs = hs + out_s2d  # junction, both s2d reps of the half-res map
+        for i in range(cfg.n_blocks_local):
+            hs = _resnet_block_apply_s2d(enh[f"block{i}"], hs, cfg,
+                                         train=train)
+        # upsample: subpixel deconv wants the plain rep; its phase output
+        # re-enters s2d at full res
+        h = from_s2d(hs, hs.shape[-1] // 4)
+        hs = ops.deconv_apply_s2d_out(enh["up"]["up"], h, k=3, pad=1,
+                                      compute_dtype=cfg.compute_dtype)
+        hs = instance_norm_act_s2d(hs, "relu")
+        out_s2d = hs
+        if n == n_local:
+            hs = reflect_pad_s2d(hs, 3)
+            hs = _conv_s2d_wrap(enh["tail"]["conv"], hs, cfg, k=7)
+            hs = jnp.tanh(hs.astype(jnp.float32)).astype(cfg.compute_dtype)
+            return from_s2d(hs, cfg.output_nc)
+    raise AssertionError("unreachable")
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,20 @@ def conv_init(key: jax.Array, cin: int, cout: int, k: int,
     return p
 
 
+def _use_s2d(x: jax.Array, w: jax.Array, stride: int, padding) -> bool:
+    """Route channel-starved high-resolution convs through the exact
+    space-to-depth lowering (ir2rgb_tpu/nn/s2d_conv.py): below ~128
+    channels the direct conv leaves the MXU's 128-wide tiles mostly idle
+    (measured 1-8% utilization on the generators' full-res layers)."""
+    if stride not in (1, 2):
+        return False
+    if not (isinstance(padding, int) or padding == "VALID"):
+        return False
+    h, wd = x.shape[1], x.shape[2]
+    ci, co = w.shape[2], w.shape[3]
+    return h >= 128 and wd >= 128 and min(ci, co) <= 64
+
+
 def conv_apply(p: Params, x: jax.Array, stride: int = 1,
                padding="VALID", compute_dtype=None) -> jax.Array:
     """NHWC conv (cross-correlation, matching torch.nn.Conv2d)."""
@@ -58,6 +72,12 @@ def conv_apply(p: Params, x: jax.Array, stride: int = 1,
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    if _use_s2d(x, w, stride, padding):
+        from .s2d_conv import conv_s2d
+        y = conv_s2d(x, w, stride, 0 if padding == "VALID" else padding)
+        if "b" in p:
+            y = y + p["b"].astype(y.dtype)
+        return y
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     # HIGHEST: true-f32 conv for f32 inputs (default XLA precision decomposes
@@ -95,24 +115,92 @@ def deconv_init(key: jax.Array, cin: int, cout: int, k: int,
     return p
 
 
+def _subpixel_plan(k: int, pad: int):
+    """Phase decomposition of a stride-2 transposed conv.
+
+    Output position m = 2i+d (phase d) sums w[r]·x[i + (d+r-lo)/2] over the
+    kernel rows r with (d+r-lo) even (lo = k-1-pad). Collecting the four
+    (d_h, d_w) phases into one dense conv kernel of window kk (the union of
+    needed input taps, zero-padded) with 4·cout output channels followed by
+    depth-to-space gives the EXACT same op — but as a plain strided conv
+    that XLA lowers onto the MXU directly, instead of an lhs-dilated conv
+    (which lowers poorly on TPU: measured ~0.4-1.0 ms/frame faster
+    end-to-end on the 512px generators).
+    Returns (per-phase (rows, offsets), kk, omin).
+    """
+    lo = k - 1 - pad
+    phases = []
+    offs = []
+    for d in (0, 1):
+        rs = [r for r in range(k) if (d + r - lo) % 2 == 0]
+        os_ = [(d + r - lo) // 2 for r in rs]
+        phases.append((rs, os_))
+        offs += os_
+    omin, omax = min(offs), max(offs)
+    return phases, omax - omin + 1, omin
+
+
+def _subpixel_kernel(w: jax.Array, k: int, pad: int):
+    """Rearrange the canonical (k,k,ci,co) deconv kernel into the dense
+    (kk,kk,ci,4*co) subpixel conv kernel (pure gather/scatter of weights —
+    a few microseconds per step, traced once)."""
+    ci, co = w.shape[2], w.shape[3]
+    phases, kk, omin = _subpixel_plan(k, pad)
+    wk = jnp.zeros((kk, kk, ci, 4 * co), w.dtype)
+    for dh in (0, 1):
+        rh, oh = phases[dh]
+        for dw_ in (0, 1):
+            rw, ow = phases[dw_]
+            pidx = dh * 2 + dw_
+            for a, oa in zip(rh, oh):
+                for b, ob in zip(rw, ow):
+                    wk = wk.at[oa - omin, ob - omin, :,
+                               pidx * co:(pidx + 1) * co].set(w[a, b])
+    return wk, kk, omin
+
+
 def deconv_apply(p: Params, x: jax.Array, stride: int = 2, k: int = 3,
                  pad: int = 1, output_padding: int = 1,
-                 compute_dtype=None) -> jax.Array:
+                 compute_dtype=None, lowering: str = "subpixel") -> jax.Array:
     """Transposed conv. Defaults (k=3,s=2,p=1,op=1) double spatial dims,
-    matching the reference generators' upsampling layers."""
+    matching the reference generators' upsampling layers.
+
+    lowering='subpixel' (default): dense conv + depth-to-space, exact and
+    MXU-native. lowering='dilated': the direct lhs-dilated formulation
+    (reference semantics spelled literally; slower on TPU).
+    """
     w = p["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    lo = k - 1 - pad
-    hi = k - 1 - pad + output_padding
-    y = lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding=[(lo, hi), (lo, hi)],
-        lhs_dilation=(stride, stride),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
-    )
+    pref = jnp.float32 if x.dtype == jnp.float32 else None
+    if lowering == "subpixel" and stride == 2 and output_padding in (0, 1):
+        n, h, wd, ci = x.shape
+        co = w.shape[3]
+        wk, kk, omin = _subpixel_kernel(w, k, pad)
+        y = lax.conv_general_dilated(
+            x, wk, window_strides=(1, 1),
+            padding=[(-omin, kk - 1 + omin), (-omin, kk - 1 + omin)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=pref,
+        )
+        y = y.reshape(n, h, wd, 2, 2, co)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * wd, co)
+        # torch output size: (h-1)*2 - 2*pad + k + op; trim when below 2h
+        out_size = (h - 1) * 2 - 2 * pad + k + output_padding
+        if out_size != 2 * h:
+            y = y[:, :out_size, :out_size, :]
+    else:
+        lo = k - 1 - pad
+        hi = k - 1 - pad + output_padding
+        y = lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=[(lo, hi), (lo, hi)],
+            lhs_dilation=(stride, stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=pref,
+        )
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
@@ -121,6 +209,31 @@ def deconv_apply(p: Params, x: jax.Array, stride: int = 2, k: int = 3,
 # ---------------------------------------------------------------------------
 # Normalization
 # ---------------------------------------------------------------------------
+
+def deconv_apply_s2d_out(p: Params, x: jax.Array, k: int = 3, pad: int = 1,
+                         compute_dtype=None) -> jax.Array:
+    """Subpixel transposed conv that KEEPS the phase channels: returns the
+    s2d representation of the 2x-upsampled output directly (the subpixel
+    conv's (n,h,w,4co) intermediate IS the s2d rep — phase order matches
+    s2d_space). Only for output_padding=1 with k=3 / output size 2h."""
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    wk, kk, omin = _subpixel_kernel(w, k, pad)
+    y = lax.conv_general_dilated(
+        x, wk, window_strides=(1, 1),
+        padding=[(-omin, kk - 1 + omin), (-omin, kk - 1 + omin)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32
+        else None,
+    )
+    if "b" in p:
+        co = w.shape[3]
+        y = y + jnp.tile(p["b"].astype(y.dtype), 4)
+    return y
+
 
 def norm_init(key: jax.Array, norm: str, c: int, dtype=jnp.float32) -> Params:
     """Norm params. Reference: InstanceNorm2d(affine=False) -> no params;

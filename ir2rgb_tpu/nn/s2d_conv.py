@@ -1,0 +1,148 @@
+"""Space-to-depth convolution lowering.
+
+The family's generators spend most of their FLOP budget at full resolution
+with few channels (c7s1 head/tail with 3 channels, 32..64-channel enhancer
+blocks). XLA's TPU conv for such shapes runs at ~1-8% MXU utilization: the
+contraction (K = kh*kw*cin) and output (N = cout) dims are far below the
+128-lane tile, so the systolic array idles (measured: the two 7x7 C=3
+convs at 512^2 cost 3.5 ms of a 7.5 ms frame).
+
+The lowering here computes the SAME convolution in 2x2 space-to-depth
+space: x (H, W, C) -> xs (H/2, W/2, 4C); the k x k kernel splits into
+per-(output-phase, input-phase) sub-kernels gathered into one dense
+(kk, kk, 4C, 4*cout) kernel; the conv output depth-to-spaces back to
+(H_out, W_out, cout). M shrinks 4x, K and N grow 4x — MXU-shaped. The
+transformation is exact (verified element-wise against the direct conv).
+
+Derivation (1D, per output phase d and input phase q): with xpad = x
+padded by p, out[2i+d] = sum_r w[r] xpad[2i+d+r]; the tap index u=2i+d+r
+has phase q=(d+r)%2 and s2d position i+(d+r-q)/2, so sub-kernel
+W[d,q][o] = w[r] at offset o=(d+r-q)/2. Stride-2 convs keep only output
+phase 0 and need no depth-to-space.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@functools.lru_cache(maxsize=None)
+def _plan(k: int, pad: int, stride: int) -> Tuple:
+    """Static plan: ((d,q) -> [(offset, r)]), window [omin, omax]."""
+    out_phases = (0, 1) if stride == 1 else (0,)
+    entries = {}
+    offs = []
+    for d in out_phases:
+        for q in (0, 1):
+            taps = []
+            # phase of tap u = (d + r) % 2 relative to xpad's own grid
+            for r in range(k):
+                if (d + r) % 2 == q:
+                    o = (d + r - q) // 2
+                    taps.append((o, r))
+                    offs.append(o)
+            entries[(d, q)] = taps
+    omin, omax = min(offs), max(offs)
+    return entries, omin, omax, out_phases
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_maps(k: int, pad: int, stride: int):
+    """Static index maps for one-gather kernel rearrangement:
+    (kk,kk,4,P) arrays of source (row, col) into w, plus validity mask."""
+    entries, omin, omax, out_phases = _plan(k, pad, stride)
+    kk = omax - omin + 1
+    np_ = len(out_phases)
+    P = np_ * np_
+    A = np.zeros((kk, kk, 4, P), np.int32)
+    B = np.zeros((kk, kk, 4, P), np.int32)
+    M = np.zeros((kk, kk, 4, P), bool)
+    for dh in out_phases:
+        for dw in out_phases:
+            pout = (dh * np_ + dw) if stride == 1 else 0
+            for qh in (0, 1):
+                for qw in (0, 1):
+                    qidx = qh * 2 + qw
+                    for oa, ra in entries[(dh, qh)]:
+                        for ob, rb in entries[(dw, qw)]:
+                            A[oa - omin, ob - omin, qidx, pout] = ra
+                            B[oa - omin, ob - omin, qidx, pout] = rb
+                            M[oa - omin, ob - omin, qidx, pout] = True
+    return A, B, M, kk, omin, P
+
+
+def _rearrange_kernel(w: jax.Array, k: int, pad: int, stride: int):
+    """(k,k,ci,co) -> (kk,kk,4ci,P*co) dense kernel for the s2d conv, via a
+    single gather (P = 4 output phases for stride 1, 1 for stride 2)."""
+    ci, co = w.shape[2], w.shape[3]
+    A, B, M, kk, omin, P = _gather_maps(k, pad, stride)
+    # gather: (kk,kk,4,P,ci,co)
+    wk = w[jnp.asarray(A), jnp.asarray(B)]
+    wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
+    # -> (kk, kk, 4*ci, P*co)
+    wk = wk.transpose(0, 1, 2, 4, 3, 5).reshape(kk, kk, 4 * ci, P * co)
+    return wk, kk, omin
+
+
+def space_to_depth(x: jax.Array, f: int = 2) -> jax.Array:
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // f, f, w // f, f, c)
+    # channel layout (qh, qw, c) to match _rearrange_kernel's qidx
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // f, w // f,
+                                                 f * f * c)
+
+
+def depth_to_space(y: jax.Array, co: int, f: int = 2) -> jax.Array:
+    n, h, w, _ = y.shape
+    y = y.reshape(n, h, w, f, f, co)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * f, w * f, co)
+
+
+def conv_s2d(x: jax.Array, w: jax.Array, stride: int, pad: int
+             ) -> jax.Array:
+    """Exact conv via 2x2 space-to-depth. x NHWC, w (k,k,ci,co), symmetric
+    integer padding. Requires even H, W (the generators' resolutions are
+    powers of two)."""
+    n, h, wd, ci = x.shape
+    k, co = w.shape[0], w.shape[3]
+    h_out = (h + 2 * pad - k) // stride + 1
+    wk, kk, omin = _rearrange_kernel(w, k, pad, stride)
+
+    # xpad phases live on xpad's grid: prepad with p, then s2d. Odd
+    # padded size: extend with zeros to even (extra taps hit zeros or are
+    # trimmed below).
+    xp = x
+    if pad:
+        xp = jnp.pad(xp, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    hp = xp.shape[1]
+    if hp % 2:
+        xp = jnp.pad(xp, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    xs = space_to_depth(xp)
+
+    # s2d-space output length: stride 1 -> ceil(h_out/2) positions per
+    # phase; stride 2 -> h_out positions (phase 0 only)
+    j_out = (h_out + 1) // 2 if stride == 1 else h_out
+    # conv over xs: position j uses taps j+o for o in [omin, omax]
+    lo = -omin
+    hi = (j_out - 1) + (kk - 1 + omin) - (xs.shape[1] - 1)
+    hi = max(hi, 0)
+    y = lax.conv_general_dilated(
+        xs, wk, window_strides=(1, 1),
+        padding=[(lo, hi), (lo, hi)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32
+        else None,
+    )
+    y = y[:, :j_out, :j_out, :]
+    if stride == 1:
+        y = depth_to_space(y, co)
+        y = y[:, :h_out, :h_out, :]
+    return y

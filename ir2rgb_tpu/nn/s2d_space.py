@@ -1,0 +1,263 @@
+"""Persistent space-to-depth execution of the high-resolution layers.
+
+Profiling the 512px generators (see s2d_conv.py for the per-conv variant)
+showed ~60% of frame time in layout copies/reshapes: NHWC tensors with
+3..64 channels bounce between XLA's preferred conv layouts, and per-conv
+s2d wrapping added its own transposes. The fix is representational: the
+full-resolution segment of the network (head, first downsampler, last
+upsampler, tail, enhancer branch) runs END-TO-END on the s2d
+representation
+
+    xs = s2d(x):  (N, H, W, C)  ->  (N, H/2, W/2, 4C)
+
+with channel blocks ordered (phase_h, phase_w, C). Entering costs one
+cheap transform of the 3-channel input; leaving costs one on the
+3-channel output; every op in between is exact in s2d space:
+
+- ``conv_on_s2d``: zero-padded convs of any kernel/pad, stride 1 (s2d out)
+  or stride 2 (s2d-of-half-res out or normal out). Zero padding on the
+  s2d grid corresponds exactly to zero padding in image space.
+- ``reflect_pad_s2d``: ReflectionPad2d in s2d space — per output phase a
+  concat of row/col slices of the proper source phases (aligned,
+  layout-preserving copies instead of the relayouting copies the direct
+  pad provoked).
+- ``instance_norm_act_s2d``: per-original-channel fp32 stats reduced over
+  space AND the four phase blocks (exactly the image-space statistics).
+- ``deconv_to_s2d``: the subpixel transposed conv (ops.deconv_apply)
+  already computes phase channels; keeping them IS the s2d output.
+
+All transformations are exact (element-equality tested against the
+image-space ops in tests/test_s2d_space.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .s2d_conv import depth_to_space, space_to_depth
+
+
+def to_s2d(x: jax.Array) -> jax.Array:
+    return space_to_depth(x)
+
+
+def from_s2d(xs: jax.Array, c: int) -> jax.Array:
+    return depth_to_space(xs, c)
+
+
+# ---------------------------------------------------------------------------
+# Convolution on the s2d grid
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _conv_maps(k: int, pad: int, stride: int, out_s2d: bool):
+    """Static gather maps for the dense s2d-grid kernel.
+
+    Math (1D): out[m] = sum_r w[r] x[m*stride + r - pad]. With x in s2d
+    (phase q, j = (u-q)/2) and out phase d (j_out = (m-d)/2 for stride 1;
+    for stride 2, m*2 keeps out on the s2d grid of the half-res image):
+    tap offsets relative to j_out are affine, so each (d, q) pair yields a
+    sub-kernel; zero taps outside [0,H) map to zero padding on the s2d
+    grid.
+    """
+    out_phases = (0, 1) if (stride == 1 or out_s2d) else (0,)
+    # For stride 2 with s2d output: out[m], m = 2i + d, taps
+    # u = 2m + r - pad = 4i + 2d + r - pad; q = u%2, j = i*2 + (2d+r-pad-q)/2
+    # -> conv over j with stride 2 and offset (2d+r-pad-q)/2.
+    entries = {}
+    offs = []
+    for d in out_phases:
+        for q in (0, 1):
+            taps = []
+            for r in range(k):
+                if stride == 1:
+                    u_rel = d + r - pad          # u = 2*j_out + u_rel
+                else:
+                    u_rel = 2 * d + r - pad      # u = 4*i + u_rel (j=2i+...)
+                if u_rel % 2 == q % 2:
+                    o = (u_rel - q) // 2
+                    taps.append((o, r))
+                    offs.append(o)
+            entries[(d, q)] = taps
+    omin, omax = min(offs), max(offs)
+    kk = omax - omin + 1
+    P = len(out_phases) ** 2
+    A = np.zeros((kk, kk, 4, P), np.int32)
+    B = np.zeros((kk, kk, 4, P), np.int32)
+    M = np.zeros((kk, kk, 4, P), bool)
+    np_ = len(out_phases)
+    for dh in out_phases:
+        for dw in out_phases:
+            pout = dh * np_ + dw
+            for qh in (0, 1):
+                for qw in (0, 1):
+                    qidx = qh * 2 + qw
+                    for oa, ra in entries[(dh, qh)]:
+                        for ob, rb in entries[(dw, qw)]:
+                            A[oa - omin, ob - omin, qidx, pout] = ra
+                            B[oa - omin, ob - omin, qidx, pout] = rb
+                            M[oa - omin, ob - omin, qidx, pout] = True
+    return A, B, M, kk, omin, P
+
+
+def conv_on_s2d(xs: jax.Array, w: jax.Array, stride: int = 1, pad: int = 0,
+                out_s2d: bool = True,
+                precision=lax.Precision.HIGHEST) -> jax.Array:
+    """Convolve the image underlying ``xs`` (s2d rep) with zero padding
+    ``pad``. Output: s2d rep of the conv result (out_s2d=True) or the
+    plain rep (only stride=2, which lands on the half-res grid)."""
+    n, hs, ws, c4 = xs.shape
+    ci = c4 // 4
+    k, co = w.shape[0], w.shape[3]
+    h = hs * 2
+    h_out = (h + 2 * pad - k) // stride + 1
+    A, B, M, kk, omin, P = _conv_maps(k, pad, stride, out_s2d)
+    wk = w[jnp.asarray(A), jnp.asarray(B)]
+    wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
+    wk = wk.transpose(0, 1, 2, 4, 3, 5).reshape(kk, kk, 4 * ci, P * co)
+
+    if stride == 1:
+        j_out = (h_out + 1) // 2
+        conv_stride = 1
+    elif out_s2d:
+        j_out = (h_out + 1) // 2
+        conv_stride = 2
+    else:
+        # stride-2 image conv, plain output: out[i] taps u = 2i + r - pad,
+        # i.e. s2d position j = i + offset -> unit-stride conv on the grid
+        j_out = h_out
+        conv_stride = 1
+
+    lo = -omin
+    needed = (j_out - 1) * conv_stride + (kk - 1 + omin) - (hs - 1)
+    hi = max(needed, 0)
+    y = lax.conv_general_dilated(
+        xs, wk, window_strides=(conv_stride, conv_stride),
+        padding=[(lo, hi), (lo, hi)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+        preferred_element_type=jnp.float32 if xs.dtype == jnp.float32
+        else None,
+    )
+    y = y[:, :j_out, :j_out, :]
+    if not out_s2d and stride == 2:
+        return y
+    # s2d output: trim odd h_out by zeroing is unnecessary — callers in the
+    # generators always produce even h_out; assert to catch misuse.
+    assert h_out % 2 == 0, "s2d output requires even output size"
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Reflection padding in s2d space
+# ---------------------------------------------------------------------------
+
+def _phase_split(xs: jax.Array) -> jax.Array:
+    """(N,hs,ws,4C) -> (N,hs,ws,2,2,C) phase view."""
+    n, hs, ws, c4 = xs.shape
+    return xs.reshape(n, hs, ws, 2, 2, c4 // 4)
+
+
+@functools.lru_cache(maxsize=None)
+def _reflect_rows(h: int, pad: int):
+    """For each output phase d: the (source_phase, source_row) sequence
+    realizing reflect-pad rows in s2d space, grouped into (prefix taps,
+    interior slice start, suffix taps)."""
+    hp = h + 2 * pad
+    assert hp % 2 == 0
+    out = []
+    for d in (0, 1):
+        rows = []
+        for j in range(hp // 2):
+            u = 2 * j + d - pad
+            if u < 0:
+                u = -u
+            elif u > h - 1:
+                u = 2 * (h - 1) - u
+            rows.append((u % 2, u // 2))
+        out.append(tuple(rows))
+    return tuple(out)
+
+
+def _pad_axis_s2d(xs: jax.Array, pad: int, axis: int) -> jax.Array:
+    """Reflect-pad one spatial axis of the underlying image. axis: 1 or 2.
+    Emits concat([few mirrored rows, contiguous phase slices, few rows])
+    per output phase — aligned copies only."""
+    n, hs, ws, c4 = xs.shape
+    c = c4 // 4
+    h = (hs if axis == 1 else ws) * 2
+    plans = _reflect_rows(h, pad)
+    pv = _phase_split(xs)  # (n, hs, ws, 2, 2, c)
+    ph_axis = 3 if axis == 1 else 4
+
+    def take_rows(phase: int, rows) -> jax.Array:
+        src = jnp.take(pv, phase, axis=ph_axis)  # (n, hs, ws, 2, c)
+        idx = jnp.asarray(rows, jnp.int32)
+        return jnp.take(src, idx, axis=axis)
+
+    out_phases = []
+    for d in (0, 1):
+        plan = plans[d]
+        # split into maximal runs of (same phase, consecutive rows)
+        pieces = []
+        i = 0
+        while i < len(plan):
+            q0, r0 = plan[i]
+            j = i + 1
+            while (j < len(plan) and plan[j][0] == q0
+                   and plan[j][1] == plan[j - 1][1] + 1):
+                j += 1
+            run = plan[i:j]
+            if len(run) > 1:
+                src = jnp.take(pv, q0, axis=ph_axis)
+                sl = [slice(None)] * src.ndim
+                sl[axis] = slice(r0, run[-1][1] + 1)
+                pieces.append(src[tuple(sl)])
+            else:
+                pieces.append(take_rows(q0, [r0]))
+            i = j
+        out_phases.append(jnp.concatenate(pieces, axis=axis)
+                          if len(pieces) > 1 else pieces[0])
+    stacked = jnp.stack(out_phases, axis=ph_axis)  # (n, hs', ws, 2, 2, c)
+    hs2 = stacked.shape[1]
+    ws2 = stacked.shape[2]
+    return stacked.reshape(n, hs2, ws2, 4 * c)
+
+
+def reflect_pad_s2d(xs: jax.Array, pad: int) -> jax.Array:
+    """s2d rep of ReflectionPad2d(pad) applied to the underlying image."""
+    xs = _pad_axis_s2d(xs, pad, axis=1)
+    xs = _pad_axis_s2d(xs, pad, axis=2)
+    return xs
+
+
+# ---------------------------------------------------------------------------
+# Instance norm (+ activation) in s2d space
+# ---------------------------------------------------------------------------
+
+def instance_norm_act_s2d(xs: jax.Array, act: str = "relu",
+                          eps: float = 1e-5,
+                          negative_slope: float = 0.2) -> jax.Array:
+    """Exact image-space instance norm on the s2d rep: fp32 statistics per
+    original channel, reduced over space and the 4 phase blocks."""
+    n, hs, ws, c4 = xs.shape
+    c = c4 // 4
+    x32 = xs.astype(jnp.float32).reshape(n, hs, ws, 4, c)
+    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2, 3), keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    y = y.reshape(n, hs, ws, c4)
+    if act == "relu":
+        y = jnp.maximum(y, 0.0)
+    elif act == "leaky_relu":
+        y = jnp.where(y >= 0.0, y, y * negative_slope)
+    elif act == "tanh":
+        y = jnp.tanh(y)
+    return y.astype(xs.dtype)

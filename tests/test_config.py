@@ -1,0 +1,89 @@
+"""Config system tests: CLI parsing, reference-flag translation, opt.txt
+round-trip, JSON serialization (SURVEY.md §2.4 rebuild)."""
+
+import pytest
+
+from ir2rgb_tpu.config import (
+    Config,
+    PRESETS,
+    from_reference_flags,
+    load_config,
+    parse_cli,
+    save_config,
+)
+from ir2rgb_tpu.config.compat import parse_opt_txt
+
+
+def test_parse_cli_overrides():
+    cfg = parse_cli(["--preset", "pix2pix_unet256",
+                     "--model.ngf", "32", "--data.batch_size", "4",
+                     "--train.lr", "1e-3", "--data.no_flip", "true"])
+    assert cfg.model.net_g == "unet_256"
+    assert cfg.model.ngf == 32
+    assert cfg.data.batch_size == 4
+    assert cfg.train.lr == pytest.approx(1e-3)
+    assert cfg.data.no_flip is True
+
+
+def test_presets_cover_baseline_configs():
+    # BASELINE.json's five configs (SURVEY.md §6)
+    assert PRESETS["resnet9_256"].model.net_g == "resnet_9blocks"
+    assert PRESETS["pix2pix_unet256"].model.net_g == "unet_256"
+    assert PRESETS["pix2pixhd_512"].model.net_g == "local"
+    assert PRESETS["pix2pixhd_512"].data.crop_size == 512
+    assert PRESETS["temporal_256"].model.model == "temporal"
+
+
+def test_reference_flag_translation():
+    cfg = from_reference_flags({
+        "name": "exp1", "batchSize": 8, "loadSize": 286, "fineSize": 256,
+        "netG": "global", "ngf": 32, "niter": 50, "niter_decay": 50,
+        "no_lsgan": True, "lambda_feat": 5.0, "nThreads": 4,
+        "which_epoch": "latest", "no_flip": True,
+    })
+    assert cfg.train.name == "exp1"
+    assert cfg.data.batch_size == 8
+    assert cfg.data.load_size == 286
+    assert cfg.data.crop_size == 256
+    assert cfg.model.net_g == "global"
+    assert cfg.loss.gan_mode == "vanilla"  # no_lsgan
+    assert cfg.loss.lambda_feat == 5.0
+    assert cfg.infer.which_epoch == "latest"
+
+
+def test_opt_txt_parse(tmp_path):
+    opt = tmp_path / "opt.txt"
+    opt.write_text(
+        "------------ Options -------------\n"
+        "batchSize: 1\n"
+        "fineSize: 512 [default: 256]\n"
+        "netG: local\n"
+        "no_flip: False\n"
+        "lr: 0.0002\n"
+        "-------------- End ----------------\n")
+    flags = parse_opt_txt(str(opt))
+    assert flags["batchSize"] == 1
+    assert flags["fineSize"] == 512  # default-annotation stripped
+    assert flags["netG"] == "local"
+    assert flags["no_flip"] is False
+    assert flags["lr"] == pytest.approx(2e-4)
+    cfg = from_reference_flags(flags)
+    assert cfg.data.crop_size == 512 and cfg.model.net_g == "local"
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = PRESETS["pix2pixhd_512"]
+    path = str(tmp_path / "config.json")
+    save_config(cfg, path)
+    loaded = load_config(path)
+    assert loaded == cfg
+
+
+def test_reference_style_shim_translation():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from train import _translate_reference_flags
+    out = _translate_reference_flags(
+        ["--dataroot", "/d", "--batchSize", "4", "--preset", "resnet9_256"])
+    assert "--data.dataroot" in out and "--data.batch_size" in out
+    assert "--preset" in out

@@ -1,0 +1,75 @@
+"""Exactness of the TPU conv lowerings (SURVEY.md §7 perf pass):
+
+- space-to-depth conv (ir2rgb_tpu/nn/s2d_conv.py) vs direct conv;
+- subpixel transposed conv (ops.deconv_apply) vs lhs-dilated form.
+
+Both are exact rearrangements — element-wise equality, not tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ir2rgb_tpu.nn import ops
+from ir2rgb_tpu.nn.s2d_conv import conv_s2d, depth_to_space, space_to_depth
+
+
+@pytest.mark.parametrize("k,pad,stride,h,ci,co", [
+    (7, 0, 1, 70, 3, 8),     # c7s1 head after manual reflect pad
+    (7, 3, 1, 64, 3, 8),     # c7s1 with folded symmetric pad
+    (3, 0, 1, 66, 8, 8),     # res-block conv after manual pad
+    (3, 1, 2, 64, 8, 16),    # stride-2 downsampler
+    (4, 2, 2, 64, 6, 8),     # patchgan 4x4 stride 2, pad 2
+    (4, 2, 1, 33, 8, 1),     # patchgan stride-1 tail, odd input
+    (7, 0, 1, 518, 3, 4),    # full-size head shape (odd padded input)
+])
+def test_s2d_conv_exact(k, pad, stride, h, ci, co):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(-3, 4, (1, h, h, ci)).astype(np.float32))
+    w = jnp.asarray(rng.randint(-3, 4, (k, k, ci, co)).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, w, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST)
+    got = conv_s2d(x, w, stride, pad)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_s2d_roundtrip():
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(x), 3)), np.asarray(x))
+
+
+@pytest.mark.parametrize("k,pad,op", [(3, 1, 1), (4, 1, 0)])
+def test_subpixel_deconv_matches_dilated(k, pad, op):
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randint(-3, 4, (1, 8, 8, 5)).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randint(-3, 4, (k, k, 5, 7))
+                          .astype(np.float32))}
+    ref = ops.deconv_apply(p, x, stride=2, k=k, pad=pad, output_padding=op,
+                           lowering="dilated")
+    got = ops.deconv_apply(p, x, stride=2, k=k, pad=pad, output_padding=op,
+                           lowering="subpixel")
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_conv_apply_routes_small_channels_through_s2d():
+    """Policy check: big spatial + few channels takes the s2d path and
+    still matches the direct path."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 128, 128, 3).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(7, 7, 3, 16).astype(np.float32) * 0.1),
+         "b": jnp.asarray(rng.randn(16).astype(np.float32))}
+    assert ops._use_s2d(x, p["w"], 1, 3)
+    y = ops.conv_apply(p, x, stride=1, padding=3)
+    ref = lax.conv_general_dilated(
+        x, p["w"], (1, 1), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST) + p["b"]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)

@@ -1,0 +1,101 @@
+"""Exactness of persistent-s2d-space ops vs image-space ops."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ir2rgb_tpu.nn import ops
+from ir2rgb_tpu.nn.s2d_space import (
+    conv_on_s2d,
+    from_s2d,
+    instance_norm_act_s2d,
+    reflect_pad_s2d,
+    to_s2d,
+)
+
+
+def _x(h, c, seed=0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randn(1, h, h, c).astype(np.float32))
+
+
+@pytest.mark.parametrize("pad", [1, 2, 3])
+@pytest.mark.parametrize("h,c", [(16, 4), (32, 3), (30, 8)])
+def test_reflect_pad_s2d_exact(pad, h, c):
+    x = _x(h, c)
+    ref = ops.reflect_pad(x, pad)
+    # odd padded size: only even-size outputs have an s2d rep
+    if ref.shape[1] % 2:
+        pytest.skip("odd padded size has no s2d rep")
+    got = from_s2d(reflect_pad_s2d(to_s2d(x), pad), c)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("k,pad,stride,out_s2d", [
+    (7, 0, 1, True),    # head conv after reflect pad
+    (3, 0, 1, True),    # res-block conv after reflect pad
+    (3, 1, 2, False),   # downsampler -> normal rep
+    (3, 1, 2, True),    # downsampler -> s2d rep of half res
+])
+def test_conv_on_s2d_exact(k, pad, stride, out_s2d):
+    rng = np.random.RandomState(1)
+    ci, co = 4, 6
+    h = 32 + (k - 1 if pad == 0 else 0)  # even output size
+    x = jnp.asarray(rng.randint(-3, 4, (1, h, h, ci)).astype(np.float32))
+    w = jnp.asarray(rng.randint(-3, 4, (k, k, ci, co)).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, w, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST)
+    got = conv_on_s2d(to_s2d(x), w, stride=stride, pad=pad, out_s2d=out_s2d)
+    if out_s2d:
+        got = from_s2d(got, co)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("act", ["none", "relu", "tanh"])
+def test_instance_norm_act_s2d_exact(act):
+    x = _x(16, 8, seed=3) * 2 + 1
+    ref = ops.apply_act(ops.instance_norm(x), act)
+    got = from_s2d(instance_norm_act_s2d(to_s2d(x), act), 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_deconv_to_s2d_matches_deconv():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 8, 8, 6).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(3, 3, 6, 4).astype(np.float32)),
+         "b": jnp.asarray(rng.randn(4).astype(np.float32))}
+    ref = ops.deconv_apply(p, x, stride=2, k=3, pad=1, output_padding=1)
+    got = from_s2d(ops.deconv_apply_s2d_out(p, x, k=3, pad=1), 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_chain_resblock_in_s2d():
+    """A full residual block computed in s2d space equals the image-space
+    one: pad1 + conv3 + IN + relu + pad1 + conv3 + IN + skip."""
+    rng = np.random.RandomState(5)
+    c = 4
+    x = jnp.asarray(rng.randn(1, 16, 16, c).astype(np.float32))
+    w0 = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32) * 0.2)
+    w1 = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32) * 0.2)
+
+    h = ops.reflect_pad(x, 1)
+    h = ops.conv_apply({"w": w0}, h)
+    h = ops.apply_act(ops.instance_norm(h), "relu")
+    h = ops.reflect_pad(h, 1)
+    h = ops.conv_apply({"w": w1}, h)
+    ref = x + ops.instance_norm(h)
+
+    xs = to_s2d(x)
+    hs = reflect_pad_s2d(xs, 1)
+    hs = conv_on_s2d(hs, w0)
+    hs = instance_norm_act_s2d(hs, "relu")
+    hs = reflect_pad_s2d(hs, 1)
+    hs = conv_on_s2d(hs, w1)
+    got = from_s2d(xs + instance_norm_act_s2d(hs, "none"), c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
