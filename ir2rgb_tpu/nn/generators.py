@@ -147,6 +147,17 @@ def _conv_s2d_wrap(pc, hs, cfg: GenConfig, *, k, pad=0, stride=1,
     return y
 
 
+def _head_conv_s2d(pc, x, cfg: GenConfig):
+    """c7s1 head: reflect-pad in image space, fused image->s2d conv (the
+    input is read exactly once, no s2d intermediate)."""
+    from .s2d_space import conv_image_to_s2d
+    xp = ops.reflect_pad(x.astype(cfg.compute_dtype), 3)
+    y = conv_image_to_s2d(xp, pc["w"].astype(cfg.compute_dtype))
+    if "b" in pc:
+        y = y + jnp.tile(pc["b"].astype(y.dtype), 4)
+    return y
+
+
 def _resnet_block_apply_s2d(p, hs, cfg: GenConfig, *, train=False, rng=None):
     from .s2d_space import instance_norm_act_s2d, reflect_pad_s2d
     h = reflect_pad_s2d(hs, 1)
@@ -252,10 +263,7 @@ def _resnet_generator_apply_s2d(p: Params, x: jax.Array, cfg: GenConfig, *,
         reflect_pad_s2d,
         to_s2d,
     )
-    ngf = p["head"]["conv"]["w"].shape[3]
-    hs = to_s2d(x)
-    hs = reflect_pad_s2d(hs, 3)
-    hs = _conv_s2d_wrap(p["head"]["conv"], hs, cfg, k=7)
+    hs = _head_conv_s2d(p["head"]["conv"], x, cfg)
     hs = instance_norm_act_s2d(hs, "relu")
     in_s2d = True
     h = None
@@ -424,9 +432,7 @@ def _local_enhancer_apply_s2d(p: Params, pyramid, cfg: GenConfig, *,
     for n in range(1, n_local + 1):
         enh = p[f"enhancer{n}"]
         xi = pyramid[n_local - n]
-        hs = to_s2d(xi)
-        hs = reflect_pad_s2d(hs, 3)
-        hs = _conv_s2d_wrap(enh["down0"]["conv"], hs, cfg, k=7)
+        hs = _head_conv_s2d(enh["down0"]["conv"], xi, cfg)
         hs = instance_norm_act_s2d(hs, "relu")
         # stride-2 down, staying in s2d (emits the half-res s2d rep)
         hs = _conv_s2d_wrap(enh["down1"]["conv"], hs, cfg, k=3, pad=1,

@@ -156,6 +156,57 @@ def conv_on_s2d(xs: jax.Array, w: jax.Array, stride: int = 1, pad: int = 0,
 
 
 # ---------------------------------------------------------------------------
+# Image -> s2d fused head convolution
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _image_to_s2d_maps(k: int):
+    """Gather maps for the fused head kernel: out_phase d at s2d position j
+    = sum_r w[r] xpad[2j + d + r], i.e. one stride-2 conv over the padded
+    image with window k+1 and 4*cout phase channels. The input is read in
+    its natural image layout — no materialized s2d intermediate."""
+    kk = k + 1
+    A = np.zeros((kk, kk, 4), np.int32)
+    B = np.zeros((kk, kk, 4), np.int32)
+    M = np.zeros((kk, kk, 4), bool)
+    for dh in (0, 1):
+        for dw in (0, 1):
+            pidx = dh * 2 + dw
+            for uh in range(kk):
+                rh = uh - dh
+                if not (0 <= rh < k):
+                    continue
+                for uw in range(kk):
+                    rw = uw - dw
+                    if not (0 <= rw < k):
+                        continue
+                    A[uh, uw, pidx] = rh
+                    B[uh, uw, pidx] = rw
+                    M[uh, uw, pidx] = True
+    return A, B, M, kk
+
+
+def conv_image_to_s2d(xpad: jax.Array, w: jax.Array,
+                      precision=lax.Precision.HIGHEST) -> jax.Array:
+    """VALID conv of an already-padded image, emitting the s2d rep of the
+    result directly (exact; the generators' c7s1 heads use this so the
+    3-channel input is touched exactly once)."""
+    k, _, ci, co = w.shape
+    A, B, M, kk = _image_to_s2d_maps(k)
+    wk = w[jnp.asarray(A), jnp.asarray(B)]              # (kk,kk,4,ci,co)
+    wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
+    wk = wk.transpose(0, 1, 3, 2, 4).reshape(kk, kk, ci, 4 * co)
+    y = lax.conv_general_dilated(
+        xpad, wk, window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+        preferred_element_type=jnp.float32 if xpad.dtype == jnp.float32
+        else None,
+    )
+    return y
+
+
+# ---------------------------------------------------------------------------
 # Reflection padding in s2d space
 # ---------------------------------------------------------------------------
 
