@@ -1,9 +1,14 @@
 """Pallas TPU kernels with jnp fallbacks.
 
-Dispatch policy: the fused kernels engage only on the TPU backend (and when
-not disabled via ``set_kernels_enabled(False)`` /
-``IR2RGB_DISABLE_PALLAS=1``); on CPU/interpret paths the jnp reference
-implementations run instead — same numerics, XLA-fused.
+Dispatch policy: the fused instance-norm kernel is OPT-IN
+(``IR2RGB_ENABLE_PALLAS=1`` or ``set_kernels_enabled(True)``). Measured
+on the v5e: standalone the kernel is within ~4% of XLA's fused
+normalization, but in-context XLA fuses the norm chain into neighboring
+pads/adds/converts while a pallas_call is a fusion barrier — enabling it
+end-to-end cost 7.52 -> 10.41 ms/frame on the 512px pix2pixHD generator.
+XLA's emitters win this pattern; the kernel stays as the demonstrably
+correct custom-kernel path (interpret-mode tested, custom VJP) and the
+production default is the XLA-fused reference implementation.
 """
 
 from __future__ import annotations
@@ -17,7 +22,7 @@ from .instance_norm import (
     instance_norm_act_reference,
 )
 
-_ENABLED = os.environ.get("IR2RGB_DISABLE_PALLAS", "0") != "1"
+_ENABLED = os.environ.get("IR2RGB_ENABLE_PALLAS", "0") == "1"
 
 
 def set_kernels_enabled(enabled: bool) -> None:
