@@ -49,11 +49,16 @@ def feature_matching_loss(disc_out_fake: List[List[jax.Array]],
     return loss
 
 
-def vgg_loss(vgg_params, fake: jax.Array, real: jax.Array) -> jax.Array:
-    feats_fake = vgg19_features(vgg_params, fake)
-    feats_real = vgg19_features(vgg_params, jax.lax.stop_gradient(real))
+def vgg_loss(vgg_params, fake: jax.Array, real: jax.Array,
+             dtype=None) -> jax.Array:
+    """dtype=bfloat16 runs the VGG trunk in bf16 (TPU training path);
+    the per-stage L1 reductions stay fp32."""
+    feats_fake = vgg19_features(vgg_params, fake, dtype=dtype)
+    feats_real = vgg19_features(vgg_params, jax.lax.stop_gradient(real),
+                                dtype=dtype)
     loss = jnp.float32(0.0)
     for w, ff, fr in zip(VGG_WEIGHTS, feats_fake, feats_real):
         fr = jax.lax.stop_gradient(fr)
-        loss = loss + w * jnp.mean(jnp.abs(ff - fr))
+        diff = (ff.astype(jnp.float32) - fr.astype(jnp.float32))
+        loss = loss + w * jnp.mean(jnp.abs(diff))
     return loss

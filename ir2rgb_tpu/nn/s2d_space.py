@@ -160,12 +160,12 @@ def conv_on_s2d(xs: jax.Array, w: jax.Array, stride: int = 1, pad: int = 0,
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _image_to_s2d_maps(k: int):
-    """Gather maps for the fused head kernel: out_phase d at s2d position j
-    = sum_r w[r] xpad[2j + d + r], i.e. one stride-2 conv over the padded
-    image with window k+1 and 4*cout phase channels. The input is read in
-    its natural image layout — no materialized s2d intermediate."""
-    kk = k + 1
+def _image_to_s2d_maps(k: int, stride: int):
+    """Gather maps for the fused image->s2d kernel: out_phase d at s2d
+    position j = sum_r w[r] xpad[2*stride*j + stride*d + r] — one conv over
+    the image with stride 2s, window k+s, and 4*cout phase channels. The
+    input is read in its natural image layout — no s2d intermediate."""
+    kk = k + stride
     A = np.zeros((kk, kk, 4), np.int32)
     B = np.zeros((kk, kk, 4), np.int32)
     M = np.zeros((kk, kk, 4), bool)
@@ -173,11 +173,11 @@ def _image_to_s2d_maps(k: int):
         for dw in (0, 1):
             pidx = dh * 2 + dw
             for uh in range(kk):
-                rh = uh - dh
+                rh = uh - stride * dh
                 if not (0 <= rh < k):
                     continue
                 for uw in range(kk):
-                    rw = uw - dw
+                    rw = uw - stride * dw
                     if not (0 <= rw < k):
                         continue
                     A[uh, uw, pidx] = rh
@@ -186,24 +186,48 @@ def _image_to_s2d_maps(k: int):
     return A, B, M, kk
 
 
-def conv_image_to_s2d(xpad: jax.Array, w: jax.Array,
+def conv_image_to_s2d(x: jax.Array, w: jax.Array, stride: int = 1,
+                      pad: int = 0,
                       precision=lax.Precision.HIGHEST) -> jax.Array:
-    """VALID conv of an already-padded image, emitting the s2d rep of the
-    result directly (exact; the generators' c7s1 heads use this so the
-    3-channel input is touched exactly once)."""
+    """Conv of an image (plain rep, zero padding ``pad``), emitting the
+    s2d rep of the (stride-decimated) result directly — exact. The
+    generators' c7s1 heads (stride 1, manually reflect-padded inputs) and
+    the VGG/discriminator entry convs (stride 1/2, zero pad) use this so
+    channel-starved inputs are touched exactly once. Output image size
+    must be even."""
     k, _, ci, co = w.shape
-    A, B, M, kk = _image_to_s2d_maps(k)
+    h = x.shape[1]
+    h_out = (h + 2 * pad - k) // stride + 1
+    assert h_out % 2 == 0, "s2d output requires even conv output size"
+    A, B, M, kk = _image_to_s2d_maps(k, stride)
     wk = w[jnp.asarray(A), jnp.asarray(B)]              # (kk,kk,4,ci,co)
     wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
     wk = wk.transpose(0, 1, 3, 2, 4).reshape(kk, kk, ci, 4 * co)
+    # taps x[2s*j + u - pad] for u in [0, kk): conv padding lo = pad;
+    # hi covers the final window
+    lo = pad
+    hi = max((h_out // 2 - 1) * 2 * stride + kk - 1 - pad - (h - 1), 0)
     y = lax.conv_general_dilated(
-        xpad, wk, window_strides=(2, 2), padding="VALID",
+        x, wk, window_strides=(2 * stride, 2 * stride),
+        padding=[(lo, hi), (lo, hi)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
-        preferred_element_type=jnp.float32 if xpad.dtype == jnp.float32
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32
         else None,
     )
-    return y
+    return y[:, :h_out // 2, :h_out // 2, :]
+
+
+def max_pool_2x2_s2d(xs: jax.Array) -> jax.Array:
+    """MaxPool2d(2, stride=2) of the underlying image, given its s2d rep:
+    the pool windows ARE the phase blocks, so this is an elementwise max
+    over the four channel groups, emitting the plain rep at half res."""
+    c = xs.shape[-1] // 4
+    p0 = xs[..., 0 * c:1 * c]
+    p1 = xs[..., 1 * c:2 * c]
+    p2 = xs[..., 2 * c:3 * c]
+    p3 = xs[..., 3 * c:4 * c]
+    return jnp.maximum(jnp.maximum(p0, p1), jnp.maximum(p2, p3))
 
 
 # ---------------------------------------------------------------------------

@@ -101,21 +101,69 @@ def _max_pool(x: jax.Array) -> jax.Array:
 
 
 def vgg19_features(vgg: Params, x: jax.Array,
-                   num_stages: int = 5) -> List[jax.Array]:
-    """Five-stage feature pyramid of an NHWC image batch in [-1, 1]."""
+                   num_stages: int = 5,
+                   allow_s2d: bool = True,
+                   dtype=None) -> List[jax.Array]:
+    """Five-stage feature pyramid of an NHWC image batch in [-1, 1].
+
+    High-resolution inputs (>=128px, even) run in persistent s2d space
+    (nn/s2d_space.py): convs enter via the fused image->s2d kernel, the
+    2x2 max-pools are elementwise maxima over the phase blocks, and the
+    stage taps come back as s2d reps — the same multiset of values, so
+    the perceptual loss's per-stage means are exactly the image-space
+    ones. Pass ``allow_s2d=False`` for image-shaped feature maps.
+
+    ``dtype=jnp.bfloat16`` runs the trunk in bf16 (the loss path on TPU:
+    f32-HIGHEST convs cost 6 MXU passes each and the perceptual loss
+    doesn't need them; ImageNet normalization stays f32).
+    """
+    from jax import lax
+    from .s2d_space import (
+        conv_image_to_s2d,
+        conv_on_s2d,
+        max_pool_2x2_s2d,
+    )
     x = x.astype(jnp.float32)
     x = (x + 1.0) * 0.5
     x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+    if dtype is not None:
+        x = x.astype(dtype)
+    prec = (lax.Precision.DEFAULT if dtype == jnp.bfloat16
+            else lax.Precision.HIGHEST)
+
+    def wb(p):
+        if dtype is None:
+            return p["w"], p["b"]
+        return p["w"].astype(dtype), p["b"].astype(dtype)
+
     feats: List[jax.Array] = []
-    h = x
+    h: Optional[jax.Array] = x   # plain-rep carry
+    hs: Optional[jax.Array] = None  # s2d-rep carry (exactly one is set)
     i = 0
-    for s, stage in enumerate(_STAGES[:num_stages]):
+    for stage in _STAGES[:num_stages]:
         for item in stage:
             if item == "pool":
-                h = _max_pool(h)
+                if hs is not None:
+                    h, hs = max_pool_2x2_s2d(hs), None
+                else:
+                    h = _max_pool(h)
                 continue
-            h = ops.conv_apply(vgg[f"conv{i}"], h, padding=1)
-            h = jax.nn.relu(h)
+            p = vgg[f"conv{i}"]
+            w, b = wb(p)
+            if hs is not None:
+                hs = jax.nn.relu(
+                    conv_on_s2d(hs, w, stride=1, pad=1, precision=prec)
+                    + jnp.tile(b, 4))
+            elif (allow_s2d and h.shape[1] >= 128 and h.shape[1] % 2 == 0
+                  and h.shape[2] % 2 == 0):
+                hs = jax.nn.relu(
+                    conv_image_to_s2d(h, w, stride=1, pad=1, precision=prec)
+                    + jnp.tile(b, 4))
+                h = None
+            else:
+                h = jax.nn.relu(ops.conv_apply(
+                    p, h, padding=1,
+                    compute_dtype=dtype))
             i += 1
-        feats.append(h)
+        feats.append(hs if hs is not None else h)
     return feats

@@ -154,7 +154,11 @@ class GanModel:
             metrics["G_GAN_Feat"] = fm
             loss_g = loss_g + fm
         if not loss_cfg.no_vgg_loss and self.vgg_params is not None:
-            vl = vgg_loss(self.vgg_params, fake, b) * loss_cfg.lambda_vgg
+            vgg_dtype = (jnp.bfloat16
+                         if self.gen_cfg.compute_dtype == jnp.bfloat16
+                         else None)
+            vl = vgg_loss(self.vgg_params, fake, b,
+                          dtype=vgg_dtype) * loss_cfg.lambda_vgg
             metrics["G_VGG"] = vl
             loss_g = loss_g + vl
         if loss_cfg.lambda_l1 > 0:

@@ -1,14 +1,18 @@
 #!/usr/bin/env python
 """Training-throughput tracker (SURVEY.md §6: steps/sec, no fixed bar).
 
-Measures the fused G+D train step on synthetic data for a chosen preset.
+Measures the fused G+D train step on synthetic data via in-compiled-loop
+slope timing (K steps inside one jitted lax.scan; see bench.py for why
+host-side per-call timing is meaningless on this harness).
+
 Not the driver-facing bench (that's /bench.py, one JSON line); this prints
-a small table for perf-regression tracking across rounds.
+one JSON line per preset for perf-regression tracking across rounds.
 
     python scripts/bench_train.py [preset ...]
 """
 
 import dataclasses
+import functools
 import json
 import sys
 import time
@@ -18,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench(preset: str, steps: int = 30) -> dict:
+def bench(preset: str) -> dict:
     from ir2rgb_tpu.config import PRESETS
     from ir2rgb_tpu.train import create_model
 
@@ -29,6 +33,7 @@ def bench(preset: str, steps: int = 30) -> dict:
             cfg.model, compute_dtype="bf16"))
     size = cfg.data.crop_size if on_tpu else 64
     batch_size = max(cfg.data.batch_size, 1)
+    k1, k2 = (2, 8) if on_tpu else (1, 3)
     model = create_model(cfg, steps_per_epoch=1000)
     rng = np.random.RandomState(0)
     batch_np = {
@@ -42,18 +47,31 @@ def bench(preset: str, steps: int = 30) -> dict:
         batch_np = {k: np.stack([v] * t, axis=1) for k, v in batch_np.items()}
     batch = jax.tree.map(jnp.asarray, batch_np)
     state = model.init_state(jax.random.PRNGKey(0), batch)
-    step = jax.jit(model.train_step, donate_argnums=(0,))
-    state, m = step(state, batch)
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = step(state, batch)
-    jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / steps
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def loop(state, batch, k):
+        def body(s, _):
+            s2, m = model.train_step(s, batch)
+            return s2, m["G_GAN"]
+        _, ms = jax.lax.scan(body, state, None, length=k)
+        return jnp.sum(ms)
+
+    float(loop(state, batch, k1))
+    float(loop(state, batch, k2))
+
+    def t(k, reps=2):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(loop(state, batch, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per = (t(k2) - t(k1)) / (k2 - k1)
     return {"preset": preset, "size": size, "batch": batch_size,
-            "step_ms": round(dt * 1e3, 2),
-            "steps_per_sec": round(1 / dt, 2),
-            "frames_per_sec": round(batch_size / dt, 2)}
+            "step_ms": round(per * 1e3, 2),
+            "steps_per_sec": round(1 / per, 2),
+            "frames_per_sec": round(batch_size / per, 2)}
 
 
 if __name__ == "__main__":
