@@ -39,9 +39,12 @@ def main(argv=None) -> int:
         del argv[i:i + 2]
     cfg = parse_cli(argv)
     import dataclasses
+    # test-time invariants (reference TestOptions): sequential batch-1
+    # frames, no augmentation. Temporal models stream frame-by-frame with
+    # the on-device carry, so the dataset is read as an aligned sequence.
     cfg = cfg.replace(data=dataclasses.replace(
         cfg.data, phase="test", serial_batches=True, no_flip=True,
-        batch_size=1))
+        batch_size=1, dataset_mode="aligned"))
 
     loader = DataLoader(cfg, phase="test", shuffle=False)
     model = create_model(cfg, steps_per_epoch=max(len(loader), 1))

@@ -39,13 +39,16 @@ def main(argv=None) -> int:
     key = jax.random.PRNGKey(cfg.train.seed)
     aug_key = jax.random.PRNGKey(cfg.train.seed + 1)
 
+    # non-crop preprocess modes (scale_width / none) train at decode size
+    crop = (cfg.data.crop_size if "crop" in cfg.data.preprocess else None)
+
     def batches():
         nonlocal aug_key
         for host_batch in loader:
             aug_key, sub = jax.random.split(aug_key)
             yield prep(jnp.asarray(host_batch["a"]),
                        jnp.asarray(host_batch["b"]), sub,
-                       crop_size=cfg.data.crop_size,
+                       crop_size=crop,
                        no_flip=cfg.data.no_flip, train=True)
 
     it = batches()

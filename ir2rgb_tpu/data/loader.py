@@ -26,18 +26,42 @@ from ir2rgb_tpu.config import Config
 from .folder import find_aligned_pairs, find_temporal_sequences
 
 
-def _decode_resize(path: str, load_size: int, gray: bool = False
+def _decode_resize(path: str, target_hw, gray: bool = False
                    ) -> np.ndarray:
     from .native import decode_batch
-    return decode_batch([path], load_size, load_size, gray=gray)[0]
+    return decode_batch([path], target_hw[0], target_hw[1], gray=gray)[0]
 
 
-def _decode_many(paths: List[str], load_size: int,
+def _decode_many(paths: List[str], target_hw,
                  gray: bool = False) -> np.ndarray:
     """Batch decode+resize — C++ thread pool when available, PIL fallback
     (ir2rgb_tpu/data/native.py)."""
     from .native import decode_batch
-    return decode_batch(list(paths), load_size, load_size, gray=gray)
+    return decode_batch(list(paths), target_hw[0], target_hw[1], gray=gray)
+
+
+def _native_size(path: str):
+    from PIL import Image
+    with Image.open(path) as im:
+        return im.size[1], im.size[0]  # (H, W)
+
+
+def resolve_target_hw(preprocess: str, load_size: int,
+                      first_image: str):
+    """Host-side decode target per the reference's resize_or_crop modes
+    (SURVEY.md §2.3): resize_and_crop -> (S, S); scale_width[-and_crop] ->
+    width = S, height aspect-preserved from the dataset's native size
+    (rounded to a multiple of 4 for the s2d/stride pipeline); crop/none ->
+    native size. Static per-run so batches keep one jit signature."""
+    if preprocess == "resize_and_crop":
+        return load_size, load_size
+    h, w = _native_size(first_image)
+    if preprocess in ("scale_width", "scale_width_and_crop"):
+        th = max(4, int(round(h * load_size / w / 4)) * 4)
+        return th, load_size
+    if preprocess in ("crop", "none"):
+        return (h // 4) * 4, (w // 4) * 4
+    raise ValueError(f"unknown preprocess mode: {preprocess}")
 
 
 class DataLoader:
@@ -54,6 +78,7 @@ class DataLoader:
         self.cfg = cfg
         self.phase = phase or d.phase
         self.load_size = d.load_size
+        self.preprocess = d.preprocess
         self.batch_size = d.batch_size
         self.gray_a = cfg.model.input_nc == 1
         self.temporal = d.dataset_mode == "temporal"
@@ -69,6 +94,9 @@ class DataLoader:
                 f"no data under {d.dataroot} (phase {self.phase})")
         self.shuffle = (not d.serial_batches if shuffle is None else shuffle)
         self._rng = np.random.RandomState(cfg.train.seed)
+        first = (self.items[0][0][0] if self.temporal else self.items[0][0])
+        self.target_hw = resolve_target_hw(self.preprocess, self.load_size,
+                                           first)
 
     def __len__(self) -> int:
         return len(self.items) // self.batch_size
@@ -90,19 +118,19 @@ class DataLoader:
                 t = len(windows[0])
                 a_paths = [pa for w in windows for pa, _ in w]
                 b_paths = [pb for w in windows for _, pb in w]
-                a = _decode_many(a_paths, self.load_size, self.gray_a)
-                b = _decode_many(b_paths, self.load_size)
-                s = self.load_size
+                a = _decode_many(a_paths, self.target_hw, self.gray_a)
+                b = _decode_many(b_paths, self.target_hw)
+                th, tw = self.target_hw
                 yield {
-                    "a": a.reshape(len(windows), t, s, s, -1),
-                    "b": b.reshape(len(windows), t, s, s, -1),
+                    "a": a.reshape(len(windows), t, th, tw, -1),
+                    "b": b.reshape(len(windows), t, th, tw, -1),
                     "paths": [[pa for pa, _ in w] for w in windows],
                 }
             else:
                 pairs = [self.items[j] for j in idxs]
-                a = _decode_many([pa for pa, _ in pairs], self.load_size,
+                a = _decode_many([pa for pa, _ in pairs], self.target_hw,
                                  self.gray_a)
-                b = _decode_many([pb for _, pb in pairs], self.load_size)
+                b = _decode_many([pb for _, pb in pairs], self.target_hw)
                 yield {"a": a, "b": b,
                        "paths": [[pa] for pa, _ in pairs]}
 

@@ -18,7 +18,7 @@ A single PRNG key drives both frames of each pair (SURVEY.md §4.1
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,15 +49,28 @@ def _paired_crop_flip(a: jax.Array, b: jax.Array, key: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("crop_size", "no_flip", "train"))
 def preprocess_pair_batch(a_uint8: jax.Array, b_uint8: jax.Array,
-                          key: jax.Array, crop_size: int,
+                          key: jax.Array, crop_size: Optional[int],
                           no_flip: bool = False,
                           train: bool = True) -> Dict[str, jax.Array]:
     """(B, loadH, loadW, C) uint8 pairs -> augmented normalized batch.
 
+    crop_size=None: no cropping (the reference's scale_width/none
+    preprocess modes) — flip + normalize only.
     Eval path (train=False): deterministic center crop, no flip.
     """
     bsz = a_uint8.shape[0]
-    if train:
+    if crop_size is None:
+        a, b = a_uint8, b_uint8
+        if train and not no_flip:
+            keys = jax.random.split(key, bsz)
+
+            def flip_fn(ai, bi, k):
+                do = jax.random.bernoulli(k)
+                return (jnp.where(do, ai[:, ::-1, :], ai),
+                        jnp.where(do, bi[:, ::-1, :], bi))
+
+            a, b = jax.vmap(flip_fn)(a, b, keys)
+    elif train:
         keys = jax.random.split(key, bsz)
         crop_fn = functools.partial(_paired_crop_flip, crop=crop_size,
                                     flip_enabled=not no_flip)

@@ -103,3 +103,27 @@ def test_eval_center_crop():
                                 train=False)
     expected = x[:, 8:40, 8:40, :].astype(np.float32) / 127.5 - 1.0
     np.testing.assert_allclose(np.asarray(out["a"]), expected, atol=1e-6)
+
+
+def test_preprocess_modes_resolve_target(dataset_dir):
+    from ir2rgb_tpu.data.loader import resolve_target_hw
+    first = str(dataset_dir / "pairs" / "A" / "0000.png")
+    assert resolve_target_hw("resize_and_crop", 64, first) == (64, 64)
+    # synthetic images are 48x48 square: scale_width keeps aspect
+    assert resolve_target_hw("scale_width", 64, first) == (64, 64)
+    assert resolve_target_hw("none", 64, first) == (48, 48)
+    assert resolve_target_hw("crop", 64, first) == (48, 48)
+
+
+def test_no_crop_mode_batch(dataset_dir):
+    import dataclasses
+    cfg = Config(data=DataConfig(dataroot=str(dataset_dir / "pairs"),
+                                 load_size=48, crop_size=32, batch_size=2,
+                                 preprocess="none"))
+    loader = DataLoader(cfg)
+    batch = next(iter(loader))
+    assert batch["a"].shape == (2, 48, 48, 3)
+    out = preprocess_pair_batch(jnp.asarray(batch["a"]),
+                                jnp.asarray(batch["b"]),
+                                jax.random.PRNGKey(0), crop_size=None)
+    assert out["a"].shape == (2, 48, 48, 3)

@@ -136,3 +136,16 @@ def test_multiscale_discriminator_parity():
             np.testing.assert_allclose(
                 np.asarray(fj).transpose(0, 3, 1, 2), ft.numpy(),
                 atol=1e-4)
+
+
+def test_local_enhancer_two_levels_parity():
+    """1024px-tier config: two local enhancers wrapped around the trunk."""
+    t = torch_refs.LocalEnhancer(ngf=4, n_downsample_global=2,
+                                 n_blocks_global=1, n_blocks_local=1,
+                                 n_local_enhancers=2).eval()
+    cfg = GenConfig(net_g="local", ngf=4, n_downsample_global=2,
+                    n_blocks_global=1, n_blocks_local=1,
+                    n_local_enhancers=2)
+    y_j, y_t = _run_pair(t, cfg, 128)
+    assert psnr(y_j, y_t) >= 40.0
+    np.testing.assert_allclose(y_j, y_t, atol=1e-4)
