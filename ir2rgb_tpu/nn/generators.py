@@ -24,7 +24,7 @@ norm + ReLU + ReflectionPad1 + 3x3 conv + norm, additive skip.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -422,7 +422,6 @@ def _local_enhancer_apply_s2d(p: Params, pyramid, cfg: GenConfig, *,
         from_s2d,
         instance_norm_act_s2d,
         reflect_pad_s2d,
-        to_s2d,
     )
     n_local = cfg.n_local_enhancers
     out_s2d = resnet_generator_apply(

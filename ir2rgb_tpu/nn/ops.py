@@ -24,7 +24,7 @@ conv/deconv weights ~ N(0, 0.02), norm gamma ~ N(1, 0.02), beta = 0.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ phase 0 and need no depth-to-space.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 

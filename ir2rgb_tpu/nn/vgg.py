@@ -24,7 +24,7 @@ family does ((x+1)/2, then mean/std normalize) — SURVEY.md §7 hard-part #3.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
