@@ -1,0 +1,96 @@
+"""Trainer integration on the 8-virtual-device CPU mesh: fit a few steps
+through the real Trainer (sharded jit, checkpointing, logging, display
+hook), then resume via continue_train (SURVEY.md §4.3-4.4, §5)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ir2rgb_tpu.config import (
+    Config,
+    DataConfig,
+    LossConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from ir2rgb_tpu.data.synthetic import synthetic_pair_batch
+from ir2rgb_tpu.obs import Visualizer
+from ir2rgb_tpu.train import Trainer, create_model
+
+
+def _cfg(tmp_path, **train_kw):
+    defaults = dict(name="trainer_it", checkpoints_dir=str(tmp_path),
+                    niter=1, niter_decay=0, print_freq=2, display_freq=4,
+                    save_latest_freq=100)
+    defaults.update(train_kw)
+    return Config(
+        model=ModelConfig(model="pix2pix", net_g="resnet_6blocks",
+                          net_d="n_layers", ngf=4, ndf=4),
+        data=DataConfig(crop_size=32, batch_size=8),
+        loss=LossConfig(no_vgg_loss=True),
+        train=TrainConfig(**defaults),
+    )
+
+
+def _batches(n):
+    host = synthetic_pair_batch(8, 32)
+    batch = {"a": jnp.asarray(host["a"], jnp.float32) / 127.5 - 1.0,
+             "b": jnp.asarray(host["b"], jnp.float32) / 127.5 - 1.0}
+    for _ in range(n):
+        yield batch
+
+
+def test_trainer_fit_and_resume(tmp_path):
+    cfg = _cfg(tmp_path)
+    model = create_model(cfg, steps_per_epoch=3)
+    vis = Visualizer(cfg.run_dir(), cfg.train.name)
+    trainer = Trainer(model, cfg, visualizer=vis)
+    assert trainer.mesh.devices.size == 8
+
+    first = next(_batches(1))
+    state = trainer.init_or_restore(jax.random.PRNGKey(0), first)
+    state = trainer.fit(state, _batches(10))  # niter*spe = 3 steps
+    assert int(jax.device_get(state.step)) == 3
+
+    # artifacts: config dump, loss log, structured metrics, final ckpt
+    run = cfg.run_dir()
+    assert os.path.exists(os.path.join(run, "config.json"))
+    log = open(os.path.join(run, "loss_log.txt")).read()
+    assert "G_GAN" in log
+    assert os.path.exists(os.path.join(run, "metrics.jsonl"))
+    assert trainer.ckpt.latest_step() == 3
+    trainer.ckpt.close()
+
+    # resume: continue_train picks up step 3 and continues to 6
+    cfg2 = _cfg(tmp_path, continue_train=True, niter=2)
+    model2 = create_model(cfg2, steps_per_epoch=3)
+    trainer2 = Trainer(model2, cfg2, visualizer=vis)
+    state2 = trainer2.init_or_restore(jax.random.PRNGKey(1), first)
+    assert int(jax.device_get(state2.step)) == 3
+    state2 = trainer2.fit(state2, _batches(10))
+    assert int(jax.device_get(state2.step)) == 6
+    trainer2.ckpt.close()
+
+
+def test_trainer_load_pretrain(tmp_path):
+    cfg = _cfg(tmp_path / "src")
+    model = create_model(cfg, steps_per_epoch=2)
+    trainer = Trainer(model, cfg)
+    first = next(_batches(1))
+    state = trainer.init_or_restore(jax.random.PRNGKey(0), first)
+    state = trainer.fit(state, _batches(4))
+    trainer.ckpt.close()
+
+    cfg2 = _cfg(tmp_path / "dst", load_pretrain=cfg.run_dir())
+    model2 = create_model(cfg2, steps_per_epoch=2)
+    trainer2 = Trainer(model2, cfg2)
+    state2 = trainer2.init_or_restore(jax.random.PRNGKey(7), first)
+    # warm-started params, fresh step counter
+    assert int(jax.device_get(state2.step)) == 0
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.g_params)),
+                    jax.tree.leaves(jax.device_get(state2.g_params))):
+        np.testing.assert_array_equal(a, b)
+    trainer2.ckpt.close()
