@@ -307,14 +307,23 @@ def instance_norm_act_s2d(xs: jax.Array, act: str = "relu",
                           eps: float = 1e-5,
                           negative_slope: float = 0.2) -> jax.Array:
     """Exact image-space instance norm on the s2d rep: fp32 statistics per
-    original channel, reduced over space and the 4 phase blocks."""
+    original channel, reduced over space and the 4 phase blocks.
+
+    The phase fold happens on the (n, 4C) stats vector, not on the big
+    tensor (a 6-d phase view of the activation costs a materialized
+    relayout on TPU)."""
     n, hs, ws, c4 = xs.shape
     c = c4 // 4
-    x32 = xs.astype(jnp.float32).reshape(n, hs, ws, 4, c)
-    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2, 3), keepdims=True)
-    y = (x32 - mean) * lax.rsqrt(var + eps)
-    y = y.reshape(n, hs, ws, c4)
+    x32 = xs.astype(jnp.float32)
+    s = jnp.sum(x32, axis=(1, 2))            # (n, 4C)
+    ss = jnp.sum(x32 * x32, axis=(1, 2))
+    cnt = float(hs * ws * 4)
+    mean_c = jnp.sum(s.reshape(n, 4, c), axis=1) / cnt       # (n, C)
+    ex2_c = jnp.sum(ss.reshape(n, 4, c), axis=1) / cnt
+    var_c = jnp.maximum(ex2_c - mean_c * mean_c, 0.0)
+    mean = jnp.tile(mean_c, (1, 4))[:, None, None, :]        # (n,1,1,4C)
+    rstd = jnp.tile(lax.rsqrt(var_c + eps), (1, 4))[:, None, None, :]
+    y = (x32 - mean) * rstd
     if act == "relu":
         y = jnp.maximum(y, 0.0)
     elif act == "leaky_relu":
