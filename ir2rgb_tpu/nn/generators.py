@@ -258,10 +258,10 @@ def _resnet_generator_apply_s2d(p: Params, x: jax.Array, cfg: GenConfig, *,
     depth-to-space on the 3-channel output.
     """
     from .s2d_space import (
+        deconv_s2d_to_s2d,
         from_s2d,
         instance_norm_act_s2d,
         reflect_pad_s2d,
-        to_s2d,
     )
     hs = _head_conv_s2d(p["head"]["conv"], x, cfg)
     hs = instance_norm_act_s2d(hs, "relu")
@@ -297,18 +297,18 @@ def _resnet_generator_apply_s2d(p: Params, x: jax.Array, cfg: GenConfig, *,
         cout = p[f"up{i}"]["up"]["w"].shape[3]
         last = i == n_downsampling - 1
         if in_s2d:
-            # a narrow up with s2d input: leave s2d first (rare: only for
-            # very narrow trunks), then continue below
-            h = from_s2d(hs, hs.shape[-1] // 4)
-            in_s2d = False
-        if last or cout <= _S2D_MAX_CH:
+            # already in s2d on the way up: quad-phase deconv stays there
+            hs = deconv_s2d_to_s2d(
+                hs.astype(cfg.compute_dtype),
+                p[f"up{i}"]["up"]["w"].astype(cfg.compute_dtype),
+                p[f"up{i}"]["up"].get("b"))
+            hs = instance_norm_act_s2d(hs, "relu")
+        elif last or cout <= _S2D_MAX_CH:
+            # re-enter s2d: the subpixel deconv's phase output IS the rep
             hs = ops.deconv_apply_s2d_out(p[f"up{i}"]["up"], h, k=3, pad=1,
                                           compute_dtype=cfg.compute_dtype)
             hs = instance_norm_act_s2d(hs, "relu")
             in_s2d = True
-            if not last:
-                h = from_s2d(hs, hs.shape[-1] // 4)
-                in_s2d = False
         else:
             h = _up_apply(p[f"up{i}"], h, cfg)
     if "tail" not in p:
@@ -419,6 +419,7 @@ def _local_enhancer_apply_s2d(p: Params, pyramid, cfg: GenConfig, *,
     over as an s2d rep; each enhancer level computes its branch, junction,
     residual blocks, upsample, and tail without leaving s2d."""
     from .s2d_space import (
+        deconv_s2d_to_s2d,
         from_s2d,
         instance_norm_act_s2d,
         reflect_pad_s2d,
@@ -441,11 +442,11 @@ def _local_enhancer_apply_s2d(p: Params, pyramid, cfg: GenConfig, *,
         for i in range(cfg.n_blocks_local):
             hs = _resnet_block_apply_s2d(enh[f"block{i}"], hs, cfg,
                                          train=train)
-        # upsample: subpixel deconv wants the plain rep; its phase output
-        # re-enters s2d at full res
-        h = from_s2d(hs, hs.shape[-1] // 4)
-        hs = ops.deconv_apply_s2d_out(enh["up"]["up"], h, k=3, pad=1,
-                                      compute_dtype=cfg.compute_dtype)
+        # upsample: quad-phase deconv, s2d in -> s2d out (no plain hop)
+        hs = deconv_s2d_to_s2d(
+            hs.astype(cfg.compute_dtype),
+            enh["up"]["up"]["w"].astype(cfg.compute_dtype),
+            enh["up"]["up"].get("b"))
         hs = instance_norm_act_s2d(hs, "relu")
         out_s2d = hs
         if n == n_local:

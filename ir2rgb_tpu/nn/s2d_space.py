@@ -231,6 +231,86 @@ def max_pool_2x2_s2d(xs: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# s2d -> s2d subpixel transposed conv (k=3, s=2, p=1, op=1 family upsampler)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _deconv_s2d_maps(k: int, pad: int):
+    """Gather maps for the quad-phase deconv kernel.
+
+    Derivation: out[m] = sum_r w[r] x[(m+r-lo)/2] (lo = k-1-pad, even
+    parity). With m = 2a+d and a = 2b+e (b on the input s2d grid), the tap
+    is x at s2d phase q=(e+s)%2 and offset o=(e+s)//2 where s=(d+r-lo)/2 —
+    so ONE unit-stride conv on the s2d grid produces all 16 (e_h,e_w,
+    d_h,d_w) output phase channels; a depth-to-space over the e phases
+    (C = 4*co, lane-aligned) then yields the s2d rep of the 2x-upsampled
+    image with no plain-rep intermediate.
+    Channel order: (e_h, e_w, d_h, d_w, co).
+    """
+    lo = k - 1 - pad
+    taps = {}  # (e, d) -> [(q, o, r)]
+    offs = []
+    for e in (0, 1):
+        for d in (0, 1):
+            lst = []
+            for r in range(k):
+                if (d + r - lo) % 2:
+                    continue
+                s = (d + r - lo) // 2
+                q = (e + s) % 2
+                o = (e + s) // 2
+                lst.append((q, o, r))
+                offs.append(o)
+            taps[(e, d)] = lst
+    omin, omax = min(offs), max(offs)
+    kk = omax - omin + 1
+    A = np.zeros((kk, kk, 4, 16), np.int32)
+    B = np.zeros((kk, kk, 4, 16), np.int32)
+    M = np.zeros((kk, kk, 4, 16), bool)
+    for eh in (0, 1):
+        for ew in (0, 1):
+            for dh in (0, 1):
+                for dw in (0, 1):
+                    pidx = ((eh * 2 + ew) * 2 + dh) * 2 + dw
+                    for qh, oh, rh in taps[(eh, dh)]:
+                        for qw, ow, rw in taps[(ew, dw)]:
+                            qidx = qh * 2 + qw
+                            A[oh - omin, ow - omin, qidx, pidx] = rh
+                            B[oh - omin, ow - omin, qidx, pidx] = rw
+                            M[oh - omin, ow - omin, qidx, pidx] = True
+    return A, B, M, kk, omin
+
+
+def deconv_s2d_to_s2d(xs: jax.Array, w: jax.Array, b=None,
+                      k: int = 3, pad: int = 1,
+                      precision=lax.Precision.HIGHEST) -> jax.Array:
+    """Stride-2 transposed conv (output_padding=1, output = 2x input image)
+    taking AND returning s2d reps. ``w`` is the canonical flipped-HWIO
+    deconv kernel (k,k,ci,co); exact vs from_s2d -> subpixel deconv."""
+    n, hs, ws, c4 = xs.shape
+    ci = c4 // 4
+    co = w.shape[3]
+    A, B, M, kk, omin = _deconv_s2d_maps(k, pad)
+    wk = w[jnp.asarray(A), jnp.asarray(B)]             # (kk,kk,4,16,ci,co)
+    wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
+    wk = wk.transpose(0, 1, 2, 4, 3, 5).reshape(kk, kk, 4 * ci, 16 * co)
+    y = lax.conv_general_dilated(
+        xs, wk, window_strides=(1, 1),
+        padding=[(-omin, kk - 1 + omin), (-omin, kk - 1 + omin)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+        preferred_element_type=jnp.float32 if xs.dtype == jnp.float32
+        else None,
+    )
+    # d2s over the e phases: (n, hs, ws, 16co) -> (n, 2hs, 2ws, 4co),
+    # which is the s2d rep of the (4hs, 4ws) output image
+    y = depth_to_space(y, 4 * co)
+    if b is not None:
+        y = y + jnp.tile(b.astype(y.dtype), 4)
+    return y
+
+
+# ---------------------------------------------------------------------------
 # Reflection padding in s2d space
 # ---------------------------------------------------------------------------
 

@@ -99,3 +99,17 @@ def test_chain_resblock_in_s2d():
     hs = conv_on_s2d(hs, w1)
     got = from_s2d(xs + instance_norm_act_s2d(hs, "none"), c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_deconv_s2d_to_s2d_exact():
+    """Quad-phase deconv: s2d in -> s2d out, no plain-rep hop."""
+    from ir2rgb_tpu.nn.s2d_space import deconv_s2d_to_s2d
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 16, 16, 6).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(3, 3, 6, 4).astype(np.float32)),
+         "b": jnp.asarray(rng.randn(4).astype(np.float32))}
+    ref = ops.deconv_apply(p, x, stride=2, k=3, pad=1, output_padding=1)
+    got_s2d = deconv_s2d_to_s2d(to_s2d(x), p["w"], p["b"])
+    got = from_s2d(got_s2d, 4)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
