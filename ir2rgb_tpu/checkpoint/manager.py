@@ -12,6 +12,7 @@ Labels mirror the reference: numeric epochs plus a rolling "latest".
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -52,6 +53,57 @@ class CheckpointManager:
 
     def all_steps(self):
         return self._mgr.all_steps()
+
+    def clear(self) -> None:
+        """Delete every managed step + the epoch index — fresh-run
+        semantics (the reference overwrites its ``*_net_G.pth`` files in
+        place; a non-continue run must not collide with a previous run's
+        steps)."""
+        for s in list(self._mgr.all_steps()):
+            self._mgr.delete(s)
+        if os.path.exists(self._epochs_path()):
+            os.remove(self._epochs_path())
+
+    # -- epoch labels (reference --which_epoch) -------------------------
+
+    def _epochs_path(self) -> str:
+        return os.path.join(self._dir, "epochs.json")
+
+    def record_epoch(self, epoch: int, step: int) -> None:
+        """Remember that ``step`` is the end of ``epoch`` (written at
+        epoch-boundary saves so infer/resume can address checkpoints by
+        the reference's epoch labels)."""
+        m = {}
+        if os.path.exists(self._epochs_path()):
+            with open(self._epochs_path()) as fh:
+                m = json.load(fh)
+        m[str(epoch)] = int(step)
+        with open(self._epochs_path(), "w") as fh:
+            json.dump(m, fh, indent=0, sort_keys=True)
+
+    def step_for_label(self, label: str) -> Optional[int]:
+        """Resolve a reference-style ``which_epoch`` label ('latest' or an
+        epoch number) to a saved step. Returns None for 'latest' with no
+        checkpoints; raises for a named epoch that was never saved."""
+        if label in ("latest", "", None):
+            return self._mgr.latest_step()
+        m = {}
+        if os.path.exists(self._epochs_path()):
+            with open(self._epochs_path()) as fh:
+                m = json.load(fh)
+        if str(label) in m:
+            return int(m[str(label)])
+        # fall back: a bare step number that exists is accepted directly
+        try:
+            step = int(label)
+        except ValueError:
+            step = None
+        if step is not None and step in set(self._mgr.all_steps()):
+            return step
+        raise FileNotFoundError(
+            f"which_epoch={label!r} not found in {self._dir}; "
+            f"epochs recorded: {sorted(m)}; steps: "
+            f"{sorted(self._mgr.all_steps())}")
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

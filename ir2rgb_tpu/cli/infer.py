@@ -53,12 +53,28 @@ def main(argv=None) -> int:
         g_params = import_generator(torch_g, model.gen_cfg)
     else:
         ckpt = CheckpointManager(os.path.join(cfg.run_dir(), "ckpt"))
-        state = ckpt.restore()
+        # reference --which_epoch: infer from a named epoch, not only latest
+        step = ckpt.step_for_label(cfg.infer.which_epoch)
+        state = ckpt.restore(step)
         g_params = state["g_params"] if isinstance(state, dict) else \
             state.g_params
 
-    size = cfg.data.crop_size
-    stream = StreamingGenerator(model, g_params, (size, size))
+    # Crop only in crop-style preprocess modes (mirrors cli/train.py and
+    # the reference test path): scale_width/none run the full decoded
+    # frame through the generator at the loader's target geometry.
+    if "crop" in cfg.data.preprocess:
+        crop = cfg.data.crop_size
+        th, tw = loader.target_hw
+        if th < crop or tw < crop:
+            raise ValueError(
+                f"decoded frames are {th}x{tw}, smaller than "
+                f"crop_size={crop}; lower --data.crop_size or use a "
+                f"non-crop preprocess mode")
+        size_hw = (crop, crop)
+    else:
+        crop = None
+        size_hw = loader.target_hw
+    stream = StreamingGenerator(model, g_params, size_hw)
 
     results_dir = os.path.join(cfg.infer.results_dir, cfg.train.name,
                                f"{cfg.data.phase}_{cfg.infer.which_epoch}")
@@ -73,7 +89,7 @@ def main(argv=None) -> int:
             break
         batch = preprocess_pair_batch(
             jnp.asarray(host_batch["a"]), jnp.asarray(host_batch["b"]),
-            jax.random.PRNGKey(0), crop_size=size, train=False)
+            jax.random.PRNGKey(0), crop_size=crop, train=False)
         # push_device donates its input buffer — snapshot the input image
         # for the gallery before handing the array over
         input_img = tensor2im(batch["a"])

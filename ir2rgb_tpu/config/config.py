@@ -50,6 +50,9 @@ class ModelConfig:
     upsample: str = "deconv"
     # D taps intermediate features (needed for feature-matching loss)
     get_interm_feat: bool = True
+    # generator dropout (reference --no_dropout inverse; the classic
+    # pix2pix U-Net trains with dropout 0.5 on the inner levels)
+    use_dropout: bool = False
     # temporal mode: how many previous generated frames condition G
     n_frames_g: int = 2
     # dtype policy: params fp32; compute bf16 on TPU ("bf16") or fp32
@@ -92,6 +95,9 @@ class LossConfig:
     lambda_vgg: float = 10.0
     no_gan_feat_loss: bool = False
     no_vgg_loss: bool = False
+    # path to a pretrained-VGG19 .npz (from `ir2rgb-convert vgg19`); empty
+    # string = He-random fallback (create_model warns loudly)
+    vgg_weights: str = ""
     pool_size: int = 0  # pix2pixHD default 0; classic pix2pix used 50
 
 

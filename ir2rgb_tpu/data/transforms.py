@@ -85,16 +85,31 @@ def preprocess_pair_batch(a_uint8: jax.Array, b_uint8: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("crop_size", "no_flip", "train"))
 def preprocess_sequence_batch(a_uint8: jax.Array, b_uint8: jax.Array,
-                              key: jax.Array, crop_size: int,
+                              key: jax.Array, crop_size: Optional[int],
                               no_flip: bool = False,
                               train: bool = True) -> Dict[str, jax.Array]:
     """(B, T, loadH, loadW, C) uint8 windows -> augmented batch.
 
     One crop/flip decision per *window* (temporal consistency: every frame
     of a sequence gets the same spatial transform).
+
+    crop_size=None: no cropping (scale_width / none preprocess modes) —
+    one flip decision per window, then normalize, mirroring
+    ``preprocess_pair_batch``.
     """
     bsz, t = a_uint8.shape[0], a_uint8.shape[1]
-    if train:
+    if crop_size is None:
+        a, b = a_uint8, b_uint8
+        if train and not no_flip:
+            keys = jax.random.split(key, bsz)
+
+            def flip_fn(a_seq, b_seq, k):
+                do = jax.random.bernoulli(k)
+                return (jnp.where(do, a_seq[:, :, ::-1, :], a_seq),
+                        jnp.where(do, b_seq[:, :, ::-1, :], b_seq))
+
+            a, b = jax.vmap(flip_fn)(a, b, keys)
+    elif train:
         keys = jax.random.split(key, bsz)
 
         def window_fn(a_seq, b_seq, k):

@@ -42,7 +42,6 @@ class DiscConfig:
     num_d: int = 2
     norm: str = "instance"
     get_interm_feat: bool = True
-    use_sigmoid: bool = False  # vanilla-BCE mode uses logits + BCE-with-logits
     d_pad: int = 2  # 2 = pix2pixHD convention, 1 = pix2pix convention
     compute_dtype: Any = jnp.float32
 
@@ -99,9 +98,11 @@ def n_layer_disc_apply(p: Params, x: jax.Array,
     feats.append(h)
     logits = ops.conv_apply(p["head"]["conv"], h, stride=1, padding=cfg.d_pad,
                             compute_dtype=cfg.compute_dtype)
-    logits = logits.astype(jnp.float32)  # fp32 logits for loss stability
-    if cfg.use_sigmoid:
-        logits = jax.nn.sigmoid(logits)
+    # Always raw fp32 logits. The reference's vanilla mode applies
+    # sigmoid in the net and BCE in the loss; we keep the mathematically
+    # equivalent (and bf16-stable) logits + BCE-with-logits formulation
+    # in losses/gan.py, so no in-net sigmoid knob exists.
+    logits = logits.astype(jnp.float32)
     feats.append(logits)
     return feats if cfg.get_interm_feat else [logits]
 

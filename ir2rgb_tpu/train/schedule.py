@@ -36,8 +36,7 @@ def linear_decay_schedule(lr: float, niter: int, niter_decay: int,
     return schedule
 
 
-def global_freeze_mask(g_params: Any, fix_steps: int
-                       ) -> Callable[[Any, jax.Array], Any]:
+def global_freeze_mask(fix_steps: int) -> Callable[[Any, jax.Array], Any]:
     """Returns gate(grads, step) zeroing global-trunk grads while
     step < fix_steps (coarse-to-fine: only 'enhancer*' groups train).
 

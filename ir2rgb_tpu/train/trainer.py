@@ -45,6 +45,11 @@ class Trainer:
         os.makedirs(run_dir, exist_ok=True)
         save_config(cfg, os.path.join(run_dir, "config.json"))
         self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+        if not cfg.train.continue_train:
+            # fresh run into an existing dir: reference semantics are
+            # overwrite, not crash on the first step collision
+            self.ckpt.clear()
+        self._last_saved: Optional[int] = None
 
         rep = replicate(self.mesh)
         shard = batch_sharding(self.mesh)
@@ -55,6 +60,10 @@ class Trainer:
             out_shardings=(rep, rep),
             donate_argnums=donate,
         )
+        # display-path forward, compiled once (an unjitted generate on a
+        # sharded batch recompiles + runs the slow path every display)
+        self._jit_generate = jax.jit(
+            lambda p, a: model.generate(p, a, train=False))
 
     # ------------------------------------------------------------------
 
@@ -71,9 +80,10 @@ class Trainer:
                                    d_params=loaded.d_params)
         state = jax.device_put(state, replicate(self.mesh))
         if self.cfg.train.continue_train:
-            latest = self.ckpt.latest_step()
-            if latest is not None:
-                state = self.ckpt.restore(latest, template=state)
+            # reference --which_epoch: 'latest' or a named epoch/step
+            step = self.ckpt.step_for_label(self.cfg.train.which_epoch)
+            if step is not None:
+                state = self.ckpt.restore(step, template=state)
                 state = jax.device_put(state, replicate(self.mesh))
         return state
 
@@ -105,7 +115,7 @@ class Trainer:
                 avg = {k: float(np.mean([jax.device_get(m[k])
                                          for m in window]))
                        for k in window[0]}
-                epoch = step // steps_per_epoch + 1
+                epoch = (step - 1) // steps_per_epoch + 1
                 if self.visualizer is not None:
                     self.visualizer.print_current_errors(epoch, step, avg, dt)
                 window.clear()
@@ -114,14 +124,24 @@ class Trainer:
                     and step % tcfg.display_freq == 0):
                 self._display(state, batch, step)
             if step % tcfg.save_latest_freq == 0:
-                self.ckpt.save(step, jax.device_get(state))
+                self._save(step, state)
             if step % steps_per_epoch == 0:
                 epoch = step // steps_per_epoch
                 if epoch % tcfg.save_epoch_freq == 0:
-                    self.ckpt.save(step, jax.device_get(state))
-        self.ckpt.save(step, jax.device_get(state), force=True)
+                    self._save(step, state)
+                    self.ckpt.record_epoch(epoch, step)
+        self._save(step, state, force=True)
         self.ckpt.wait()
         return state
+
+    def _save(self, step: int, state: TrainState,
+              force: bool = False) -> None:
+        """Save once per step (a step can land on both the save_latest
+        and epoch-boundary cadences; orbax rejects duplicate steps)."""
+        if step == self._last_saved:
+            return
+        self.ckpt.save(step, jax.device_get(state), force=force)
+        self._last_saved = step
 
     def _display(self, state: TrainState, batch, step: int) -> None:
         """Reference display_freq hook: dump input/generated/target grids."""
@@ -130,8 +150,8 @@ class Trainer:
         b = batch["b"]
         if a.ndim == 5:  # temporal windows: show the first frame
             a, b = a[:, 0], b[:, 0]
-        fake = self.model.generate(state.g_params, a, train=False)
-        epoch = step // self.model.steps_per_epoch + 1
+        fake = self._jit_generate(state.g_params, a)
+        epoch = (step - 1) // self.model.steps_per_epoch + 1
         self.visualizer.display_current_results(
             {"input": tensor2im(a), "generated": tensor2im(fake),
              "target": tensor2im(b)}, epoch, step)

@@ -127,3 +127,30 @@ def test_no_crop_mode_batch(dataset_dir):
                                 jnp.asarray(batch["b"]),
                                 jax.random.PRNGKey(0), crop_size=None)
     assert out["a"].shape == (2, 48, 48, 3)
+
+
+def test_sequence_no_crop_mode():
+    """crop_size=None (scale_width/none modes) on temporal windows:
+    flip+normalize only, one decision per window (advisor round-1 bug —
+    this used to raise TypeError)."""
+    r = np.random.RandomState(3)
+    x = (r.rand(2, 3, 20, 24, 3) * 255).astype(np.uint8)
+    out = preprocess_sequence_batch(jnp.asarray(x), jnp.asarray(x),
+                                    jax.random.PRNGKey(0), crop_size=None,
+                                    train=True)
+    assert out["a"].shape == (2, 3, 20, 24, 3)
+    np.testing.assert_allclose(np.asarray(out["a"]),
+                               np.asarray(out["b"]), atol=0)
+    # every frame of a window got the same flip decision: frames stay
+    # either all flipped or all not vs the normalized input
+    ref = np.asarray(x, np.float32) / 127.5 - 1.0
+    a = np.asarray(out["a"])
+    for w in range(2):
+        flipped = np.allclose(a[w], ref[w, :, :, ::-1, :], atol=1e-6)
+        unflipped = np.allclose(a[w], ref[w], atol=1e-6)
+        assert flipped or unflipped
+    # eval path: deterministic, no flip
+    out_eval = preprocess_sequence_batch(jnp.asarray(x), jnp.asarray(x),
+                                         jax.random.PRNGKey(0),
+                                         crop_size=None, train=False)
+    np.testing.assert_allclose(np.asarray(out_eval["a"]), ref, atol=1e-6)

@@ -152,3 +152,64 @@ def test_image_pool_semantics():
     # now full: queries may swap; count stays
     out, pool = query_pool(pool, fakes + 200, jax.random.PRNGKey(2))
     assert int(pool.count) == 4
+
+
+def _temporal_batch(t=3, identical_frames=False):
+    r = np.random.RandomState(0)
+    a = r.rand(2, t, 32, 32, 3).astype(np.float32)
+    b = np.random.RandomState(1).rand(2, t, 32, 32, 3).astype(np.float32)
+    if identical_frames:
+        a = np.repeat(a[:, :1], t, axis=1)
+        b = np.repeat(b[:, :1], t, axis=1)
+    return {"a": jnp.asarray(a) * 2 - 1, "b": jnp.asarray(b) * 2 - 1}
+
+
+def test_temporal_n_frames_g3():
+    """Three-frame conditioning window (round-1 verdict item #5)."""
+    cfg = tiny_cfg(model="temporal", net_d="multiscale", num_d=2,
+                   n_frames_g=3)
+    model = create_model(cfg, steps_per_epoch=10)
+    batch = _temporal_batch(t=4)
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    state, metrics = jax.jit(model.train_step)(state, batch)
+    for k in ("G_GAN", "D_real", "D_fake"):
+        assert np.isfinite(float(metrics[k])), k
+    assert int(state.step) == 1
+
+
+def test_temporal_routes_fakes_through_pool():
+    """Temporal mode must pool-mix fakes like the frame path does: after
+    one step over a (B=2, T=3) window the pool holds all 6 fakes."""
+    cfg = tiny_cfg(model="temporal", net_d="multiscale", num_d=2,
+                   n_frames_g=2)
+    cfg = cfg.replace(loss=LossConfig(no_vgg_loss=True, pool_size=50))
+    model = create_model(cfg, steps_per_epoch=10)
+    batch = _temporal_batch(t=3)
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    assert int(state.pool.count) == 0
+    state, _ = jax.jit(model.train_step)(state, batch)
+    assert int(state.pool.count) == 6
+
+
+def test_temporal_per_frame_dropout_keys():
+    """Each frame of the scan must draw its own dropout mask: with
+    identical frames and no prev-conditioning (n_frames_g=1), per-frame
+    G losses differ iff the dropout keys differ across time."""
+    def frame_losses(use_dropout):
+        cfg = tiny_cfg(model="temporal", net_d="multiscale", num_d=2,
+                       n_frames_g=1, use_dropout=use_dropout)
+        model = create_model(cfg, steps_per_epoch=10)
+        batch = _temporal_batch(t=3, identical_frames=True)
+        state = model.init_state(jax.random.PRNGKey(0), batch)
+        _, (m, _) = model.loss_and_metrics(
+            state.g_params, state.d_params, batch,
+            jax.random.PRNGKey(7), state.pool)
+        return np.asarray(m["_frame_loss_g"])
+
+    with_drop = frame_losses(True)
+    without = frame_losses(False)
+    # control: identical inputs + no dropout -> identical per-frame losses
+    assert np.allclose(without, without[0], rtol=1e-6)
+    # per-frame keys: dropout makes each frame's loss distinct
+    assert not np.allclose(with_drop, with_drop[0], rtol=1e-6)
+    assert len(np.unique(np.round(with_drop, 7))) == 3, with_drop

@@ -94,3 +94,42 @@ def test_trainer_load_pretrain(tmp_path):
                     jax.tree.leaves(jax.device_get(state2.g_params))):
         np.testing.assert_array_equal(a, b)
     trainer2.ckpt.close()
+
+
+def test_which_epoch_resume_and_fresh_run_overwrite(tmp_path):
+    """Reference --which_epoch parity (round-1 verdict item #7): train 3
+    epochs with per-epoch saves, resume from the NON-latest epoch 2, and
+    check the restored step. Also: a fresh (non-continue) run into the
+    same dir must clear old steps instead of crashing on collision."""
+    cfg = _cfg(tmp_path, niter=3, save_epoch_freq=1, save_latest_freq=100)
+    model = create_model(cfg, steps_per_epoch=2)
+    trainer = Trainer(model, cfg)
+    state = trainer.init_or_restore(jax.random.PRNGKey(0),
+                                    next(iter(_batches(1))))
+    state = trainer.fit(state, _batches(10))
+    assert int(jax.device_get(state.step)) == 6
+    assert sorted(trainer.ckpt.all_steps()) == [2, 4, 6]
+    assert trainer.ckpt.step_for_label("2") == 4
+    assert trainer.ckpt.step_for_label("latest") == 6
+    with pytest.raises(FileNotFoundError):
+        trainer.ckpt.step_for_label("9")
+
+    # resume from the named (non-latest) epoch 2
+    cfg2 = _cfg(tmp_path, niter=3, save_epoch_freq=1,
+                continue_train=True, which_epoch="2")
+    model2 = create_model(cfg2, steps_per_epoch=2)
+    trainer2 = Trainer(model2, cfg2)
+    state2 = trainer2.init_or_restore(jax.random.PRNGKey(1),
+                                      next(iter(_batches(1))))
+    assert int(jax.device_get(state2.step)) == 4
+
+    # fresh run, same dir: old steps cleared, no StepAlreadyExistsError
+    cfg3 = _cfg(tmp_path, niter=1, save_epoch_freq=1)
+    model3 = create_model(cfg3, steps_per_epoch=2)
+    trainer3 = Trainer(model3, cfg3)
+    assert trainer3.ckpt.latest_step() is None
+    state3 = trainer3.init_or_restore(jax.random.PRNGKey(2),
+                                      next(iter(_batches(1))))
+    state3 = trainer3.fit(state3, _batches(5))
+    assert int(jax.device_get(state3.step)) == 2
+    assert sorted(trainer3.ckpt.all_steps()) == [2]

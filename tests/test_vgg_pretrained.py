@@ -1,0 +1,148 @@
+"""Pretrained-VGG19 path, end-to-end against the real torchvision layout.
+
+Round-1 verdict item #6: the converter had only been exercised with
+heuristic keys. Here we construct a state_dict with the EXACT torchvision
+``vgg19().features`` module structure and key names (``features.N.weight``,
+conv indices 0,2,5,7,10,12,14,16,19,21,23,25,28,...), run it through
+``convert_vgg19_pth`` -> ``vgg19_init`` -> ``vgg19_features``, and assert
+every stage tap matches the torch forward sliced at the relu*_1 boundaries
+(SURVEY.md §2.1 VGGLoss row; §7 hard-part #3 covers the [-1,1]->ImageNet
+preprocessing, which is also checked here since both sides start from the
+GAN's native range).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ir2rgb_tpu.checkpoint.torch_import import convert_vgg19_pth  # noqa: E402
+from ir2rgb_tpu.losses import vgg_loss  # noqa: E402
+from ir2rgb_tpu.nn.vgg import vgg19_features, vgg19_init  # noqa: E402
+
+# torchvision vgg19 configuration "E"
+_CFG_E = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+          512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+# reference Vgg19 slice boundaries (relu1_1/2_1/3_1/4_1/5_1)
+_SLICES = [(0, 2), (2, 7), (7, 12), (12, 21), (21, 30)]
+
+
+class _TorchVgg19(nn.Module):
+    """Exact torchvision vgg19 ``features`` structure (random weights)."""
+
+    def __init__(self):
+        super().__init__()
+        layers, cin = [], 3
+        for v in _CFG_E:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers.append(nn.Conv2d(cin, v, 3, padding=1))
+                layers.append(nn.ReLU(inplace=False))
+                cin = v
+        self.features = nn.Sequential(*layers)
+
+
+@pytest.fixture(scope="module")
+def vgg_pair(tmp_path_factory):
+    torch.manual_seed(0)
+    tvgg = _TorchVgg19().eval()
+    d = tmp_path_factory.mktemp("vgg")
+    pth = str(d / "vgg19-random.pth")
+    torch.save(tvgg.state_dict(), pth)
+    npz = str(d / "vgg19.npz")
+    convert_vgg19_pth(pth, npz)
+    jvgg = vgg19_init(weights_npz=npz)
+    return tvgg, jvgg, npz
+
+
+def test_converter_reads_torchvision_layout(vgg_pair):
+    tvgg, jvgg, _ = vgg_pair
+    assert jvgg.pretrained
+    assert len(jvgg.params) == 13  # convs through conv5_1
+    # spot-check weight identity against the true torchvision key names
+    sd = tvgg.state_dict()
+    w0 = sd["features.0.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(np.asarray(jvgg.params["conv0"]["w"]), w0)
+    w12 = sd["features.28.weight"].numpy().transpose(2, 3, 1, 0)  # conv5_1
+    np.testing.assert_allclose(np.asarray(jvgg.params["conv12"]["w"]), w12)
+
+
+def _torch_taps(tvgg, x_np):
+    """Torch stage taps from a [-1,1] NHWC batch (reference preprocessing)."""
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    t = torch.from_numpy(x_np.transpose(0, 3, 1, 2)).float()
+    t = ((t + 1) / 2 - mean) / std
+    taps = []
+    with torch.no_grad():
+        for lo, hi in _SLICES:
+            t = tvgg.features[lo:hi](t)
+            taps.append(t.numpy().transpose(0, 2, 3, 1))
+    return taps
+
+
+def test_stage_taps_match_torch(vgg_pair):
+    tvgg, jvgg, _ = vgg_pair
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32) * 2 - 1
+    t_taps = _torch_taps(tvgg, x)
+    j_taps = vgg19_features(jvgg.params, jnp.asarray(x), allow_s2d=False)
+    assert len(j_taps) == 5
+    for i, (tt, jt) in enumerate(zip(t_taps, j_taps)):
+        assert tt.shape == jt.shape, i
+        np.testing.assert_allclose(np.asarray(jt), tt, rtol=2e-4,
+                                   atol=2e-4, err_msg=f"stage {i}")
+
+
+def test_s2d_path_matches_plain_with_pretrained(vgg_pair):
+    """The persistent-s2d fast path must be value-identical with real
+    (pretrained-layout) weights, not just He-random ones."""
+    _, jvgg, _ = vgg_pair
+    x = np.random.RandomState(1).rand(1, 128, 128, 3).astype(np.float32)
+    x = x * 2 - 1
+    plain = vgg19_features(jvgg.params, jnp.asarray(x), allow_s2d=False)
+    s2d = vgg19_features(jvgg.params, jnp.asarray(x), allow_s2d=True)
+    for i, (p, s) in enumerate(zip(plain, s2d)):
+        ps, ss = np.sort(np.asarray(p).ravel()), np.sort(
+            np.asarray(s, np.float32).ravel())
+        np.testing.assert_allclose(ss, ps, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"stage {i}")
+
+
+def test_vgg_loss_with_pretrained_weights(vgg_pair):
+    _, jvgg, _ = vgg_pair
+    r = np.random.RandomState(2)
+    a = jnp.asarray(r.rand(1, 64, 64, 3) * 2 - 1, jnp.float32)
+    b = jnp.asarray(r.rand(1, 64, 64, 3) * 2 - 1, jnp.float32)
+    l_ab = float(vgg_loss(jvgg.params, a, b))
+    l_aa = float(vgg_loss(jvgg.params, a, a))
+    assert np.isfinite(l_ab) and l_ab > 0
+    assert l_aa == pytest.approx(0.0, abs=1e-6)
+
+
+def test_create_model_plumbs_vgg_weights_and_warns(vgg_pair, tmp_path):
+    """Config-level plumbing (advisor round-1 medium): --loss.vgg_weights
+    loads the file silently; omitting it warns loudly."""
+    import warnings
+
+    from ir2rgb_tpu.config import Config, DataConfig, LossConfig, ModelConfig
+    from ir2rgb_tpu.train import create_model
+
+    _, jvgg, npz = vgg_pair
+    base = Config(model=ModelConfig(ngf=4, ndf=4),
+                  data=DataConfig(crop_size=32))
+
+    cfg = base.replace(loss=LossConfig(vgg_weights=npz))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        model = create_model(cfg, steps_per_epoch=10)
+    np.testing.assert_allclose(
+        np.asarray(model.vgg_params["conv0"]["w"]),
+        np.asarray(jvgg.params["conv0"]["w"]))
+
+    with pytest.warns(UserWarning, match="RANDOM"):
+        create_model(base, steps_per_epoch=10)
