@@ -73,9 +73,24 @@ def decode_batch(paths: List[str], out_h: int, out_w: int,
         arr, len(paths), out_h, out_w, int(gray), threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if failures:
+        bad = _find_bad_paths(paths)
         raise IOError(f"native decoder failed on {failures}/{len(paths)} "
-                      f"images (first: {paths[0]})")
+                      f"images; unreadable: {bad[:5]}")
     return out
+
+
+def _find_bad_paths(paths: List[str]) -> List[str]:
+    """Second pass via PIL to name the corrupt/truncated files in an
+    error message (the C ABI only reports a failure count)."""
+    from PIL import Image
+    bad = []
+    for p in paths:
+        try:
+            with Image.open(p) as im:
+                im.convert("RGB")
+        except Exception:
+            bad.append(p)
+    return bad or ["<none reproducible via PIL>"]
 
 
 def _decode_batch_pil(paths: List[str], out_h: int, out_w: int,

@@ -63,3 +63,52 @@ def test_native_jpeg(tmp_path, png_paths):
 def test_native_missing_file_raises(tmp_path):
     with pytest.raises(IOError):
         decode_batch([str(tmp_path / "nope.png")], 8, 8)
+
+
+@needs_native
+def test_native_corrupt_file_raises_and_names_it(png_paths, tmp_path):
+    """Truncated image: the decode must fail loudly and the error must
+    name the unreadable file (round-1 verdict item #8)."""
+    bad = str(tmp_path / "truncated.png")
+    with open(png_paths[0], "rb") as fh:
+        data = fh.read()
+    with open(bad, "wb") as fh:
+        fh.write(data[: len(data) // 3])
+    with pytest.raises(IOError, match="truncated.png"):
+        decode_batch([png_paths[0], bad], 40, 40)
+
+
+def test_pil_fallback_corrupt_file_raises(png_paths, tmp_path):
+    bad = str(tmp_path / "garbage.png")
+    with open(bad, "wb") as fh:
+        fh.write(b"\x89PNG\r\n\x1a\nnot-a-real-png")
+    with pytest.raises(Exception):
+        _decode_batch_pil([bad], 40, 40, False)
+
+
+def test_loader_rejects_mixed_native_sizes(tmp_path):
+    """crop/none/scale_width modes must error on a mixed-resolution
+    dataset instead of silently stretching every frame to the first
+    file's geometry."""
+    from PIL import Image
+
+    from ir2rgb_tpu.config import Config, DataConfig
+    from ir2rgb_tpu.data import DataLoader
+
+    root = tmp_path / "mixed"
+    for sub in ("trainA", "trainB"):
+        (root / sub).mkdir(parents=True)
+    for i, size in enumerate([(40, 40), (40, 40), (64, 48)]):
+        for sub in ("trainA", "trainB"):
+            Image.new("RGB", size, (i * 10, 0, 0)).save(
+                root / sub / f"{i:03d}.png")
+
+    cfg = Config(data=DataConfig(dataroot=str(root), preprocess="none"))
+    with pytest.raises(ValueError, match="uniform native resolution"):
+        DataLoader(cfg, phase="train")
+    # resize_and_crop normalizes geometry on the host -> mixed sizes OK
+    cfg2 = Config(data=DataConfig(dataroot=str(root),
+                                  preprocess="resize_and_crop",
+                                  load_size=32, crop_size=16))
+    loader = DataLoader(cfg2, phase="train")
+    assert loader.target_hw == (32, 32)
