@@ -46,10 +46,13 @@ def main(argv=None) -> int:
         nonlocal aug_key
         for host_batch in loader:
             aug_key, sub = jax.random.split(aug_key)
+            kw = {}
+            if not temporal and "inst" in host_batch:
+                kw["inst"] = jnp.asarray(host_batch["inst"])
             yield prep(jnp.asarray(host_batch["a"]),
                        jnp.asarray(host_batch["b"]), sub,
                        crop_size=crop,
-                       no_flip=cfg.data.no_flip, train=True)
+                       no_flip=cfg.data.no_flip, train=True, **kw)
 
     it = batches()
     first = next(it)

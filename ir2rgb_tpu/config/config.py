@@ -53,6 +53,14 @@ class ModelConfig:
     # generator dropout (reference --no_dropout inverse; the classic
     # pix2pix U-Net trains with dropout 0.5 on the inner levels)
     use_dropout: bool = False
+    # pix2pixHD feature-encoder "netE" (reference --instance_feat /
+    # --feat_num / --nef / --n_downsample_E): instance-wise pooled style
+    # features from the real image are appended to G's input. Off by
+    # default — ir2rgb's real-valued IR input has no instance maps.
+    use_instance_feat: bool = False
+    feat_num: int = 3
+    nef: int = 16
+    n_downsample_e: int = 4
     # temporal mode: how many previous generated frames condition G
     n_frames_g: int = 2
     # dtype policy: params fp32; compute bf16 on TPU ("bf16") or fp32

@@ -99,3 +99,23 @@ def find_temporal_sequences(root: str, phase: str = "train",
     if max_size is not None:
         windows = windows[:max_size]
     return windows
+
+
+def find_inst_maps(root: str, phase: str = "train",
+                   max_size: Optional[int] = None) -> Optional[List[str]]:
+    """Optional instance-map folder (pix2pixHD --instance_feat surface):
+    ``root/<phase>Inst``, ``root/Inst/<phase>`` or ``root/Inst`` of
+    id-valued images aligned by sorted order with the A/B pairs. Returns
+    None when the dataset carries no instance maps."""
+    candidates = [
+        os.path.join(root, f"{phase}Inst"),
+        os.path.join(root, "Inst", phase),
+        os.path.join(root, "Inst"),
+    ]
+    for d in candidates:
+        if os.path.isdir(d):
+            paths = make_dataset(d)
+            if max_size is not None:
+                paths = paths[:max_size]
+            return paths
+    return None

@@ -46,6 +46,25 @@ def _native_size(path: str):
         return im.size[1], im.size[0]  # (H, W)
 
 
+def _decode_inst(paths: List[str], target_hw) -> np.ndarray:
+    """Instance-id maps -> (B, H, W) int32. NEAREST resize only — ids
+    must never blend (pix2pixHD --instance_feat path)."""
+    from PIL import Image
+    th, tw = target_hw
+    out = np.empty((len(paths), th, tw), np.int32)
+    for i, p in enumerate(paths):
+        with Image.open(p) as im:
+            if im.size != (tw, th):
+                im = im.resize((tw, th), Image.NEAREST)
+            arr = np.asarray(im)
+        if arr.ndim == 3:  # RGB-encoded ids: fold channels into one id
+            arr = (arr[..., 0].astype(np.int32) * 65536
+                   + arr[..., 1].astype(np.int32) * 256
+                   + arr[..., 2].astype(np.int32))
+        out[i] = arr.astype(np.int32)
+    return out
+
+
 def resolve_target_hw(preprocess: str, load_size: int,
                       first_image: str):
     """Host-side decode target per the reference's resize_or_crop modes
@@ -89,6 +108,16 @@ class DataLoader:
         else:
             self.items = find_aligned_pairs(d.dataroot, self.phase,
                                             max_size=d.max_dataset_size)
+        self.inst_paths = None
+        if cfg.model.use_instance_feat and not self.temporal:
+            from .folder import find_inst_maps
+            self.inst_paths = find_inst_maps(d.dataroot, self.phase,
+                                             max_size=d.max_dataset_size)
+            if self.inst_paths is None:
+                raise FileNotFoundError(
+                    f"use_instance_feat is on but no instance-map folder "
+                    f"({self.phase}Inst / Inst/{self.phase} / Inst) exists "
+                    f"under {d.dataroot}")
         if not self.items:
             raise FileNotFoundError(
                 f"no data under {d.dataroot} (phase {self.phase})")
@@ -155,8 +184,12 @@ class DataLoader:
                 a = _decode_many([pa for pa, _ in pairs], self.target_hw,
                                  self.gray_a)
                 b = _decode_many([pb for _, pb in pairs], self.target_hw)
-                yield {"a": a, "b": b,
-                       "paths": [[pa] for pa, _ in pairs]}
+                batch = {"a": a, "b": b,
+                         "paths": [[pa] for pa, _ in pairs]}
+                if self.inst_paths is not None:
+                    batch["inst"] = _decode_inst(
+                        [self.inst_paths[j] for j in idxs], self.target_hw)
+                yield batch
 
     def __iter__(self):
         """Endless prefetched stream over repeating epochs."""

@@ -51,14 +51,20 @@ def _paired_crop_flip(a: jax.Array, b: jax.Array, key: jax.Array,
 def preprocess_pair_batch(a_uint8: jax.Array, b_uint8: jax.Array,
                           key: jax.Array, crop_size: Optional[int],
                           no_flip: bool = False,
-                          train: bool = True) -> Dict[str, jax.Array]:
+                          train: bool = True,
+                          inst: Optional[jax.Array] = None
+                          ) -> Dict[str, jax.Array]:
     """(B, loadH, loadW, C) uint8 pairs -> augmented normalized batch.
 
     crop_size=None: no cropping (the reference's scale_width/none
     preprocess modes) — flip + normalize only.
     Eval path (train=False): deterministic center crop, no flip.
+    ``inst``: optional (B, loadH, loadW) int instance-id maps — the SAME
+    spatial transform is applied (by replaying the per-item RNG keys),
+    never normalized (pix2pixHD --instance_feat path).
     """
     bsz = a_uint8.shape[0]
+    inst4 = inst[..., None] if inst is not None else None  # (B,H,W,1)
     if crop_size is None:
         a, b = a_uint8, b_uint8
         if train and not no_flip:
@@ -70,17 +76,27 @@ def preprocess_pair_batch(a_uint8: jax.Array, b_uint8: jax.Array,
                         jnp.where(do, bi[:, ::-1, :], bi))
 
             a, b = jax.vmap(flip_fn)(a, b, keys)
+            if inst4 is not None:
+                inst4, _ = jax.vmap(flip_fn)(inst4, inst4, keys)
     elif train:
         keys = jax.random.split(key, bsz)
         crop_fn = functools.partial(_paired_crop_flip, crop=crop_size,
                                     flip_enabled=not no_flip)
         a, b = jax.vmap(crop_fn)(a_uint8, b_uint8, keys)
+        if inst4 is not None:
+            # same keys -> same crop offsets + flip decisions (CSE'd)
+            inst4, _ = jax.vmap(crop_fn)(inst4, inst4, keys)
     else:
         h, w = a_uint8.shape[1], a_uint8.shape[2]
         oy, ox = (h - crop_size) // 2, (w - crop_size) // 2
         a = a_uint8[:, oy:oy + crop_size, ox:ox + crop_size, :]
         b = b_uint8[:, oy:oy + crop_size, ox:ox + crop_size, :]
-    return {"a": _normalize(a), "b": _normalize(b)}
+        if inst4 is not None:
+            inst4 = inst4[:, oy:oy + crop_size, ox:ox + crop_size, :]
+    out = {"a": _normalize(a), "b": _normalize(b)}
+    if inst4 is not None:
+        out["inst"] = inst4[..., 0].astype(jnp.int32)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("crop_size", "no_flip", "train"))

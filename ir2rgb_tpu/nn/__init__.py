@@ -19,6 +19,13 @@ from .discriminators import (
     n_layer_disc_apply,
     n_layer_disc_init,
 )
+from .encoders import (
+    EncoderConfig,
+    define_e,
+    encoder_apply,
+    encoder_init,
+    instance_wise_avg_pool,
+)
 from .vgg import Vgg19Params, vgg19_features, vgg19_init
 
 __all__ = [
@@ -31,5 +38,7 @@ __all__ = [
     "DiscConfig", "define_d",
     "n_layer_disc_init", "n_layer_disc_apply",
     "multiscale_disc_init", "multiscale_disc_apply",
+    "EncoderConfig", "define_e", "encoder_init", "encoder_apply",
+    "instance_wise_avg_pool",
     "Vgg19Params", "vgg19_init", "vgg19_features",
 ]

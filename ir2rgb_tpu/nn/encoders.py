@@ -1,0 +1,128 @@
+"""Feature encoder "netE" — the pix2pixHD instance-wise feature encoder.
+
+Rebuilds the reference family's ``Encoder`` (``models/networks.py``,
+SURVEY.md §2.2 [C] — the net the reference factory labels 'E'): a
+conv autoencoder (c7s1-nef, ``n_downsample_e`` stride-2 downs, mirrored
+ups, c7s1-feat_num + tanh) whose output is **instance-wise average
+pooled** — every pixel of an instance gets that instance's mean feature
+vector, giving the generator a low-dimensional, instance-consistent
+style code (``--instance_feat`` / ``--feat_num`` in the reference's
+option surface).
+
+TPU-native pooling: the reference loops over ``inst.unique()`` on the
+host; here the pooling is one pair of ``segment_sum`` scatters keyed by
+the instance id (ids taken modulo a static ``num_instances`` cap so the
+whole thing jits with fixed shapes), then a gather back through the id
+map — no host sync, no dynamic shapes.
+
+For ir2rgb's real-valued IR input there are no instance maps, so this
+path is off by default (``ModelConfig.use_instance_feat=False``) — the
+reference's label_nc=0 usage; the surface exists for datasets that carry
+instance maps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import ops
+from .ops import Params
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    input_nc: int = 3
+    feat_num: int = 3        # reference --feat_num
+    nef: int = 16            # reference --nef
+    n_downsample_e: int = 4  # reference --n_downsample_E
+    norm: str = "instance"
+    # static cap for the segment-sum id space (ids are taken mod this)
+    num_instances: int = 1024
+    compute_dtype: Any = jnp.float32
+
+
+def encoder_init(key: jax.Array, cfg: EncoderConfig) -> Params:
+    bias = cfg.norm != "batch"
+    n = cfg.n_downsample_e
+    keys = jax.random.split(key, 2 * n + 2)
+    p: Params = {"head": {
+        "conv": ops.conv_init(keys[0], cfg.input_nc, cfg.nef, 7,
+                              use_bias=bias),
+        "norm": ops.norm_init(keys[0], cfg.norm, cfg.nef)}}
+    ch = cfg.nef
+    for i in range(n):
+        p[f"down{i}"] = {
+            "conv": ops.conv_init(keys[1 + i], ch, ch * 2, 3, use_bias=bias),
+            "norm": ops.norm_init(keys[1 + i], cfg.norm, ch * 2)}
+        ch *= 2
+    for i in range(n):
+        p[f"up{i}"] = {
+            "up": ops.deconv_init(keys[1 + n + i], ch, ch // 2, 3,
+                                  use_bias=bias),
+            "norm": ops.norm_init(keys[1 + n + i], cfg.norm, ch // 2)}
+        ch //= 2
+    p["tail"] = {"conv": ops.conv_init(keys[-1], ch, cfg.feat_num, 7)}
+    return p
+
+
+def encoder_apply(p: Params, x: jax.Array, inst: Optional[jax.Array],
+                  cfg: EncoderConfig) -> jax.Array:
+    """Encode an NHWC image; when ``inst`` (B, H, W) int ids are given,
+    instance-wise average pool the output (reference Encoder.forward)."""
+    x = x.astype(cfg.compute_dtype)
+    h = ops.reflect_pad(x, 3)
+    h = ops.conv_apply(p["head"]["conv"], h, compute_dtype=cfg.compute_dtype)
+    h = ops.norm_act(p["head"].get("norm", {}), h, cfg.norm, "relu")
+    for i in range(cfg.n_downsample_e):
+        h = ops.conv_apply(p[f"down{i}"]["conv"], h, stride=2, padding=1,
+                           compute_dtype=cfg.compute_dtype)
+        h = ops.norm_act(p[f"down{i}"].get("norm", {}), h, cfg.norm, "relu")
+    for i in range(cfg.n_downsample_e):
+        h = ops.deconv_apply(p[f"up{i}"]["up"], h, stride=2, k=3, pad=1,
+                             output_padding=1,
+                             compute_dtype=cfg.compute_dtype)
+        h = ops.norm_act(p[f"up{i}"].get("norm", {}), h, cfg.norm, "relu")
+    h = ops.reflect_pad(h, 3)
+    h = ops.conv_apply(p["tail"]["conv"], h, compute_dtype=cfg.compute_dtype)
+    feat = jnp.tanh(h.astype(jnp.float32))
+    if inst is None:
+        return feat.astype(cfg.compute_dtype)
+    return instance_wise_avg_pool(
+        feat, inst, cfg.num_instances).astype(cfg.compute_dtype)
+
+
+def instance_wise_avg_pool(feat: jax.Array, inst: jax.Array,
+                           num_instances: int = 1024) -> jax.Array:
+    """Replace each pixel's feature with the mean over its instance mask.
+
+    feat: (B, H, W, C) float; inst: (B, H, W) integer instance ids
+    (arbitrary values; reduced mod ``num_instances`` into a static id
+    space). Exact multiset semantics of the reference's per-instance
+    mean, fully on-device.
+    """
+    b, h, w, c = feat.shape
+    ids = jnp.remainder(inst.reshape(b, h * w).astype(jnp.int32),
+                        num_instances)
+    flat = feat.reshape(b, h * w, c).astype(jnp.float32)
+
+    def per_image(fi, idi):
+        sums = jax.ops.segment_sum(fi, idi, num_segments=num_instances)
+        cnts = jax.ops.segment_sum(
+            jnp.ones((fi.shape[0],), jnp.float32), idi,
+            num_segments=num_instances)
+        means = sums / jnp.maximum(cnts, 1.0)[:, None]
+        return means[idi]
+
+    out = jax.vmap(per_image)(flat, ids)
+    return out.reshape(b, h, w, c)
+
+
+def define_e(cfg: EncoderConfig):
+    """Returns (init, apply) — the reference define_G(..., netG='encoder')
+    analog."""
+    return (lambda key: encoder_init(key, cfg),
+            lambda p, x, inst=None: encoder_apply(p, x, inst, cfg))

@@ -24,6 +24,7 @@ norm + ReLU + ReflectionPad1 + 3x3 conv + norm, additive skip.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, List, Optional
 
 import jax
@@ -145,6 +146,40 @@ def _conv_s2d_wrap(pc, hs, cfg: GenConfig, *, k, pad=0, stride=1,
         b = pc["b"].astype(y.dtype)
         y = y + (jnp.tile(b, 4) if out_s2d else b)
     return y
+
+
+def _s2d_tail_output(pc, hs, cfg: GenConfig, train: bool) -> jax.Array:
+    """Generator tail from the s2d rep: reflect-pad 3 + c7s1-out + tanh
+    + from_s2d.
+
+    A fused Pallas kernel for this whole region exists
+    (kernels/tail_fused.py) and beats the XLA composition ~2x measured
+    STANDALONE (1039 -> 550 us/iter on the v5e) — but enabling it inside
+    the full generator REGRESSES the frame 4.33 -> 7.0 ms: the custom
+    call pins its operand to the default layout and XLA's layout
+    assignment propagates that backward, retiling every upstream conv
+    (conv time 1.83 -> 4.56 ms; T(8,128) tiles degrade to T(2,128)).
+    Layout constraints, optimization barriers, and rank changes at the
+    boundary do not stop the propagation (all measured; see
+    docs/DESIGN.md §4). Production default is therefore the XLA path;
+    the kernel is opt-in via IR2RGB_ENABLE_TAIL_KERNEL=1 for inference.
+    """
+    from .s2d_space import from_s2d, reflect_pad_s2d
+    from ir2rgb_tpu.kernels.tail_fused import (
+        tail_fused,
+        tail_fused_supported,
+    )
+    w = pc["w"]
+    if (not train and jax.default_backend() == "tpu"
+            and os.environ.get("IR2RGB_ENABLE_TAIL_KERNEL", "0") == "1"
+            and tail_fused_supported(hs.shape, w.shape)):
+        b = pc.get("b", jnp.zeros((w.shape[3],), jnp.float32))
+        return tail_fused(hs.astype(cfg.compute_dtype),
+                          w.astype(cfg.compute_dtype), b)
+    hs = reflect_pad_s2d(hs, 3)
+    hs = _conv_s2d_wrap(pc, hs, cfg, k=7)
+    hs = jnp.tanh(hs.astype(jnp.float32)).astype(cfg.compute_dtype)
+    return from_s2d(hs, cfg.output_nc)
 
 
 def _head_conv_s2d(pc, x, cfg: GenConfig):
@@ -315,10 +350,7 @@ def _resnet_generator_apply_s2d(p: Params, x: jax.Array, cfg: GenConfig, *,
         if return_s2d:
             return hs
         return from_s2d(hs, hs.shape[-1] // 4)
-    hs = reflect_pad_s2d(hs, 3)
-    hs = _conv_s2d_wrap(p["tail"]["conv"], hs, cfg, k=7)
-    hs = jnp.tanh(hs.astype(jnp.float32)).astype(cfg.compute_dtype)
-    return from_s2d(hs, cfg.output_nc)
+    return _s2d_tail_output(p["tail"]["conv"], hs, cfg, train)
 
 
 # ---------------------------------------------------------------------------
@@ -450,10 +482,7 @@ def _local_enhancer_apply_s2d(p: Params, pyramid, cfg: GenConfig, *,
         hs = instance_norm_act_s2d(hs, "relu")
         out_s2d = hs
         if n == n_local:
-            hs = reflect_pad_s2d(hs, 3)
-            hs = _conv_s2d_wrap(enh["tail"]["conv"], hs, cfg, k=7)
-            hs = jnp.tanh(hs.astype(jnp.float32)).astype(cfg.compute_dtype)
-            return from_s2d(hs, cfg.output_nc)
+            return _s2d_tail_output(enh["tail"]["conv"], hs, cfg, train)
     raise AssertionError("unreachable")
 
 

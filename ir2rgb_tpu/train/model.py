@@ -44,7 +44,16 @@ from ir2rgb_tpu.losses import (
     vgg_loss,
 )
 from ir2rgb_tpu.losses.gan import gan_loss_d_parts, gan_loss_g
-from ir2rgb_tpu.nn import DiscConfig, GenConfig, define_d, define_g, vgg19_init
+from ir2rgb_tpu.nn import (
+    DiscConfig,
+    EncoderConfig,
+    GenConfig,
+    define_d,
+    define_g,
+    encoder_apply,
+    encoder_init,
+    vgg19_init,
+)
 from ir2rgb_tpu.train.image_pool import PoolState, init_pool, query_pool
 from ir2rgb_tpu.train.schedule import (
     global_freeze_mask,
@@ -82,6 +91,10 @@ class GanModel:
     d_tx: optax.GradientTransformation
     freeze_gate: Any
     steps_per_epoch: int
+    # pix2pixHD feature encoder "netE" (None unless use_instance_feat);
+    # its params live under g_params["netE"] so the G optimizer covers
+    # them, like the reference's optimizer_G = params(G) + params(E)
+    enc_cfg: Optional[EncoderConfig] = None
 
     # ------------------------------------------------------------------
     # State
@@ -109,12 +122,28 @@ class GanModel:
     # Forward / generate
     # ------------------------------------------------------------------
 
+    def encode_features(self, g_params: Params, image: jax.Array,
+                        inst: Optional[jax.Array] = None) -> jax.Array:
+        """netE forward: instance-wise pooled style features of ``image``
+        (the reference's Encoder.forward; training encodes the real
+        target image)."""
+        assert self.enc_cfg is not None
+        return encoder_apply(g_params["netE"], image, inst, self.enc_cfg)
+
     def generate(self, g_params: Params, a: jax.Array,
                  prev: Optional[jax.Array] = None,
                  train: bool = False,
-                 rng: Optional[jax.Array] = None) -> jax.Array:
+                 rng: Optional[jax.Array] = None,
+                 feat: Optional[jax.Array] = None) -> jax.Array:
         """Single-frame G forward. In temporal mode ``prev`` is the
-        previously generated frame stack (zeros at t=0)."""
+        previously generated frame stack (zeros at t=0). With
+        use_instance_feat, ``feat`` is the netE style map (zeros when
+        absent — inference without precomputed features)."""
+        if self.enc_cfg is not None:
+            if feat is None:
+                feat = jnp.zeros(a.shape[:-1] + (self.enc_cfg.feat_num,),
+                                 a.dtype)
+            a = jnp.concatenate([a, feat.astype(a.dtype)], axis=-1)
         if self.cfg.model.model == "temporal":
             if prev is None:
                 n_prev = self.cfg.model.n_frames_g - 1
@@ -188,7 +217,15 @@ class GanModel:
                                                   k_drop, k_pool, pool)
         else:
             a, b = batch["a"], batch["b"]
-            fake = self.generate(g_params, a, train=True, rng=k_drop)
+            feat = None
+            if self.enc_cfg is not None:
+                # reference pix2pixHD feature mode: E encodes the REAL
+                # image (instance-pooled) and G conditions on it; E's
+                # grads flow through G's losses via feat
+                feat = self.encode_features(g_params, b,
+                                            batch.get("inst"))
+            fake = self.generate(g_params, a, train=True, rng=k_drop,
+                                 feat=feat)
             fake = fake.astype(jnp.float32)
             if self.cfg.loss.pool_size > 0:
                 fake_for_d, pool = query_pool(
@@ -294,6 +331,16 @@ def create_model(cfg: Config, steps_per_epoch: int = 1000,
     compute_dtype = _dtype_of(m.compute_dtype)
     n_prev = (m.n_frames_g - 1) if m.model == "temporal" else 0
     g_input_nc = m.input_nc + m.output_nc * n_prev
+    enc_cfg = None
+    if m.use_instance_feat:
+        assert m.model != "temporal", \
+            "instance features + temporal mode are not combined " \
+            "(the reference families keep them separate)"
+        enc_cfg = EncoderConfig(
+            input_nc=m.output_nc, feat_num=m.feat_num, nef=m.nef,
+            n_downsample_e=m.n_downsample_e, norm=m.norm,
+            compute_dtype=compute_dtype)
+        g_input_nc += m.feat_num
     gen_cfg = GenConfig(
         net_g=m.net_g, input_nc=g_input_nc, output_nc=m.output_nc,
         ngf=m.ngf, norm=m.norm, upsample=m.upsample,
@@ -313,6 +360,14 @@ def create_model(cfg: Config, steps_per_epoch: int = 1000,
     )
     g_init, g_apply = define_g(gen_cfg)
     d_init, d_apply = define_d(disc_cfg)
+    if enc_cfg is not None:
+        base_g_init = g_init
+
+        def g_init(key, _base=base_g_init, _ecfg=enc_cfg):
+            kg, ke = jax.random.split(key)
+            p = _base(kg)
+            p["netE"] = encoder_init(ke, _ecfg)
+            return p
 
     vgg_params = None
     if not cfg.loss.no_vgg_loss:
@@ -344,4 +399,5 @@ def create_model(cfg: Config, steps_per_epoch: int = 1000,
         g_init=g_init, g_apply=g_apply, d_init=d_init, d_apply=d_apply,
         vgg_params=vgg_params, g_tx=adam(), d_tx=adam(),
         freeze_gate=freeze_gate, steps_per_epoch=steps_per_epoch,
+        enc_cfg=enc_cfg,
     )

@@ -38,7 +38,9 @@ def linear_decay_schedule(lr: float, niter: int, niter_decay: int,
 
 def global_freeze_mask(fix_steps: int) -> Callable[[Any, jax.Array], Any]:
     """Returns gate(grads, step) zeroing global-trunk grads while
-    step < fix_steps (coarse-to-fine: only 'enhancer*' groups train).
+    step < fix_steps (coarse-to-fine: the 'enhancer*' groups — and netE
+    when feature mode is on — keep training, exactly the param groups
+    the reference's optimizer_G holds during niter_fix_global).
 
     Zeroed grads leave Adam moments at zero, so this is equivalent to the
     reference's param-group freezing without rebuilding the optimizer.
@@ -50,9 +52,9 @@ def global_freeze_mask(fix_steps: int) -> Callable[[Any, jax.Array], Any]:
         live = (step >= fix_steps).astype(jnp.float32)
 
         def mask_group(name, g):
-            if name.startswith("enhancer"):
-                return g
-            return jax.tree.map(lambda x: x * live, g)
+            if name.startswith("global"):
+                return jax.tree.map(lambda x: x * live, g)
+            return g
 
         return {k: mask_group(k, v) for k, v in grads.items()}
 

@@ -154,3 +154,58 @@ def test_sequence_no_crop_mode():
                                          jax.random.PRNGKey(0),
                                          crop_size=None, train=False)
     np.testing.assert_allclose(np.asarray(out_eval["a"]), ref, atol=1e-6)
+
+
+def test_inst_maps_same_transform_as_pair():
+    """Instance maps get the identical crop+flip as the image pair
+    (replayed RNG keys), stay integer, and are never normalized."""
+    r = np.random.RandomState(5)
+    a = (r.rand(3, 20, 20, 3) * 255).astype(np.uint8)
+    # encode the pixel's row index into both the image and the inst map
+    rows = np.broadcast_to(np.arange(20)[None, :, None], (3, 20, 20))
+    cols = np.broadcast_to(np.arange(20)[None, None, :], (3, 20, 20))
+    code = (rows * 100 + cols).astype(np.int32)
+    a_code = (code % 251).astype(np.uint8)[..., None].repeat(3, -1)
+    out = preprocess_pair_batch(jnp.asarray(a_code), jnp.asarray(a_code),
+                                jax.random.PRNGKey(3), crop_size=12,
+                                inst=jnp.asarray(code), train=True)
+    assert out["inst"].dtype == jnp.int32
+    assert out["inst"].shape == (3, 12, 12)
+    # the inst map must encode exactly the pixels the image kept
+    kept = np.asarray((out["a"] + 1) * 127.5).round().astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(out["inst"]) % 251,
+                                  kept[..., 0])
+
+
+def test_loader_inst_maps(tmp_path):
+    from PIL import Image
+
+    from ir2rgb_tpu.config import Config, DataConfig, ModelConfig
+    from ir2rgb_tpu.data import DataLoader
+
+    root = tmp_path / "featds"
+    for sub in ("trainA", "trainB", "trainInst"):
+        (root / sub).mkdir(parents=True)
+    for i in range(4):
+        for sub in ("trainA", "trainB"):
+            Image.new("RGB", (24, 24), (i * 20, 10, 0)).save(
+                root / sub / f"{i:03d}.png")
+        Image.fromarray(np.full((24, 24), i + 1, np.uint8)).save(
+            root / "trainInst" / f"{i:03d}.png")
+
+    cfg = Config(model=ModelConfig(use_instance_feat=True),
+                 data=DataConfig(dataroot=str(root), batch_size=2,
+                                 preprocess="resize_and_crop",
+                                 load_size=24, crop_size=16,
+                                 serial_batches=True))
+    loader = DataLoader(cfg, phase="train", shuffle=False)
+    batch = next(iter(loader.epoch()))
+    assert batch["inst"].shape == (2, 24, 24)
+    assert batch["inst"].dtype == np.int32
+    np.testing.assert_array_equal(np.unique(batch["inst"][0]), [1])
+
+    # missing inst folder -> clear error
+    import shutil
+    shutil.rmtree(root / "trainInst")
+    with pytest.raises(FileNotFoundError, match="instance-map"):
+        DataLoader(cfg, phase="train")

@@ -1,0 +1,118 @@
+"""netE feature encoder (pix2pixHD --instance_feat surface).
+
+Covers: instance-wise average pooling exactness vs a numpy reference,
+encoder shapes, end-to-end training with use_instance_feat (E grads flow
+through G's losses), and the coarse-to-fine gate keeping netE live while
+the global trunk is frozen (SURVEY.md §2.2 pix2pixHD model row; round-1
+verdict "missing #5").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ir2rgb_tpu.config import Config, DataConfig, LossConfig, ModelConfig, TrainConfig
+from ir2rgb_tpu.nn import EncoderConfig, encoder_apply, encoder_init
+from ir2rgb_tpu.nn.encoders import instance_wise_avg_pool
+from ir2rgb_tpu.train import create_model
+
+
+def test_instance_wise_avg_pool_exact():
+    r = np.random.RandomState(0)
+    feat = r.randn(2, 8, 8, 3).astype(np.float32)
+    inst = r.randint(0, 5, size=(2, 8, 8)).astype(np.int32)
+    out = np.asarray(instance_wise_avg_pool(
+        jnp.asarray(feat), jnp.asarray(inst), num_instances=16))
+    ref = np.empty_like(feat)
+    for b in range(2):
+        for i in np.unique(inst[b]):
+            m = inst[b] == i
+            ref[b][m] = feat[b][m].mean(axis=0)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_instance_pool_large_ids_mod_cap():
+    """Arbitrary id values (e.g. cityscapes 1000*cls+idx) reduce mod the
+    static cap without collision for distinct residues."""
+    feat = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
+    inst = jnp.asarray(np.array([[26000, 26000, 5001, 5001]] * 4,
+                                np.int32))[None]
+    out = instance_wise_avg_pool(feat, inst, num_instances=64)
+    left = np.asarray(out[0, :, :2, 0])
+    np.testing.assert_allclose(left, left.flat[0])
+
+
+def test_encoder_shapes_and_pooling():
+    cfg = EncoderConfig(input_nc=3, feat_num=3, nef=8, n_downsample_e=2)
+    p = encoder_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 32, 32, 3) * 2 - 1,
+                    jnp.float32)
+    raw = encoder_apply(p, x, None, cfg)
+    assert raw.shape == (2, 32, 32, 3)
+    assert float(jnp.abs(raw).max()) <= 1.0  # tanh range
+    inst = jnp.zeros((2, 32, 32), jnp.int32)  # one instance: global mean
+    pooled = encoder_apply(p, x, inst, cfg)
+    want = jnp.mean(raw.astype(jnp.float32), axis=(1, 2), keepdims=True)
+    np.testing.assert_allclose(np.asarray(pooled),
+                               np.broadcast_to(np.asarray(want),
+                                               pooled.shape),
+                               rtol=1e-4, atol=1e-5)
+
+
+def _feat_cfg(**train_kw):
+    return Config(
+        model=ModelConfig(model="pix2pixhd", net_g="local",
+                          net_d="multiscale", ngf=4, ndf=8, num_d=2,
+                          n_downsample_global=2, n_blocks_global=1,
+                          n_blocks_local=1, use_instance_feat=True,
+                          feat_num=3, nef=4, n_downsample_e=2),
+        data=DataConfig(crop_size=32, batch_size=2),
+        loss=LossConfig(no_vgg_loss=True, lambda_l1=10.0),
+        train=TrainConfig(**train_kw),
+    )
+
+
+def test_train_step_with_instance_features():
+    cfg = _feat_cfg()
+    model = create_model(cfg, steps_per_epoch=10)
+    r = np.random.RandomState(0)
+    batch = {
+        "a": jnp.asarray(r.rand(2, 32, 32, 3) * 2 - 1, jnp.float32),
+        "b": jnp.asarray(r.rand(2, 32, 32, 3) * 2 - 1, jnp.float32),
+        "inst": jnp.asarray(r.randint(0, 4, (2, 32, 32)), jnp.int32),
+    }
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    assert "netE" in state.g_params
+    g0 = jax.device_get(state.g_params["netE"])
+    state, metrics = jax.jit(model.train_step)(state, batch)
+    assert np.isfinite(float(metrics["G_GAN"]))
+    g1 = jax.device_get(state.g_params["netE"])
+    moved = max(float(np.abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(g0), jax.tree.leaves(g1)))
+    assert moved > 0.0  # E trains through G's objective
+
+    # inference without features: zeros feat, shape-correct output
+    fake = model.generate(state.g_params, batch["a"], train=False)
+    assert fake.shape == (2, 32, 32, 3)
+
+
+def test_freeze_gate_keeps_netE_live():
+    cfg = _feat_cfg(niter_fix_global=1)
+    model = create_model(cfg, steps_per_epoch=100)  # frozen for 100 steps
+    r = np.random.RandomState(0)
+    batch = {
+        "a": jnp.asarray(r.rand(2, 32, 32, 3) * 2 - 1, jnp.float32),
+        "b": jnp.asarray(r.rand(2, 32, 32, 3) * 2 - 1, jnp.float32),
+    }
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    g0 = jax.device_get(state.g_params)
+    state, _ = jax.jit(model.train_step)(state, batch)
+    g1 = jax.device_get(state.g_params)
+
+    def delta(k):
+        return max(float(np.abs(a - b).max()) for a, b in zip(
+            jax.tree.leaves(g0[k]), jax.tree.leaves(g1[k])))
+
+    assert delta("global") == 0.0     # frozen
+    assert delta("enhancer1") > 0.0   # training
+    assert delta("netE") > 0.0        # reference keeps E in optimizer_G

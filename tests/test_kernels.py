@@ -63,3 +63,41 @@ def test_custom_vjp_matches_autodiff(act):
     (dx,) = _fused_bwd(act, 1e-5, 0.2, (x, mean, rstd), g)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+class TestTailFused:
+    """Fused tail kernel (reflect-pad + 7x7 conv + tanh + d2s) — exact
+    vs the XLA s2d composition, interpret mode (round-1 verdict item #4:
+    the region-fused Pallas swing; measured ~2x on the v5e, see
+    kernels/tail_fused.py docstring)."""
+
+    def _ref(self, xs, w, b):
+        from ir2rgb_tpu.nn.s2d_space import (
+            conv_on_s2d,
+            from_s2d,
+            reflect_pad_s2d,
+        )
+        y = conv_on_s2d(reflect_pad_s2d(xs, 3), w, stride=1, pad=0)
+        return from_s2d(jnp.tanh(y + jnp.tile(b, 4)), 3)
+
+    @pytest.mark.parametrize("hs,c", [(64, 32), (32, 64)])
+    def test_exact_vs_xla_composition(self, hs, c):
+        from ir2rgb_tpu.kernels.tail_fused import tail_fused
+        r = np.random.RandomState(0)
+        xs = jnp.asarray(r.randn(1, hs, hs, 4 * c).astype(np.float32))
+        w = jnp.asarray(r.randn(7, 7, c, 3).astype(np.float32) * 0.1)
+        b = jnp.asarray(r.randn(3).astype(np.float32))
+        out = tail_fused(xs, w, b, tile=16, interpret=True)
+        ref = self._ref(xs, w, b)
+        assert out.shape == (1, 2 * hs, 2 * hs, 3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=2e-5)
+
+    def test_support_gate(self):
+        from ir2rgb_tpu.kernels.tail_fused import tail_fused_supported
+        assert tail_fused_supported((1, 256, 256, 128), (7, 7, 32, 3))
+        assert tail_fused_supported((1, 128, 128, 256), (7, 7, 64, 3))
+        assert not tail_fused_supported((2, 256, 256, 128), (7, 7, 32, 3))
+        assert not tail_fused_supported((1, 250, 256, 128), (7, 7, 32, 3))
+        assert not tail_fused_supported((1, 256, 256, 64), (7, 7, 16, 3))
+        assert not tail_fused_supported((1, 256, 256, 128), (3, 3, 32, 3))
