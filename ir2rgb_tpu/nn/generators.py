@@ -164,7 +164,7 @@ def _s2d_tail_output(pc, hs, cfg: GenConfig, train: bool) -> jax.Array:
     docs/DESIGN.md §4). Production default is therefore the XLA path;
     the kernel is opt-in via IR2RGB_ENABLE_TAIL_KERNEL=1 for inference.
     """
-    from .s2d_space import from_s2d, reflect_pad_s2d
+    from .s2d_space import from_s2d
     from ir2rgb_tpu.kernels.tail_fused import (
         tail_fused,
         tail_fused_supported,
@@ -176,10 +176,16 @@ def _s2d_tail_output(pc, hs, cfg: GenConfig, train: bool) -> jax.Array:
         b = pc.get("b", jnp.zeros((w.shape[3],), jnp.float32))
         return tail_fused(hs.astype(cfg.compute_dtype),
                           w.astype(cfg.compute_dtype), b)
-    hs = reflect_pad_s2d(hs, 3)
-    hs = _conv_s2d_wrap(pc, hs, cfg, k=7)
-    hs = jnp.tanh(hs.astype(jnp.float32)).astype(cfg.compute_dtype)
-    return from_s2d(hs, cfg.output_nc)
+    from .s2d_space import conv_reflect_s2d
+    from jax import lax
+    prec = (lax.Precision.DEFAULT if cfg.compute_dtype == jnp.bfloat16
+            else lax.Precision.HIGHEST)
+    y = conv_reflect_s2d(hs.astype(cfg.compute_dtype),
+                         w.astype(cfg.compute_dtype), precision=prec)
+    if "b" in pc:
+        y = y + jnp.tile(pc["b"].astype(y.dtype), 4)
+    y = jnp.tanh(y.astype(jnp.float32)).astype(cfg.compute_dtype)
+    return from_s2d(y, cfg.output_nc)
 
 
 def _head_conv_s2d(pc, x, cfg: GenConfig):
@@ -194,6 +200,10 @@ def _head_conv_s2d(pc, x, cfg: GenConfig):
 
 
 def _resnet_block_apply_s2d(p, hs, cfg: GenConfig, *, train=False, rng=None):
+    # NOTE: the border-fixup conv (conv_reflect_s2d, used by the tail)
+    # was measured HERE too and lost: the k=3 pads cost only ~50 us each
+    # while the four strip convs are too thin to run efficiently
+    # (240.8 -> 225 fps at 512px). The materialized pad stays.
     from .s2d_space import instance_norm_act_s2d, reflect_pad_s2d
     h = reflect_pad_s2d(hs, 1)
     h = _conv_s2d_wrap(p["conv0"]["conv"], h, cfg, k=3)
@@ -296,7 +306,6 @@ def _resnet_generator_apply_s2d(p: Params, x: jax.Array, cfg: GenConfig, *,
         deconv_s2d_to_s2d,
         from_s2d,
         instance_norm_act_s2d,
-        reflect_pad_s2d,
     )
     hs = _head_conv_s2d(p["head"]["conv"], x, cfg)
     hs = instance_norm_act_s2d(hs, "relu")
@@ -452,9 +461,7 @@ def _local_enhancer_apply_s2d(p: Params, pyramid, cfg: GenConfig, *,
     residual blocks, upsample, and tail without leaving s2d."""
     from .s2d_space import (
         deconv_s2d_to_s2d,
-        from_s2d,
         instance_norm_act_s2d,
-        reflect_pad_s2d,
     )
     n_local = cfg.n_local_enhancers
     out_s2d = resnet_generator_apply(

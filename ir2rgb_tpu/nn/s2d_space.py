@@ -116,42 +116,43 @@ def conv_on_s2d(xs: jax.Array, w: jax.Array, stride: int = 1, pad: int = 0,
     n, hs, ws, c4 = xs.shape
     ci = c4 // 4
     k, co = w.shape[0], w.shape[3]
-    h = hs * 2
-    h_out = (h + 2 * pad - k) // stride + 1
     A, B, M, kk, omin, P = _conv_maps(k, pad, stride, out_s2d)
     wk = w[jnp.asarray(A), jnp.asarray(B)]
     wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
     wk = wk.transpose(0, 1, 2, 4, 3, 5).reshape(kk, kk, 4 * ci, P * co)
 
-    if stride == 1:
-        j_out = (h_out + 1) // 2
-        conv_stride = 1
-    elif out_s2d:
-        j_out = (h_out + 1) // 2
-        conv_stride = 2
-    else:
-        # stride-2 image conv, plain output: out[i] taps u = 2i + r - pad,
-        # i.e. s2d position j = i + offset -> unit-stride conv on the grid
-        j_out = h_out
-        conv_stride = 1
+    def dim_plan(s):
+        """(j_out, conv_stride, hi_pad) for one spatial dim of s2d size s."""
+        d_out = (s * 2 + 2 * pad - k) // stride + 1
+        if stride == 1:
+            j, cs = (d_out + 1) // 2, 1
+        elif out_s2d:
+            j, cs = (d_out + 1) // 2, 2
+        else:
+            # stride-2 image conv, plain output: out[i] taps u = 2i+r-pad,
+            # i.e. s2d position j = i + offset -> unit-stride grid conv
+            j, cs = d_out, 1
+        hi = max((j - 1) * cs + (kk - 1 + omin) - (s - 1), 0)
+        return d_out, j, cs, hi
 
+    h_out, jh, cs, hi_h = dim_plan(hs)
+    w_out, jw, _, hi_w = dim_plan(ws)
     lo = -omin
-    needed = (j_out - 1) * conv_stride + (kk - 1 + omin) - (hs - 1)
-    hi = max(needed, 0)
     y = lax.conv_general_dilated(
-        xs, wk, window_strides=(conv_stride, conv_stride),
-        padding=[(lo, hi), (lo, hi)],
+        xs, wk, window_strides=(cs, cs),
+        padding=[(lo, hi_h), (lo, hi_w)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
         preferred_element_type=jnp.float32 if xs.dtype == jnp.float32
         else None,
     )
-    y = y[:, :j_out, :j_out, :]
+    y = y[:, :jh, :jw, :]
     if not out_s2d and stride == 2:
         return y
     # s2d output: trim odd h_out by zeroing is unnecessary — callers in the
     # generators always produce even h_out; assert to catch misuse.
-    assert h_out % 2 == 0, "s2d output requires even output size"
+    assert h_out % 2 == 0 and w_out % 2 == 0, \
+        "s2d output requires even output size"
     return y
 
 
@@ -377,6 +378,46 @@ def reflect_pad_s2d(xs: jax.Array, pad: int) -> jax.Array:
         for dw in (0, 1):
             out_blocks.append(_compose(rows, w_runs[dw], axis=2))
     return jnp.concatenate(out_blocks, axis=-1)
+
+
+def conv_reflect_s2d(xs: jax.Array, w: jax.Array,
+                     precision=lax.Precision.HIGHEST) -> jax.Array:
+    """Reflect-padded k x k (odd k, pad=(k-1)/2) conv on the s2d rep —
+    WITHOUT materializing the padded tensor.
+
+    The round-2 profile showed reflect_pad_s2d costing ~320 us at 512px
+    (it materializes a 259x259x128 intermediate; the zero-pad variant
+    rides the conv op's own padding and saves that traffic — measured
+    314 us on the v5e). Zero padding is only wrong within pad pixels of
+    each image border, so the body runs zero-padded and four thin border
+    strips are recomputed exactly (with true reflection, corners
+    included) on small slices and patched in.
+    """
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    n, hs, ws, _ = xs.shape
+    ps = (pad + 1) // 2          # s2d rows/cols affected per border
+    sl = ps + (pad + 1) // 2 + 1  # s2d rows of input per strip slice
+    if hs <= 2 * sl or ws <= 2 * sl:
+        # map too small for disjoint strips: materialized pad is cheap here
+        return conv_on_s2d(reflect_pad_s2d(xs, pad), w, stride=1, pad=0,
+                           precision=precision)
+
+    y = conv_on_s2d(xs, w, stride=1, pad=pad, precision=precision)
+
+    def strip(sub):
+        sp = reflect_pad_s2d(sub, pad)
+        return conv_on_s2d(sp, w, stride=1, pad=0, precision=precision)
+
+    top = strip(xs[:, :sl])[:, :ps]
+    bot = strip(xs[:, hs - sl:])[:, -ps:]
+    left = strip(xs[:, :, :sl])[:, :, :ps]
+    right = strip(xs[:, :, ws - sl:])[:, :, -ps:]
+    y = y.at[:, :ps].set(top)
+    y = y.at[:, hs - ps:].set(bot)
+    y = y.at[:, :, :ps].set(left)
+    y = y.at[:, :, ws - ps:].set(right)
+    return y
 
 
 # ---------------------------------------------------------------------------
