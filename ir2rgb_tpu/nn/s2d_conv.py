@@ -100,6 +100,10 @@ def space_to_depth(x: jax.Array, f: int = 2) -> jax.Array:
 
 
 def depth_to_space(y: jax.Array, co: int, f: int = 2) -> jax.Array:
+    # NOTE(round 2): a channel-split + stack lowering (whose final
+    # reshape is a row-major identity) was measured in-context and is
+    # NOT faster — XLA canonicalizes both forms to the same copy
+    # (242.7 -> 240.0 fps at 512px). The 6-d transpose stays.
     n, h, w, _ = y.shape
     y = y.reshape(n, h, w, f, f, co)
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * f, w * f, co)

@@ -380,6 +380,52 @@ def reflect_pad_s2d(xs: jax.Array, pad: int) -> jax.Array:
     return jnp.concatenate(out_blocks, axis=-1)
 
 
+def conv_on_s2d_wide(xs: jax.Array, w: jax.Array, pad: int,
+                     precision=lax.Precision.HIGHEST) -> jax.Array:
+    """Zero-padded stride-1 s2d conv for OUTPUT-CHANNEL-STARVED kernels
+    (the generators' c7s1-3 tails: P*co = 12 output channels).
+
+    The direct conv lowering pays kk*kk MXU passes each padded to N=128
+    lanes (measured 284 us at 512px for 5 GFLOPs — ~12/128 utilization).
+    Here all kk*kk offset kernels run as ONE (M, 4C) x (4C, kk*kk*P*co)
+    matmul (N=300 for the 7x7 tail — MXU-shaped), and the offset sum
+    becomes kk*kk shifted channel-block slices of the padded product,
+    which XLA fuses into a single accumulation pass.
+    """
+    n, hs, ws, c4 = xs.shape
+    ci = c4 // 4
+    k, co = w.shape[0], w.shape[3]
+    A, B, M, kk, omin, P = _conv_maps(k, pad, 1, True)
+    wk = w[jnp.asarray(A), jnp.asarray(B)]
+    wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
+    wk = wk.transpose(0, 1, 2, 4, 3, 5).reshape(kk, kk, 4 * ci, P * co)
+    lo = -omin
+
+    def dim_plan(s):
+        d_out = (s * 2 + 2 * pad - k) + 1
+        assert d_out % 2 == 0
+        j = (d_out + 1) // 2
+        return j, max(j - 1 + kk - 1 - lo - (s - 1), 0)
+
+    jh, hi_h = dim_plan(hs)
+    jw, hi_w = dim_plan(ws)
+
+    wide = wk.transpose(2, 0, 1, 3).reshape(4 * ci, kk * kk * P * co)
+    y = lax.dot_general(xs, wide, (((3,), (0,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=jnp.float32 if
+                        xs.dtype == jnp.float32 else None)
+    y = jnp.pad(y, ((0, 0), (lo, hi_h), (lo, hi_w), (0, 0)))
+    blk = P * co
+    out = None
+    for th in range(kk):
+        for tw in range(kk):
+            t = th * kk + tw
+            piece = y[:, th:th + jh, tw:tw + jw, t * blk:(t + 1) * blk]
+            out = piece if out is None else out + piece
+    return out
+
+
 def conv_reflect_s2d(xs: jax.Array, w: jax.Array,
                      precision=lax.Precision.HIGHEST) -> jax.Array:
     """Reflect-padded k x k (odd k, pad=(k-1)/2) conv on the s2d rep —
@@ -403,7 +449,11 @@ def conv_reflect_s2d(xs: jax.Array, w: jax.Array,
         return conv_on_s2d(reflect_pad_s2d(xs, pad), w, stride=1, pad=0,
                            precision=precision)
 
-    y = conv_on_s2d(xs, w, stride=1, pad=pad, precision=precision)
+    if 4 * w.shape[3] <= 16:
+        # output-channel-starved (the c7s1-3 tails): wide-matmul lowering
+        y = conv_on_s2d_wide(xs, w, pad, precision=precision)
+    else:
+        y = conv_on_s2d(xs, w, stride=1, pad=pad, precision=precision)
 
     def strip(sub):
         sp = reflect_pad_s2d(sub, pad)
