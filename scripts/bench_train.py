@@ -14,8 +14,12 @@ one JSON line per preset for perf-regression tracking across rounds.
 import dataclasses
 import functools
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

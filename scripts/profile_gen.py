@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 
 def run_trace(preset: str, trace_dir: str, size: int = 512,
-              k: int = 12) -> None:
+              k: int = 12, train: bool = False) -> None:
     from ir2rgb_tpu.config import PRESETS
     from ir2rgb_tpu.train import create_model
 
@@ -35,12 +35,38 @@ def run_trace(preset: str, trace_dir: str, size: int = 512,
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype="bf16" if on_tpu else "float32"))
     model = create_model(cfg, steps_per_epoch=1000)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    if train:
+        import numpy as np
+        rng = np.random.RandomState(0)
+        batch = {
+            "a": jnp.asarray(rng.rand(1, size, size, 3) * 2 - 1,
+                             jnp.float32),
+            "b": jnp.asarray(rng.rand(1, size, size, 3) * 2 - 1,
+                             jnp.float32),
+        }
+        state = model.init_state(jax.random.PRNGKey(0), batch)
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(state, batch, n):
+            def body(s, _):
+                s2, m = model.train_step(s, batch)
+                return s2, m["G_GAN"]
+            _, ms = jax.lax.scan(body, state, None, length=n)
+            return jnp.sum(ms)
+
+        float(loop(state, batch, k))  # compile
+        jax.profiler.start_trace(trace_dir)
+        float(loop(state, batch, k))
+        jax.profiler.stop_trace()
+        return
+
     g = model.g_init(jax.random.PRNGKey(0))
     if on_tpu:
         g = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
             else x, g)
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(params, x0, n):
@@ -126,6 +152,7 @@ if __name__ == "__main__":
     trace_dir = "/tmp/i2r_prof"
     if "--trace-dir" in sys.argv:
         trace_dir = sys.argv[sys.argv.index("--trace-dir") + 1]
-    k = 12
-    run_trace(preset, trace_dir, k=k)
+    train = "--train" in sys.argv
+    k = 6 if train else 12
+    run_trace(preset, trace_dir, k=k, train=train)
     parse_trace(trace_dir, k)

@@ -86,3 +86,43 @@ def test_evaluate_cli(env, dataset, tmp_path):
     assert result["frames"] == 4
     assert result["psnr_mean"] > 60  # identical folders
     assert result["ssim_mean"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_train_cli_instance_features(env, tmp_path):
+    """End-to-end --model.use_instance_feat training: instance maps load
+    from trainInst/, flow through the paired transform, and netE trains
+    inside the fused step (pix2pixHD --instance_feat surface)."""
+    from PIL import Image
+
+    root = tmp_path / "featds"
+    for sub in ("trainA", "trainB", "trainInst"):
+        (root / sub).mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        for sub in ("trainA", "trainB"):
+            Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)
+                            ).save(root / sub / f"{i:03d}.png")
+        Image.fromarray((np.arange(48 * 48).reshape(48, 48) // 600
+                         ).astype(np.uint8)).save(
+            root / "trainInst" / f"{i:03d}.png")
+
+    ckpts = str(tmp_path / "ckpts")
+    rc = subprocess.run(
+        [sys.executable, "train.py", "--preset", "pix2pixhd_512",
+         "--model.ngf", "4", "--model.ndf", "8",
+         "--model.n_downsample_global", "2", "--model.n_blocks_global", "1",
+         "--model.n_blocks_local", "1",
+         "--model.use_instance_feat", "true", "--model.nef", "4",
+         "--model.n_downsample_e", "2",
+         "--loss.no_vgg_loss", "true",
+         "--data.dataroot", str(root), "--data.load_size", "48",
+         "--data.crop_size", "32", "--data.batch_size", "2",
+         "--train.name", "feat_run", "--train.checkpoints_dir", ckpts,
+         "--train.num_devices", "2",
+         "--train.niter", "1", "--train.niter_decay", "0",
+         "--train.niter_fix_global", "0", "--train.print_freq", "2"],
+        cwd="/root/repo", env=env, capture_output=True, text=True)
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    log = os.path.join(ckpts, "feat_run", "loss_log.txt")
+    assert os.path.exists(log)
+    assert "G_GAN" in open(log).read()
