@@ -61,13 +61,33 @@ def measure(preset: str, on_tpu: bool):
     size = 512 if on_tpu else 128
     k1, k2 = (8, 40) if on_tpu else (2, 6)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    temporal = model.cfg.model.model == "temporal"
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def loop(params, x0, k):
-        def body(x, _):
-            return model.generate(params, x, train=False), ()
-        xk, _ = jax.lax.scan(body, x0, None, length=k)
-        return jnp.sum(xk.astype(jnp.float32))
+    if temporal:
+        # streaming video: frame t conditions on generated frame t-1 —
+        # the carry IS the production dependency chain, so no step can
+        # be elided (SURVEY.md §3.2)
+        n_prev = model.cfg.model.n_frames_g - 1
+        prev0_t = jnp.zeros((1, size, size,
+                             model.cfg.model.output_nc * n_prev), dtype)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def loop(params, x0, k):
+            def body(prev, _):
+                fake = model.generate(params, x0, prev=prev, train=False)
+                nc = prev.shape[-1]
+                new_prev = jnp.concatenate(
+                    [fake.astype(prev.dtype), prev], axis=-1)[..., :nc]
+                return new_prev, ()
+            pk, _ = jax.lax.scan(body, prev0_t, None, length=k)
+            return jnp.sum(pk.astype(jnp.float32))
+    else:
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def loop(params, x0, k):
+            def body(x, _):
+                return model.generate(params, x, train=False), ()
+            xk, _ = jax.lax.scan(body, x0, None, length=k)
+            return jnp.sum(xk.astype(jnp.float32))
 
     x0 = jax.random.normal(jax.random.PRNGKey(1),
                            (1, size, size, 3)).astype(dtype)
@@ -111,6 +131,7 @@ def main() -> None:
     rows = [measure("pix2pixhd_512", on_tpu)]
     if on_tpu:
         rows.append(measure("pix2pixhd_global_512", on_tpu))
+        rows.append(measure("temporal_512", on_tpu))
     primary = rows[0]
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -196,6 +196,16 @@ PRESETS = {
                           net_d="multiscale", num_d=2, n_frames_g=2),
         data=DataConfig(dataset_mode="temporal", n_frames_total=4),
     ),
+    # temporal conditioning on the 512p coarse-to-fine generator (the
+    # streaming-video serving config: pix2pixhd_512 + prev-frame carry)
+    "temporal_512": Config(
+        model=ModelConfig(model="temporal", net_g="local", net_d="multiscale",
+                          num_d=2, ngf=32, n_frames_g=2),
+        data=DataConfig(dataset_mode="temporal", n_frames_total=4,
+                        load_size=572, crop_size=512),
+        loss=LossConfig(lambda_l1=0.0),
+        train=TrainConfig(niter_fix_global=10),
+    ),
 }
 
 

@@ -99,11 +99,83 @@ def space_to_depth(x: jax.Array, f: int = 2) -> jax.Array:
                                                  f * f * c)
 
 
+@functools.lru_cache(maxsize=None)
+def _d2s_conv_kernel(c4: int, co: int, dtype_name: str) -> np.ndarray:
+    """2x2 selection kernel: conv with lhs_dilation=2 computes the
+    depth-to-space interleave on the conv datapath (one valid tap per
+    output pixel selects the right phase channel)."""
+    w = np.zeros((2, 2, c4, co), np.dtype(dtype_name))
+    for dh in (0, 1):
+        for dw in (0, 1):
+            for c in range(co):
+                w[1 - dh, 1 - dw, (dh * 2 + dw) * co + c, c] = 1
+    return w
+
+
+def _d2s_conv(y: jax.Array, co: int) -> jax.Array:
+    w = jnp.asarray(_d2s_conv_kernel(y.shape[3], co, y.dtype.name))
+    return lax.conv_general_dilated(
+        y, w, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@functools.lru_cache(maxsize=None)
+def _interleave_mats(n: int, dtype_name: str):
+    """(E0, E1): (n, 2n) selection matrices, E0[j, 2j] = E1[j, 2j+1] = 1.
+    a @ E0 + b @ E1 interleaves a and b element-wise along that axis."""
+    e0 = np.zeros((n, 2 * n), np.dtype(dtype_name))
+    e1 = np.zeros((n, 2 * n), np.dtype(dtype_name))
+    idx = np.arange(n)
+    e0[idx, 2 * idx] = 1
+    e1[idx, 2 * idx + 1] = 1
+    return e0, e1
+
+
+def _d2s_dot(y: jax.Array, co: int) -> jax.Array:
+    """Depth-to-space as four selection matmuls on the (otherwise idle)
+    MXU — ~2.4 GFLOPs of multiply-by-one at 512px instead of the ~244 us
+    relayout copy chain the transpose lowering costs (minor dims of 2/3
+    land on the 128-lane axis at ~13 GB/s). Exact: every output element
+    is 1*x + 0 + ... in the MXU's fp32 accumulator."""
+    n, hs, ws, c4 = y.shape
+    e0w, e1w = (jnp.asarray(m) for m in _interleave_mats(ws, y.dtype.name))
+    e0h, e1h = (jnp.asarray(m) for m in _interleave_mats(hs, y.dtype.name))
+    p = [y[..., q * co:(q + 1) * co] for q in range(4)]
+    # HIGHEST keeps f32 inputs exact (XLA's default decomposes f32 dots
+    # into bf16 passes, truncating the mantissa even for 0/1 weights)
+    prec = (lax.Precision.DEFAULT if y.dtype == jnp.bfloat16
+            else lax.Precision.HIGHEST)
+    ein = functools.partial(jnp.einsum, precision=prec)
+    # lane (W) interleave: nhwc,wW->nhWc
+    even = (ein("nhwc,wW->nhWc", p[0], e0w)
+            + ein("nhwc,wW->nhWc", p[1], e1w))
+    odd = (ein("nhwc,wW->nhWc", p[2], e0w)
+           + ein("nhwc,wW->nhWc", p[3], e1w))
+    # row (H) interleave: nhWc,hH->nHWc
+    out = (ein("nhWc,hH->nHWc", even, e0h)
+           + ein("nhWc,hH->nHWc", odd, e1h))
+    return out.astype(y.dtype)
+
+
 def depth_to_space(y: jax.Array, co: int, f: int = 2) -> jax.Array:
     # NOTE(round 2): a channel-split + stack lowering (whose final
     # reshape is a row-major identity) was measured in-context and is
     # NOT faster — XLA canonicalizes both forms to the same copy
-    # (242.7 -> 240.0 fps at 512px). The 6-d transpose stays.
+    # (242.7 -> 240.0 fps at 512px). The 6-d transpose is the XLA
+    # default; on TPU the Pallas planar-interleave kernel
+    # (kernels/d2s.py) replaces the ~244 us relayout chain when the
+    # shape qualifies. IR2RGB_D2S=xla|conv|pallas overrides.
+    if f == 2 and jax.default_backend() == "tpu":
+        import os
+        mode = os.environ.get("IR2RGB_D2S", "dot")
+        if mode == "dot" and co <= 8:
+            return _d2s_dot(y, co)
+        if mode == "pallas":
+            from ir2rgb_tpu.kernels.d2s import d2s_pallas, d2s_supported
+            if d2s_supported(y.shape, co):
+                return d2s_pallas(y, co)
+        if mode == "conv":
+            return _d2s_conv(y, co)
     n, h, w, _ = y.shape
     y = y.reshape(n, h, w, f, f, co)
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * f, w * f, co)

@@ -107,7 +107,11 @@ class GanModel:
         d_params = self.d_init(kd)
         b = sample_batch["b"]
         frame_shape = tuple(b.shape[-3:])  # (H, W, C) of the target frames
-        pool = init_pool(self.cfg.loss.pool_size, frame_shape)
+        # the pool stores G outputs, which stay in compute dtype end-to-end
+        # (a fp32 round-trip on 512^2 frames costs ~1ms/step of layout
+        # copies on TPU — see docs/DESIGN.md train-step profile)
+        pool = init_pool(self.cfg.loss.pool_size, frame_shape,
+                         dtype=self.gen_cfg.compute_dtype)
         return TrainState(
             g_params=g_params,
             d_params=d_params,
@@ -165,9 +169,16 @@ class GanModel:
         pool-mixed) stop-gradiented fake fed to D's own update."""
         loss_cfg = self.cfg.loss
         sg = jax.lax.stop_gradient
-        pair_real = jnp.concatenate([a, b], axis=-1)
-        pair_fake = jnp.concatenate([a, fake], axis=-1)
-        pair_fake_d = jnp.concatenate([a, fake_for_d], axis=-1)
+        # D pairs are built in the generator's compute dtype: D casts its
+        # input down anyway, and concatenating f32 halves with a bf16 fake
+        # would promote the whole 512^2 pair (and its gradient) to f32 —
+        # pure layout-copy traffic. Losses still reduce in fp32.
+        cdt = fake.dtype
+        a_c, b_c = a.astype(cdt), b.astype(cdt)
+        pair_real = jnp.concatenate([a_c, b_c], axis=-1)
+        pair_fake = jnp.concatenate([a_c, fake], axis=-1)
+        pair_fake_d = jnp.concatenate([a_c, fake_for_d.astype(cdt)],
+                                      axis=-1)
 
         # G side: frozen D weights
         d_params_sg = sg(d_params)
@@ -226,7 +237,6 @@ class GanModel:
                                             batch.get("inst"))
             fake = self.generate(g_params, a, train=True, rng=k_drop,
                                  feat=feat)
-            fake = fake.astype(jnp.float32)
             if self.cfg.loss.pool_size > 0:
                 fake_for_d, pool = query_pool(
                     pool, jax.lax.stop_gradient(fake), k_pool)
@@ -254,14 +264,14 @@ class GanModel:
         out_nc = self.cfg.model.output_nc
         use_pool = self.cfg.loss.pool_size > 0
         prev0 = jnp.zeros(a_seq.shape[:1] + a_seq.shape[2:4]
-                          + (out_nc * n_prev,), jnp.float32)
+                          + (out_nc * n_prev,), self.gen_cfg.compute_dtype)
         sg = jax.lax.stop_gradient
 
         def step(carry, xs):
             prev, pool = carry
             a_t, b_t, kd, kp = xs
             fake = self.generate(g_params, a_t, prev=prev, train=True,
-                                 rng=kd).astype(jnp.float32)
+                                 rng=kd)
             if use_pool:
                 fake_for_d, pool = query_pool(pool, sg(fake), kp)
             else:

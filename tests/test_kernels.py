@@ -101,3 +101,78 @@ class TestTailFused:
         assert not tail_fused_supported((1, 250, 256, 128), (7, 7, 32, 3))
         assert not tail_fused_supported((1, 256, 256, 64), (7, 7, 16, 3))
         assert not tail_fused_supported((1, 256, 256, 128), (3, 3, 32, 3))
+
+
+# ---------------------------------------------------------------------------
+# depth-to-space / space-to-depth planar kernels (kernels/d2s.py)
+# ---------------------------------------------------------------------------
+
+class TestD2SKernel:
+    def _y(self, hs, ws, co, dtype=jnp.float32, seed=0):
+        rng = np.random.RandomState(seed)
+        return jnp.asarray(
+            rng.rand(1, hs, ws, 4 * co).astype(np.float32)).astype(dtype)
+
+    @pytest.mark.parametrize("hs,ws,co", [(8, 128, 3), (16, 256, 3),
+                                          (8, 128, 1), (8, 128, 8)])
+    def test_d2s_exact(self, hs, ws, co):
+        from ir2rgb_tpu.kernels.d2s import d2s_pallas, d2s_reference
+        y = self._y(hs, ws, co)
+        np.testing.assert_array_equal(
+            np.asarray(d2s_pallas(y, co, True)),
+            np.asarray(d2s_reference(y, co)))
+
+    def test_s2d_exact_and_inverse(self):
+        from ir2rgb_tpu.kernels.d2s import (
+            d2s_pallas, s2d_pallas, s2d_reference)
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.rand(1, 16, 256, 3).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(s2d_pallas(x, True)), np.asarray(s2d_reference(x)))
+        # round trip is the identity
+        np.testing.assert_array_equal(
+            np.asarray(d2s_pallas(s2d_pallas(x, True), 3, True)),
+            np.asarray(x))
+
+    def test_d2s_vjp_exact(self):
+        from ir2rgb_tpu.kernels.d2s import d2s_pallas, d2s_reference
+        y = self._y(8, 128, 3, seed=2)
+        cot = jnp.asarray(
+            np.random.RandomState(3).rand(1, 16, 256, 3).astype(np.float32))
+        g = jax.grad(lambda v: jnp.sum(d2s_pallas(v, 3, True) * cot))(y)
+        g_ref = jax.grad(lambda v: jnp.sum(d2s_reference(v, 3) * cot))(y)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
+
+    def test_d2s_bf16(self):
+        from ir2rgb_tpu.kernels.d2s import d2s_pallas, d2s_reference
+        y = self._y(8, 128, 3, dtype=jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(d2s_pallas(y, 3, True)).astype(np.float32),
+            np.asarray(d2s_reference(y, 3)).astype(np.float32))
+
+    def test_d2s_conv_lowering_exact(self):
+        from ir2rgb_tpu.nn.s2d_conv import _d2s_conv
+        from ir2rgb_tpu.kernels.d2s import d2s_reference
+        y = self._y(8, 128, 3, seed=4)
+        np.testing.assert_allclose(
+            np.asarray(_d2s_conv(y, 3)), np.asarray(d2s_reference(y, 3)),
+            atol=0, rtol=0)
+
+    def test_support_gate(self):
+        from ir2rgb_tpu.kernels.d2s import d2s_supported
+        assert d2s_supported((1, 256, 256, 12), 3)
+        assert not d2s_supported((2, 256, 256, 12), 3)   # batch > 1
+        assert not d2s_supported((1, 256, 250, 12), 3)   # lanes misaligned
+        assert not d2s_supported((1, 256, 256, 12), 4)   # c4 != 4*co
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    @pytest.mark.parametrize("co", [1, 3])
+    def test_d2s_dot_exact(self, dtype, co):
+        # the TPU production lowering (selection matmuls) must be
+        # element-exact against the transpose reference in both dtypes
+        from ir2rgb_tpu.nn.s2d_conv import _d2s_dot
+        from ir2rgb_tpu.kernels.d2s import d2s_reference
+        y = self._y(8, 128, co, dtype=dtype, seed=5)
+        np.testing.assert_array_equal(
+            np.asarray(_d2s_dot(y, co)).astype(np.float32),
+            np.asarray(d2s_reference(y, co)).astype(np.float32))
