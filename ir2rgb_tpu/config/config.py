@@ -134,6 +134,10 @@ class TrainConfig:
     seed: int = 0
     # data-parallel device count; 0 = all visible devices
     num_devices: int = 0
+    # spatial partitioning: shard image rows (H) over this many devices
+    # per data-parallel replica (dp x sp mesh; XLA inserts the conv halo
+    # exchanges). 1 = pure DP. H and batch must divide evenly.
+    spatial_devices: int = 1
     donate: bool = True
 
 

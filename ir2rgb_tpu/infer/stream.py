@@ -50,9 +50,13 @@ class StreamingGenerator:
     """
 
     def __init__(self, model: GanModel, g_params, frame_hw: Tuple[int, int],
-                 batch: int = 1):
+                 batch: int = 1, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a 'spatial'
+        axis (see ``parallel.dp_sp_mesh``) — frames, carry, and output
+        shard image rows across the mesh so one frame serves on several
+        chips (>1024p frames past one chip's HBM/latency budget). Params
+        are replicated; XLA inserts conv halo exchanges over ICI."""
         self.model = model
-        self.g_params = g_params
         cfgm = model.cfg.model
         self.temporal = cfgm.model == "temporal"
         n_prev = (cfgm.n_frames_g - 1) if self.temporal else 0
@@ -61,6 +65,16 @@ class StreamingGenerator:
         h, w = frame_hw
         self._carry = (jnp.zeros((batch, h, w, self.carry_c), jnp.float32)
                        if self.temporal else None)
+
+        self._frame_sharding = None
+        if mesh is not None:
+            from ir2rgb_tpu.parallel import batch_sharding, replicate
+            rep, shard = replicate(mesh), batch_sharding(mesh)
+            g_params = jax.device_put(g_params, rep)
+            if self._carry is not None:
+                self._carry = jax.device_put(self._carry, shard)
+            self._frame_sharding = shard
+        self.g_params = g_params
 
         if self.temporal:
             def step(params, a, carry):
@@ -84,6 +98,8 @@ class StreamingGenerator:
 
     def push_device(self, a: jax.Array) -> jax.Array:
         """Device-in device-out step (no host sync — benchmark path)."""
+        if self._frame_sharding is not None:
+            a = jax.device_put(a, self._frame_sharding)
         if self.temporal:
             fake, self._carry = self._step(self.g_params, a, self._carry)
             return fake

@@ -11,6 +11,16 @@ No explicit ``psum`` calls are needed in the train step: with batch inputs
 sharded on ``data`` and params replicated, XLA's SPMD partitioner inserts
 the all-reduce over ICI automatically. (SURVEY.md §7 stage 7.)
 
+Beyond DP, the one extra axis that genuinely pays for this family is
+**spatial partitioning (SP)**: shard the image H axis over a second mesh
+axis so one frame's rows live on several chips. XLA's SPMD partitioner
+turns the convolutions' cross-shard reads into halo exchanges
+(collective-permute over ICI) and the instance-norm H,W reductions into
+all-reduces — verified element-exact vs the single-device run on the
+virtual mesh (tests/test_parallel.py). That is how >1024p frames that
+blow one chip's HBM (or one chip's latency budget) serve on a slice:
+``dp_sp_mesh(dp, sp)`` + the same jitted step, no model changes.
+
 Scaling note (SURVEY.md §2.5): TP/PP/EP are deliberately absent — these
 models are <=50M params, orders of magnitude below the threshold where
 intra-layer sharding pays; the "long sequence" analog (video time) is
@@ -37,8 +47,33 @@ def data_parallel_mesh(num_devices: int = 0,
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) axis sharded over 'data'; all others replicated."""
+def dp_sp_mesh(dp: int = 0, sp: int = 1,
+               devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """2-D ``(data, spatial)`` mesh: batch on 'data', image rows on
+    'spatial'. ``dp=0`` uses all visible devices / ``sp``. ``sp`` should
+    map to an ICI-contiguous group (the default device order on a TPU
+    slice is) — halo exchanges ride neighbour links."""
+    if devices is None:
+        devices = jax.devices()
+    if not dp:
+        dp = len(devices) // sp
+    n = dp * sp
+    if n > len(devices):
+        raise ValueError(f"dp*sp = {dp}*{sp} = {n} exceeds "
+                         f"{len(devices)} visible devices")
+    return Mesh(np.asarray(devices[:n]).reshape(dp, sp),
+                axis_names=("data", "spatial"))
+
+
+def batch_sharding(mesh: Mesh, temporal: bool = False) -> NamedSharding:
+    """Batch sharding for ``mesh``: batch axis over 'data', and — when
+    the mesh has a 'spatial' axis — image rows (H) over 'spatial'. For
+    ``temporal`` batches (B, T, H, W, C) the time axis stays replicated
+    and H is dim 2."""
+    if "spatial" in mesh.axis_names:
+        spec = (P("data", None, "spatial") if temporal
+                else P("data", "spatial"))
+        return NamedSharding(mesh, spec)
     return NamedSharding(mesh, P("data"))
 
 
@@ -48,6 +83,10 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Device-put a host batch pytree with the batch axis sharded on
-    'data' (the H2D boundary of the input pipeline)."""
-    sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    'data' (the H2D boundary of the input pipeline). On a (data,
+    spatial) mesh, rank-4 leaves additionally shard H on 'spatial'
+    (rank-5 temporal leaves shard dim 2 — time stays replicated)."""
+    def put(x):
+        return jax.device_put(
+            x, batch_sharding(mesh, temporal=getattr(x, "ndim", 0) == 5))
+    return jax.tree.map(put, batch)

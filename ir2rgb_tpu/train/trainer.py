@@ -28,6 +28,7 @@ from ir2rgb_tpu.config import Config, save_config
 from ir2rgb_tpu.parallel import (
     batch_sharding,
     data_parallel_mesh,
+    dp_sp_mesh,
     replicate,
     shard_batch,
 )
@@ -39,7 +40,13 @@ class Trainer:
                  mesh=None, visualizer=None):
         self.model = model
         self.cfg = cfg
-        self.mesh = mesh or data_parallel_mesh(cfg.train.num_devices)
+        if mesh is not None:
+            self.mesh = mesh
+        elif cfg.train.spatial_devices > 1:
+            self.mesh = dp_sp_mesh(cfg.train.num_devices,
+                                   cfg.train.spatial_devices)
+        else:
+            self.mesh = data_parallel_mesh(cfg.train.num_devices)
         self.visualizer = visualizer
         run_dir = cfg.run_dir()
         os.makedirs(run_dir, exist_ok=True)
@@ -52,7 +59,8 @@ class Trainer:
         self._last_saved: Optional[int] = None
 
         rep = replicate(self.mesh)
-        shard = batch_sharding(self.mesh)
+        shard = batch_sharding(self.mesh,
+                               temporal=cfg.model.model == "temporal")
         donate = (0,) if cfg.train.donate else ()
         self._train_step = jax.jit(
             model.train_step,
