@@ -56,10 +56,11 @@ def build(preset: str, on_tpu: bool):
     return model, g
 
 
-def measure(preset: str, on_tpu: bool):
+def measure(preset: str, on_tpu: bool, batch: int = 1):
     model, g = build(preset, on_tpu)
-    size = 512 if on_tpu else 128
-    k1, k2 = (8, 40) if on_tpu else (2, 6)
+    size = model.cfg.data.crop_size if on_tpu else 128
+    k1, k2 = ((4, 16) if size >= 1024 or batch > 1 else (8, 40)) \
+        if on_tpu else (2, 6)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     temporal = model.cfg.model.model == "temporal"
 
@@ -68,7 +69,7 @@ def measure(preset: str, on_tpu: bool):
         # the carry IS the production dependency chain, so no step can
         # be elided (SURVEY.md §3.2)
         n_prev = model.cfg.model.n_frames_g - 1
-        prev0_t = jnp.zeros((1, size, size,
+        prev0_t = jnp.zeros((batch, size, size,
                              model.cfg.model.output_nc * n_prev), dtype)
 
         @functools.partial(jax.jit, static_argnames=("k",))
@@ -90,7 +91,7 @@ def measure(preset: str, on_tpu: bool):
             return jnp.sum(xk.astype(jnp.float32))
 
     x0 = jax.random.normal(jax.random.PRNGKey(1),
-                           (1, size, size, 3)).astype(dtype)
+                           (batch, size, size, 3)).astype(dtype)
     float(loop(g, x0, k1))  # compile both variants
     float(loop(g, x0, k2))
 
@@ -102,7 +103,7 @@ def measure(preset: str, on_tpu: bool):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    per_frame = (timed(k2) - timed(k1)) / (k2 - k1)
+    per_frame = (timed(k2) - timed(k1)) / (k2 - k1) / batch
 
     # FLOPs/frame from XLA's own cost analysis of the single-frame fwd
     fwd = jax.jit(lambda p, x: model.generate(p, x, train=False))
@@ -110,14 +111,14 @@ def measure(preset: str, on_tpu: bool):
         cost = fwd.lower(g, x0).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        gflops = float(cost.get("flops", 0.0)) / 1e9
+        gflops = float(cost.get("flops", 0.0)) / 1e9 / batch
     except Exception:
         gflops = 0.0
     fps = 1.0 / per_frame
     mfu = (gflops / 1e3) / (per_frame * V5E_PEAK_TFLOPS) if (
         on_tpu and gflops) else None
     return {
-        "preset": preset,
+        "preset": preset + (f"_b{batch}" if batch > 1 else ""),
         "size": size,
         "ms_per_frame": round(per_frame * 1e3, 3),
         "fps": round(fps, 2),
@@ -132,6 +133,10 @@ def main() -> None:
     if on_tpu:
         rows.append(measure("pix2pixhd_global_512", on_tpu))
         rows.append(measure("temporal_512", on_tpu))
+        rows.append(measure("pix2pixhd_1024", on_tpu))
+        # batched serving (not the reference's batch-1 streaming headline,
+        # but the right way to feed the MXU when latency allows)
+        rows.append(measure("pix2pixhd_512", on_tpu, batch=8))
     primary = rows[0]
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -194,6 +194,16 @@ PRESETS = {
         data=DataConfig(load_size=572, crop_size=512),
         loss=LossConfig(lambda_l1=0.0),
     ),
+    # the family's headline high-res tier: 1024p coarse-to-fine (local
+    # enhancer ngf=32 around the ngf_global=64 trunk, 3-scale D — the
+    # pix2pixHD 1024p training recipe)
+    "pix2pixhd_1024": Config(
+        model=ModelConfig(model="pix2pixhd", net_g="local", net_d="multiscale",
+                          num_d=3, ngf=32),
+        data=DataConfig(load_size=1124, crop_size=1024),
+        loss=LossConfig(lambda_l1=0.0),
+        train=TrainConfig(niter_fix_global=10),
+    ),
     # BASELINE.json:10 — temporal previous-frame conditioning
     "temporal_256": Config(
         model=ModelConfig(model="temporal", net_g="resnet_9blocks",

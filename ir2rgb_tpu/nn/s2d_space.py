@@ -33,6 +33,7 @@ image-space ops in tests/test_s2d_space.py).
 from __future__ import annotations
 
 import functools
+import os
 
 
 import numpy as np
@@ -474,6 +475,51 @@ def conv_reflect_s2d(xs: jax.Array, w: jax.Array,
 # Instance norm (+ activation) in s2d space
 # ---------------------------------------------------------------------------
 
+@jax.custom_vjp
+def _in_stats_dot(xs: jax.Array):
+    """(sum, sum-of-squares) per (n, channel) computed on the MXU: the
+    spatial sum is a ones-row matmul and the square-sum is the diagonal
+    of the Gram matrix X^T X — both fp32-accumulated. Exact for bf16
+    inputs (bf16*bf16 products are representable, fp32 MXU
+    accumulation); custom VJP gives the analytic backward (ct_s +
+    2 x ct_ss, elementwise) instead of autodiff through the Gram
+    diagonal.
+
+    MEASURED AND NOT USED (opt-in via IR2RGB_IN_STATS=dot): in-context
+    at 512px this LOSES to XLA's reduce fusions — 238.1 vs 283.8 fps
+    local, 182.3 vs 198.0 global. The profile's 231/104/48-us "stats
+    fusions" were already fused into the pad/copy producers (the
+    activation write happened regardless), so standalone stats matmuls
+    ADD full passes over the tensor instead of replacing anything.
+    Kept as the documented record of the attempt, mirroring
+    kernels/instance_norm.py and kernels/d2s.py."""
+    n, hs, ws, c4 = xs.shape
+    xf = xs.reshape(n, hs * ws, c4)
+    prec = (lax.Precision.DEFAULT if xs.dtype == jnp.bfloat16
+            else lax.Precision.HIGHEST)
+    ones = jnp.ones((hs * ws,), xs.dtype)
+    s = jnp.einsum("s,nsc->nc", ones, xf, precision=prec,
+                   preferred_element_type=jnp.float32)
+    gram = jnp.einsum("nsc,nsd->ncd", xf, xf, precision=prec,
+                      preferred_element_type=jnp.float32)
+    ss = jnp.diagonal(gram, axis1=1, axis2=2)
+    return s, ss
+
+
+def _in_stats_dot_fwd(xs):
+    return _in_stats_dot(xs), xs
+
+
+def _in_stats_dot_bwd(xs, ct):
+    ct_s, ct_ss = ct
+    g = (ct_s[:, None, None, :]
+         + 2.0 * xs.astype(jnp.float32) * ct_ss[:, None, None, :])
+    return (g.astype(xs.dtype),)
+
+
+_in_stats_dot.defvjp(_in_stats_dot_fwd, _in_stats_dot_bwd)
+
+
 def instance_norm_act_s2d(xs: jax.Array, act: str = "relu",
                           eps: float = 1e-5,
                           negative_slope: float = 0.2) -> jax.Array:
@@ -486,8 +532,12 @@ def instance_norm_act_s2d(xs: jax.Array, act: str = "relu",
     n, hs, ws, c4 = xs.shape
     c = c4 // 4
     x32 = xs.astype(jnp.float32)
-    s = jnp.sum(x32, axis=(1, 2))            # (n, 4C)
-    ss = jnp.sum(x32 * x32, axis=(1, 2))
+    if (jax.default_backend() == "tpu" and c4 <= 512
+            and os.environ.get("IR2RGB_IN_STATS", "xla") == "dot"):
+        s, ss = _in_stats_dot(xs)
+    else:
+        s = jnp.sum(x32, axis=(1, 2))            # (n, 4C)
+        ss = jnp.sum(x32 * x32, axis=(1, 2))
     cnt = float(hs * ws * 4)
     mean_c = jnp.sum(s.reshape(n, 4, c), axis=1) / cnt       # (n, C)
     ex2_c = jnp.sum(ss.reshape(n, 4, c), axis=1) / cnt

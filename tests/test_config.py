@@ -32,6 +32,10 @@ def test_presets_cover_baseline_configs():
     assert PRESETS["pix2pixhd_512"].model.net_g == "local"
     assert PRESETS["pix2pixhd_512"].data.crop_size == 512
     assert PRESETS["temporal_256"].model.model == "temporal"
+    assert PRESETS["pix2pixhd_1024"].data.crop_size == 1024
+    assert PRESETS["pix2pixhd_1024"].model.num_d == 3
+    assert PRESETS["temporal_512"].model.model == "temporal"
+    assert PRESETS["temporal_512"].model.net_g == "local"
 
 
 def test_reference_flag_translation():

@@ -113,3 +113,37 @@ def test_deconv_s2d_to_s2d_exact():
     got = from_s2d(got_s2d, 4)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_in_stats_dot_matches_reduce(dtype):
+    """The MXU stats path (ones-matmul sum + Gram-diagonal square-sum,
+    custom analytic VJP) must match the upcast-reduce formulation in
+    values AND gradients."""
+    from ir2rgb_tpu.nn.s2d_space import _in_stats_dot
+    rng = np.random.RandomState(0)
+    xs = jnp.asarray(rng.randn(2, 16, 16, 24).astype(np.float32)).astype(dtype)
+    s, ss = _in_stats_dot(xs)
+    x32 = xs.astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(s),
+                               np.asarray(jnp.sum(x32, axis=(1, 2))),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ss),
+                               np.asarray(jnp.sum(x32 * x32, axis=(1, 2))),
+                               rtol=1e-5, atol=1e-4)
+
+    ct_s = jnp.asarray(rng.randn(2, 24), jnp.float32)
+    ct_ss = jnp.asarray(rng.randn(2, 24), jnp.float32)
+
+    def f(v):
+        a, b = _in_stats_dot(v)
+        return jnp.sum(a * ct_s) + jnp.sum(b * ct_ss)
+
+    def f_ref(v):
+        v32 = v.astype(jnp.float32)
+        return (jnp.sum(jnp.sum(v32, axis=(1, 2)) * ct_s)
+                + jnp.sum(jnp.sum(v32 * v32, axis=(1, 2)) * ct_ss))
+
+    g, g_ref = jax.grad(f)(xs), jax.grad(f_ref)(xs)
+    np.testing.assert_array_equal(np.asarray(g.astype(jnp.float32)),
+                                  np.asarray(g_ref.astype(jnp.float32)))
