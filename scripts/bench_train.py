@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench(preset: str) -> dict:
+def bench(preset: str, batch: int = 0) -> dict:
     from ir2rgb_tpu.config import PRESETS
     from ir2rgb_tpu.train import create_model
 
@@ -36,7 +36,7 @@ def bench(preset: str) -> dict:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, compute_dtype="bf16"))
     size = cfg.data.crop_size if on_tpu else 64
-    batch_size = max(cfg.data.batch_size, 1)
+    batch_size = batch or max(cfg.data.batch_size, 1)
     k1, k2 = (2, 8) if on_tpu else (1, 3)
     model = create_model(cfg, steps_per_epoch=1000)
     rng = np.random.RandomState(0)
@@ -79,6 +79,12 @@ def bench(preset: str) -> dict:
 
 
 if __name__ == "__main__":
-    presets = sys.argv[1:] or ["pix2pix_unet256", "pix2pixhd_512"]
+    args = sys.argv[1:]
+    batch = 0
+    if "--batch" in args:
+        i = args.index("--batch")
+        batch = int(args[i + 1])
+        del args[i:i + 2]
+    presets = args or ["pix2pix_unet256", "pix2pixhd_512"]
     for p in presets:
-        print(json.dumps(bench(p)), flush=True)
+        print(json.dumps(bench(p, batch)), flush=True)
