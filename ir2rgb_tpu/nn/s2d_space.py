@@ -381,6 +381,7 @@ def reflect_pad_s2d(xs: jax.Array, pad: int) -> jax.Array:
     return jnp.concatenate(out_blocks, axis=-1)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv_on_s2d_wide(xs: jax.Array, w: jax.Array, pad: int,
                      precision=lax.Precision.HIGHEST) -> jax.Array:
     """Zero-padded stride-1 s2d conv for OUTPUT-CHANNEL-STARVED kernels
@@ -392,6 +393,17 @@ def conv_on_s2d_wide(xs: jax.Array, w: jax.Array, pad: int,
     matmul (N=300 for the 7x7 tail — MXU-shaped), and the offset sum
     becomes kk*kk shifted channel-block slices of the padded product,
     which XLA fuses into a single accumulation pass.
+
+    Custom VJP ("forward wide, backward direct"): autodiff through the
+    pad + shifted-slice sum scatters the cotangent into a padded
+    (h+4, w+4, kk*kk*P*co) buffer — the round-2 train profile's single
+    most expensive op (637 us). Since this computes the same function
+    as ``conv_on_s2d``, the backward instead linear-transposes the
+    DIRECT conv formulation, which XLA lowers to ordinary transposed
+    convs. Measured: step time neutral (42.6 -> 42.8 ms — the scatter
+    goes away but the channel-starved transposed conv costs the same);
+    kept for the bit-exact-vs-direct gradients and the ~40 MB smaller
+    backward working set (no padded kk*kk*P*co cotangent buffer).
     """
     n, hs, ws, c4 = xs.shape
     ci = c4 // 4
@@ -425,6 +437,24 @@ def conv_on_s2d_wide(xs: jax.Array, w: jax.Array, pad: int,
             piece = y[:, th:th + jh, tw:tw + jw, t * blk:(t + 1) * blk]
             out = piece if out is None else out + piece
     return out
+
+
+def _conv_wide_fwd(xs, w, pad, precision):
+    return conv_on_s2d_wide(xs, w, pad, precision), (xs, w)
+
+
+def _conv_wide_bwd(pad, precision, res, ct):
+    xs, w = res
+    dx = jax.linear_transpose(
+        lambda v: conv_on_s2d(v, w, stride=1, pad=pad,
+                              precision=precision), xs)(ct)[0]
+    dw = jax.linear_transpose(
+        lambda v: conv_on_s2d(xs, v, stride=1, pad=pad,
+                              precision=precision), w)(ct)[0]
+    return dx, dw
+
+
+conv_on_s2d_wide.defvjp(_conv_wide_fwd, _conv_wide_bwd)
 
 
 def conv_reflect_s2d(xs: jax.Array, w: jax.Array,

@@ -147,3 +147,36 @@ def test_in_stats_dot_matches_reduce(dtype):
     g, g_ref = jax.grad(f)(xs), jax.grad(f_ref)(xs)
     np.testing.assert_array_equal(np.asarray(g.astype(jnp.float32)),
                                   np.asarray(g_ref.astype(jnp.float32)))
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_conv_wide_custom_vjp_matches_direct(dtype):
+    """conv_on_s2d_wide's "forward wide, backward direct" custom VJP:
+    gradients must be bit-exact against autodiff of the direct
+    conv_on_s2d formulation (they run the same transposed-conv ops)."""
+    from ir2rgb_tpu.nn.s2d_space import conv_on_s2d, conv_on_s2d_wide
+    rng = np.random.RandomState(0)
+    xs = jnp.asarray(rng.randn(1, 16, 16, 32).astype(np.float32)).astype(dtype)
+    w = jnp.asarray(rng.randn(7, 7, 8, 3).astype(np.float32) * .1).astype(dtype)
+    ct = jnp.asarray(rng.randn(1, 16, 16, 12).astype(np.float32)).astype(dtype)
+    prec = (lax.Precision.HIGHEST if dtype == jnp.float32
+            else lax.Precision.DEFAULT)
+
+    def loss_w(a, b):
+        return jnp.sum(conv_on_s2d_wide(a, b, 3, prec).astype(jnp.float32)
+                       * ct.astype(jnp.float32))
+
+    def loss_d(a, b):
+        return jnp.sum(
+            conv_on_s2d(a, b, stride=1, pad=3,
+                        precision=prec).astype(jnp.float32)
+            * ct.astype(jnp.float32))
+
+    gx_w, gw_w = jax.grad(loss_w, argnums=(0, 1))(xs, w)
+    gx_d, gw_d = jax.grad(loss_d, argnums=(0, 1))(xs, w)
+    np.testing.assert_array_equal(
+        np.asarray(gx_w.astype(jnp.float32)),
+        np.asarray(gx_d.astype(jnp.float32)))
+    np.testing.assert_array_equal(
+        np.asarray(gw_w.astype(jnp.float32)),
+        np.asarray(gw_d.astype(jnp.float32)))
