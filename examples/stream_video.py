@@ -51,30 +51,24 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
 
     t0 = time.perf_counter()
-    pending = []  # (path, device_array): keep dispatch ahead of D2H
-    for path in paths:
-        ir = decode_batch([path], size, size,
-                          gray=cfg.model.input_nc == 1)[0]
-        rgb_dev = stream.push_device(
-            jax.device_put(ir[None].astype(np.float32) / 127.5 - 1.0))
-        pending.append((path, rgb_dev))
-        if len(pending) >= 4:  # drain: D2H overlaps later frames' compute
-            _write(pending.pop(0), args.out)
-    for item in pending:
-        _write(item, args.out)
+
+    def decoded():
+        for path in paths:
+            # uint8 straight to the device: normalization/quantization
+            # run on-chip so the wire carries 1 byte/px each way
+            yield decode_batch([path], size, size,
+                               gray=cfg.model.input_nc == 1)[0]
+
+    # StreamingGenerator.stream pipelines H2D + dispatch of frame t
+    # ahead of the D2H of frame t-1
+    for path, rgb in zip(paths, stream.stream(decoded())):
+        name = os.path.splitext(os.path.basename(path))[0] + "_rgb.png"
+        Image.fromarray(rgb).save(os.path.join(args.out, name))
     dt = time.perf_counter() - t0
     print(f"{len(paths)} frames in {dt:.2f}s "
           f"({len(paths) / max(dt, 1e-9):.1f} fps end-to-end incl. "
           f"decode + PNG encode)")
     return 0
-
-
-def _write(item, out_dir):
-    from PIL import Image
-    from ir2rgb_tpu.infer import tensor2im
-    path, rgb_dev = item
-    name = os.path.splitext(os.path.basename(path))[0] + "_rgb.png"
-    Image.fromarray(tensor2im(rgb_dev)).save(os.path.join(out_dir, name))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,21 @@ import numpy as np
 from ir2rgb_tpu.train.model import GanModel
 
 
+def _dev_normalize(a_u8: jax.Array) -> jax.Array:
+    """uint8 frame -> [-1,1] float32 ON DEVICE. Bit-identical to the
+    host-side ``a.astype(np.float32) / 127.5 - 1.0`` (uint8->f32 is
+    exact; same IEEE ops) but moves the 4x-smaller uint8 buffer over
+    the wire instead of the f32 one."""
+    return a_u8.astype(jnp.float32) / 127.5 - 1.0
+
+
+def _dev_quantize(fake: jax.Array) -> jax.Array:
+    """[-1,1] frame -> uint8 ON DEVICE; mirrors tensor2im's
+    clip/scale/truncate exactly so the D2H moves 1 byte/px."""
+    arr = (jnp.clip(fake.astype(jnp.float32), -1, 1) + 1.0) * 127.5
+    return arr.astype(jnp.uint8)
+
+
 def single_frame_infer(model: GanModel, g_params, donate: bool = True):
     """Compiled no-grad G forward: a_frame (B,H,W,C) -> fake (B,H,W,3)."""
 
@@ -86,11 +101,22 @@ class StreamingGenerator:
 
             # donate a + carry: their HBM is recycled for the outputs
             self._step = jax.jit(step, donate_argnums=(1, 2))
+
+            def step_u8(params, a_u8, carry):
+                fake, new_carry = step(params, _dev_normalize(a_u8), carry)
+                return _dev_quantize(fake), new_carry
+
+            self._step_u8 = jax.jit(step_u8, donate_argnums=(1, 2))
         else:
             def step(params, a):
                 return model.generate(params, a, train=False)
 
             self._step = jax.jit(step, donate_argnums=(1,))
+
+            def step_u8(params, a_u8):
+                return _dev_quantize(step(params, _dev_normalize(a_u8)))
+
+            self._step_u8 = jax.jit(step_u8, donate_argnums=(1,))
 
     def reset(self) -> None:
         if self._carry is not None:
@@ -105,15 +131,63 @@ class StreamingGenerator:
             return fake
         return self._step(self.g_params, a)
 
-    def push(self, a_host: np.ndarray) -> np.ndarray:
-        """Host frame in ([-1,1] float or uint8), uint8 RGB out."""
+    def _dispatch(self, a_host: np.ndarray) -> Tuple[jax.Array, bool]:
+        """H2D + compute dispatch for one host frame; returns the
+        on-device output and whether it is already uint8.
+
+        uint8 frames take the wire-thin path: the raw bytes go over
+        H2D (4x smaller than f32) and normalization/quantization run
+        on device, so the D2H result is uint8 too (another 4x)."""
         a = np.asarray(a_host)
-        if a.dtype == np.uint8:
-            a = a.astype(np.float32) / 127.5 - 1.0
         if a.ndim == 3:
             a = a[None]
-        fake = self.push_device(jnp.asarray(a))
-        return tensor2im(fake)
+        if a.dtype == np.uint8:
+            a_dev = jnp.asarray(a)
+            if self._frame_sharding is not None:
+                a_dev = jax.device_put(a_dev, self._frame_sharding)
+            if self.temporal:
+                out, self._carry = self._step_u8(self.g_params, a_dev,
+                                                 self._carry)
+            else:
+                out = self._step_u8(self.g_params, a_dev)
+            return out, True
+        return self.push_device(jnp.asarray(a.astype(np.float32))), False
+
+    @staticmethod
+    def _fetch(out: jax.Array, is_u8: bool) -> np.ndarray:
+        if is_u8:
+            arr = np.asarray(jax.device_get(out))
+            return arr[0] if arr.ndim == 4 else arr
+        return tensor2im(out)
+
+    def push(self, a_host: np.ndarray) -> np.ndarray:
+        """Host frame in (uint8, or [-1,1] float), uint8 RGB out.
+
+        NB: this blocks on the D2H fetch of THIS frame's output before
+        the caller can supply the next frame, so host prep + H2D sit on
+        the critical path. For a continuous feed use :meth:`stream`,
+        which pipelines them under device compute."""
+        return self._fetch(*self._dispatch(a_host))
+
+    def stream(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
+        """Pipelined serving loop: host frames in, uint8 RGB out, one
+        frame of latency.
+
+        Depth-1 software pipeline (SURVEY.md §7 hard-part #5): for each
+        incoming frame the host prep + ``device_put`` H2D and the
+        dispatch of compute(t) all happen BEFORE blocking on the D2H of
+        output t-1 — JAX's async dispatch queues the transfer and the
+        step while the TPU is still busy, so H2D(t+1) and the host-side
+        handling of output(t-1) overlap compute(t). Same outputs as
+        sequential :meth:`push` calls (tested)."""
+        pending = None
+        for a_host in frames:
+            out = self._dispatch(a_host)            # async H2D + dispatch
+            if pending is not None:
+                yield self._fetch(*pending)         # sync on t-1 only
+            pending = out
+        if pending is not None:
+            yield self._fetch(*pending)
 
 
 def translate_clip(model: GanModel, g_params, a_seq: jax.Array) -> jax.Array:

@@ -103,3 +103,49 @@ def test_flicker_metric():
     moving = jnp.asarray(np.random.RandomState(0).rand(5, 8, 8, 3))
     assert float(flicker(static)) == 0.0
     assert float(flicker(moving)) > 0.1
+
+
+def test_pipelined_stream_matches_sequential_push():
+    """StreamingGenerator.stream (depth-1 software pipeline: H2D +
+    dispatch of frame t before the D2H of frame t-1) must produce
+    exactly the same frames as sequential push() calls."""
+    model, g_params = _temporal_model()
+    rng = np.random.RandomState(7)
+    frames = [rng.rand(32, 32, 3).astype(np.float32) * 2 - 1
+              for _ in range(5)]
+
+    s1 = StreamingGenerator(model, g_params, (32, 32))
+    seq = [s1.push(f) for f in frames]
+
+    s2 = StreamingGenerator(model, g_params, (32, 32))
+    piped = list(s2.stream(frames))
+
+    assert len(piped) == len(seq)
+    for a, b in zip(seq, piped):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_uint8_wire_path_matches_host_conversion():
+    """uint8 ingest (normalize/quantize on device, uint8 over the wire
+    both ways) must match the host-side float path within 1 LSB (the
+    f32->uint8 cast may round differently on device)."""
+    model, g_params = _temporal_model()
+    rng = np.random.RandomState(3)
+    frames_u8 = [(rng.rand(32, 32, 3) * 255).astype(np.uint8)
+                 for _ in range(3)]
+
+    s_u8 = StreamingGenerator(model, g_params, (32, 32))
+    out_u8 = [s_u8.push(f) for f in frames_u8]
+
+    s_f = StreamingGenerator(model, g_params, (32, 32))
+    out_f = [s_f.push(f.astype(np.float32) / 127.5 - 1.0)
+             for f in frames_u8]
+
+    for a, b in zip(out_u8, out_f):
+        assert a.dtype == np.uint8 and b.dtype == np.uint8
+        assert np.max(np.abs(a.astype(np.int16) - b.astype(np.int16))) <= 1
+
+    # pipelined uint8 stream == sequential uint8 pushes, exactly
+    s2 = StreamingGenerator(model, g_params, (32, 32))
+    for a, b in zip(out_u8, s2.stream(frames_u8)):
+        np.testing.assert_array_equal(a, b)
