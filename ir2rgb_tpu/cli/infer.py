@@ -112,6 +112,7 @@ def main(argv=None) -> int:
             "target": _ar(tensor2im(batch["b"])),
         }, host_batch["paths"][0][0])
         count += 1
+    vis.flush()  # async gallery writes hit disk before the page references them
     page.save()
     if psnrs:
         print(f"frames: {count}  PSNR: {np.mean(psnrs):.2f} dB  "

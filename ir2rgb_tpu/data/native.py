@@ -46,6 +46,17 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            lib.i2r_encode_png.restype = ctypes.c_int
+            lib.i2r_encode_png.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.i2r_encode_png_batch.restype = ctypes.c_int
+            lib.i2r_encode_png_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
             _LIB = lib
         except Exception:
             _LIB_FAILED = True
@@ -106,3 +117,39 @@ def _decode_batch_pil(paths: List[str], out_h: int, out_w: int,
             a = np.asarray(im, np.uint8)
         out[i] = a[..., None] if gray else a
     return out
+
+
+def encode_png(path: str, img: np.ndarray) -> None:
+    """Write an HWC (or HW) uint8 image as PNG — native libpng encoder
+    (compression level 1, no GIL during the write) when available, PIL
+    otherwise. The serve/gallery write path (obs.AsyncImageWriter)."""
+    arr = np.ascontiguousarray(img, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    lib = _load()
+    if lib is None or arr.shape[2] not in (1, 3):
+        from PIL import Image
+        Image.fromarray(img).save(path)
+        return
+    rc = lib.i2r_encode_png(
+        path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        arr.shape[0], arr.shape[1], arr.shape[2])
+    if rc:
+        raise IOError(f"native PNG encode failed: {path}")
+
+
+def encode_png_batch(paths: List[str], imgs: np.ndarray,
+                     threads: int = 0) -> None:
+    """Thread-pooled PNG write of an (N, H, W, C) uint8 stack."""
+    arr = np.ascontiguousarray(imgs, np.uint8)
+    lib = _load()
+    if lib is None or arr.shape[3] not in (1, 3):
+        for p, im in zip(paths, arr):
+            encode_png(p, im)
+        return
+    cp = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    failures = lib.i2r_encode_png_batch(
+        cp, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        arr.shape[0], arr.shape[1], arr.shape[2], arr.shape[3], threads)
+    if failures:
+        raise IOError(f"native PNG encode failed on {failures} images")

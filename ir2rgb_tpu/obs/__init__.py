@@ -1,4 +1,5 @@
 from .html import HTMLPage
 from .visualizer import Visualizer
+from .writer import AsyncImageWriter
 
-__all__ = ["Visualizer", "HTMLPage"]
+__all__ = ["Visualizer", "HTMLPage", "AsyncImageWriter"]

@@ -19,6 +19,7 @@ from typing import Dict, Mapping, Optional
 import numpy as np
 
 from .html import HTMLPage
+from .writer import AsyncImageWriter
 
 
 class Visualizer:
@@ -29,6 +30,9 @@ class Visualizer:
         self.web_dir = os.path.join(run_dir, "web")
         self.img_dir = os.path.join(self.web_dir, "images")
         os.makedirs(self.img_dir, exist_ok=True)
+        # PNG writes go to worker threads (native libpng encoder) so the
+        # step loop never blocks on image encode; flush() barriers
+        self.writer = AsyncImageWriter()
         self.log_path = os.path.join(run_dir, "loss_log.txt")
         self.jsonl_path = os.path.join(run_dir, "metrics.jsonl")
         with open(self.log_path, "a") as fh:
@@ -56,11 +60,10 @@ class Visualizer:
     def display_current_results(self, visuals: Mapping[str, np.ndarray],
                                 epoch: int, step: int) -> None:
         """visuals: name -> uint8 HWC image."""
-        from PIL import Image
         names = []
         for label, img in visuals.items():
             fname = f"epoch{epoch:03d}_step{step:07d}_{label}.png"
-            Image.fromarray(img).save(os.path.join(self.img_dir, fname))
+            self.writer.write(os.path.join(self.img_dir, fname), img)
             names.append((fname, label))
         page = HTMLPage(self.web_dir, f"Experiment: {self.name}")
         page.add_header(f"epoch {epoch}, step {step}")
@@ -70,16 +73,20 @@ class Visualizer:
     def save_images(self, page: HTMLPage, visuals: Mapping[str, np.ndarray],
                     image_path: str, width: int = 256) -> None:
         """Reference visualizer.save_images analog for test-time galleries."""
-        from PIL import Image
         short = os.path.splitext(os.path.basename(image_path))[0]
         page.add_header(short)
         names, caps = [], []
         for label, img in visuals.items():
             fname = f"{short}_{label}.png"
-            Image.fromarray(img).save(os.path.join(page.img_dir, fname))
+            self.writer.write(os.path.join(page.img_dir, fname), img)
             names.append(fname)
             caps.append(label)
         page.add_images(names, caps, width)
+
+    def flush(self) -> None:
+        """Barrier: all queued gallery images are on disk (raises any
+        worker error). Call before reading the files back or exiting."""
+        self.writer.flush()
 
     # ------------------------------------------------------------------
 

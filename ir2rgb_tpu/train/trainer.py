@@ -140,6 +140,8 @@ class Trainer:
                     self.ckpt.record_epoch(epoch, step)
         self._save(step, state, force=True)
         self.ckpt.wait()
+        if self.visualizer is not None and hasattr(self.visualizer, "flush"):
+            self.visualizer.flush()  # async gallery writes hit disk
         return state
 
     def _save(self, step: int, state: TrainState,

@@ -166,6 +166,50 @@ void resize_bilinear(const Image& src, int out_h, int out_w, int gray,
   }
 }
 
+// -------------------------------------------------------------- encode ----
+
+// Write an HWC uint8 buffer (c = 1 or 3) as PNG. Compression level 1:
+// these are serve-loop outputs and training galleries — encode speed
+// beats file size on the hot path.
+bool encode_png(const char* path, const uint8_t* data, int h, int w, int c) {
+  if (c != 1 && c != 3) return false;
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return false;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr,
+                              nullptr);
+  if (!png) {
+    std::fclose(f);
+    return false;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    std::fclose(f);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    std::fclose(f);
+    return false;
+  }
+  png_init_io(png, f);
+  png_set_compression_level(png, 1);
+  png_set_IHDR(png, info, w, h, 8,
+               c == 1 ? PNG_COLOR_TYPE_GRAY : PNG_COLOR_TYPE_RGB,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y)
+    rows[y] = const_cast<png_bytep>(data + size_t(y) * w * c);
+  png_write_image(png, rows.data());
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  std::fclose(f);
+  return true;
+}
+
 bool decode_file(const char* path, Image* im) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
@@ -211,6 +255,36 @@ int i2r_decode_batch(const char** paths, int n, int out_h, int out_w,
         std::memset(slot, 0, stride);
         failures.fetch_add(1);
       }
+    }
+  };
+  int t = threads > 0 ? threads : int(std::thread::hardware_concurrency());
+  if (t < 1) t = 1;
+  if (t > n) t = n;
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  for (int i = 0; i < t; ++i) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+// Encode one HWC uint8 image (c = 1 or 3) to PNG. 0 on success.
+int i2r_encode_png(const char* path, const uint8_t* data, int h, int w,
+                   int c) {
+  return encode_png(path, data, h, w, c) ? 0 : 1;
+}
+
+// Thread-pooled batch encode: data is (n, h, w, c) uint8 contiguous.
+// Returns the number of failed writes.
+int i2r_encode_png_batch(const char** paths, const uint8_t* data, int n,
+                         int h, int w, int c, int threads) {
+  const size_t stride = size_t(h) * w * c;
+  std::atomic<int> next(0), failures(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      if (!encode_png(paths[i], data + size_t(i) * stride, h, w, c))
+        failures.fetch_add(1);
     }
   };
   int t = threads > 0 ? threads : int(std::thread::hardware_concurrency());

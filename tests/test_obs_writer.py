@@ -1,0 +1,68 @@
+"""Async gallery writer (obs/writer.py) + native PNG encoder
+(native/decoder.cpp::i2r_encode_png) — the off-hot-path write story."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ir2rgb_tpu.data.native import decode_batch, encode_png, encode_png_batch
+from ir2rgb_tpu.obs import AsyncImageWriter, Visualizer
+
+
+def test_encode_png_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    img = (rng.rand(40, 52, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    encode_png(p, img)
+    back = decode_batch([p], 40, 52)[0]
+    np.testing.assert_array_equal(back, img)
+
+
+def test_encode_png_gray_roundtrip(tmp_path):
+    rng = np.random.RandomState(1)
+    img = (rng.rand(16, 16) * 255).astype(np.uint8)
+    p = str(tmp_path / "g.png")
+    encode_png(p, img)
+    back = decode_batch([p], 16, 16, gray=True)[0][..., 0]
+    np.testing.assert_array_equal(back, img)
+
+
+def test_encode_png_batch_threaded(tmp_path):
+    rng = np.random.RandomState(2)
+    imgs = (rng.rand(6, 20, 24, 3) * 255).astype(np.uint8)
+    paths = [str(tmp_path / f"b{i}.png") for i in range(6)]
+    encode_png_batch(paths, imgs, threads=3)
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(decode_batch([p], 20, 24)[0], imgs[i])
+
+
+def test_async_writer_flush_barrier(tmp_path):
+    w = AsyncImageWriter(workers=2, max_queue=4)
+    rng = np.random.RandomState(3)
+    paths = [str(tmp_path / f"a{i}.png") for i in range(10)]
+    for p in paths:
+        w.write(p, (rng.rand(8, 8, 3) * 255).astype(np.uint8))
+    w.flush()
+    assert all(os.path.exists(p) for p in paths)
+    w.close()
+
+
+def test_async_writer_surfaces_errors(tmp_path):
+    w = AsyncImageWriter(workers=1)
+    w.write(str(tmp_path / "no_such_dir" / "x.png"),
+            np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(Exception):
+        w.flush()
+    w.close()
+
+
+def test_visualizer_display_uses_async_writer(tmp_path):
+    vis = Visualizer(str(tmp_path), "t")
+    img = np.full((8, 8, 3), 7, np.uint8)
+    vis.display_current_results({"fake": img}, epoch=1, step=5)
+    vis.flush()
+    out = os.path.join(str(tmp_path), "web", "images",
+                       "epoch001_step0000005_fake.png")
+    assert os.path.exists(out)
+    np.testing.assert_array_equal(decode_batch([out], 8, 8)[0], img)
