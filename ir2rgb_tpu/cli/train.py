@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     from ir2rgb_tpu.infer.stream import tensor2im
 
     cfg = parse_cli(argv)
+    if cfg.train.multihost:
+        from ir2rgb_tpu.parallel import multihost
+        multihost.initialize()
     loader = DataLoader(cfg)
     steps_per_epoch = max(len(loader), 1)
     model = create_model(cfg, steps_per_epoch=steps_per_epoch)

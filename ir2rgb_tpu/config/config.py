@@ -134,6 +134,10 @@ class TrainConfig:
     seed: int = 0
     # data-parallel device count; 0 = all visible devices
     num_devices: int = 0
+    # multi-host: call jax.distributed.initialize() at startup (every
+    # host runs the same program; meshes then span the whole slice and
+    # each host feeds its local shard via parallel.multihost.global_batch)
+    multihost: bool = False
     # spatial partitioning: shard image rows (H) over this many devices
     # per data-parallel replica (dp x sp mesh; XLA inserts the conv halo
     # exchanges). 1 = pure DP. H and batch must divide evenly.

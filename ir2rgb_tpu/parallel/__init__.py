@@ -1,3 +1,4 @@
+from . import multihost
 from .mesh import (
     batch_sharding,
     data_parallel_mesh,
@@ -7,6 +8,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "multihost",
     "data_parallel_mesh",
     "dp_sp_mesh",
     "batch_sharding",

@@ -185,3 +185,27 @@ def test_streaming_generator_spatial_mesh():
         a = np.asarray(plain.push_device(jnp.array(f)))
         b = np.asarray(sharded.push_device(jnp.array(f)))
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_multihost_global_batch_single_process():
+    """multihost.global_batch on a single process must equal shard_batch
+    (the per-process local data IS the whole batch), and initialize()
+    must be a safe no-op without a coordinator."""
+    from ir2rgb_tpu.parallel import multihost
+
+    multihost.initialize()  # no-op: no coordinator configured, CPU
+    assert jax.process_count() == 1
+
+    mesh = data_parallel_mesh(8)
+    x = np.arange(8 * 4 * 4 * 3, dtype=np.float32).reshape(8, 4, 4, 3)
+    a = multihost.global_batch({"a": x}, mesh)["a"]
+    b = shard_batch({"a": jnp.asarray(x)}, mesh)["a"]
+    assert a.sharding == b.sharding
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    from ir2rgb_tpu.parallel import dp_sp_mesh
+    mesh2 = dp_sp_mesh(2, 4)
+    a2 = multihost.global_batch({"a": x}, mesh2)["a"]
+    b2 = shard_batch({"a": jnp.asarray(x)}, mesh2)["a"]
+    assert a2.sharding == b2.sharding
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
