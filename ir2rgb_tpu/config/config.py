@@ -208,6 +208,16 @@ PRESETS = {
         loss=LossConfig(lambda_l1=0.0),
         train=TrainConfig(niter_fix_global=10),
     ),
+    # 2048p tier: two local enhancers around the global trunk (the
+    # pix2pixHD 2048-wide recipe — each enhancer doubles resolution, so
+    # the trunk trains/runs at 512 while the full frame is 2048)
+    "pix2pixhd_2048": Config(
+        model=ModelConfig(model="pix2pixhd", net_g="local", net_d="multiscale",
+                          num_d=3, ngf=16, n_local_enhancers=2),
+        data=DataConfig(load_size=2248, crop_size=2048),
+        loss=LossConfig(lambda_l1=0.0),
+        train=TrainConfig(niter_fix_global=10),
+    ),
     # BASELINE.json:10 — temporal previous-frame conditioning
     "temporal_256": Config(
         model=ModelConfig(model="temporal", net_g="resnet_9blocks",
