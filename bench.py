@@ -139,11 +139,14 @@ def main() -> None:
         rows.append(measure("pix2pixhd_512", on_tpu, batch=8))
     primary = rows[0]
 
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    with open(detail_path, "w") as fh:
-        json.dump({"v5e_bf16_peak_tflops": V5E_PEAK_TFLOPS, "configs": rows},
-                  fh, indent=1)
+    if on_tpu:
+        # only real-chip measurements may overwrite the committed table
+        # (a CPU smoke run would clobber it with a 128px placeholder row)
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        with open(detail_path, "w") as fh:
+            json.dump({"v5e_bf16_peak_tflops": V5E_PEAK_TFLOPS,
+                       "configs": rows}, fh, indent=1)
     for r in rows:
         print(json.dumps(r), file=sys.stderr)
 

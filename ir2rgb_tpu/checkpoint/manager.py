@@ -54,6 +54,21 @@ class CheckpointManager:
     def all_steps(self):
         return self._mgr.all_steps()
 
+    def delete_after(self, step: int) -> None:
+        """Drop checkpoints (and epoch labels) newer than ``step`` —
+        resuming from a non-latest epoch starts a NEW trajectory, and
+        orbax rejects re-saving a step that already exists."""
+        for s in list(self._mgr.all_steps()):
+            if s > step:
+                self._mgr.delete(s)
+        path = self._epochs_path()
+        if os.path.exists(path):
+            with open(path) as fh:
+                m = json.load(fh)
+            m = {e: s for e, s in m.items() if int(s) <= step}
+            with open(path, "w") as fh:
+                json.dump(m, fh, indent=0, sort_keys=True)
+
     def clear(self) -> None:
         """Delete every managed step + the epoch index — fresh-run
         semantics (the reference overwrites its ``*_net_G.pth`` files in

@@ -118,6 +118,14 @@ class DataLoader:
                     f"use_instance_feat is on but no instance-map folder "
                     f"({self.phase}Inst / Inst/{self.phase} / Inst) exists "
                     f"under {d.dataroot}")
+            if len(self.inst_paths) != len(self.items):
+                # positional pairing below — a count mismatch would
+                # silently misalign maps or IndexError mid-epoch
+                raise ValueError(
+                    f"instance-map count ({len(self.inst_paths)}) != "
+                    f"image-pair count ({len(self.items)}) under "
+                    f"{d.dataroot}; every A/B pair needs exactly one "
+                    f"instance map")
         if not self.items:
             raise FileNotFoundError(
                 f"no data under {d.dataroot} (phase {self.phase})")
@@ -136,9 +144,12 @@ class DataLoader:
 
     def _check_uniform_native_sizes(self) -> None:
         if self.temporal:
-            paths = [p for w in self.items for pair in w for p in pair]
+            # overlapping windows repeat frames — check each file once
+            paths = list(dict.fromkeys(
+                p for w in self.items for pair in w for p in pair))
         else:
-            paths = [p for pair in self.items for p in pair]
+            paths = list(dict.fromkeys(
+                p for pair in self.items for p in pair))
         ref_path = paths[0]
         ref = _native_size(ref_path)
         for p in paths[1:]:

@@ -129,7 +129,8 @@ def encode_png(path: str, img: np.ndarray) -> None:
     lib = _load()
     if lib is None or arr.shape[2] not in (1, 3):
         from PIL import Image
-        Image.fromarray(img).save(path)
+        pil_arr = arr[..., 0] if arr.shape[2] == 1 else arr
+        Image.fromarray(pil_arr).save(path)
         return
     rc = lib.i2r_encode_png(
         path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

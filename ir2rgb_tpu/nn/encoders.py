@@ -11,7 +11,8 @@ option surface).
 
 TPU-native pooling: the reference loops over ``inst.unique()`` on the
 host; here the pooling is one pair of ``segment_sum`` scatters keyed by
-the instance id (ids taken modulo a static ``num_instances`` cap so the
+the instance id (ids hashed into a static ``num_instances``-segment
+space so the
 whole thing jits with fixed shapes), then a gather back through the id
 map — no host sync, no dynamic shapes.
 
@@ -105,8 +106,17 @@ def instance_wise_avg_pool(feat: jax.Array, inst: jax.Array,
     mean, fully on-device.
     """
     b, h, w, c = feat.shape
-    ids = jnp.remainder(inst.reshape(b, h * w).astype(jnp.int32),
-                        num_instances)
+    # hash raw ids into the static segment space via the TOP bits of a
+    # Knuth multiplicative hash. A plain `id % n` is structurally lossy
+    # for RGB-folded ids (R*65536 + G*256 + B): 65536 % 1024 == 0 wipes
+    # the R channel, so distinct instances collide systematically. The
+    # odd-multiply-then-low-bits form has the same flaw (low bits of
+    # x*K depend only on low bits of x); taking the high 16 bits first
+    # mixes every input bit into the segment id, leaving only
+    # birthday-bound collisions.
+    raw = inst.reshape(b, h * w).astype(jnp.uint32)
+    hashed = (raw * jnp.uint32(2654435761)) >> jnp.uint32(16)
+    ids = (hashed % jnp.uint32(num_instances)).astype(jnp.int32)
     flat = feat.reshape(b, h * w, c).astype(jnp.float32)
 
     def per_image(fi, idi):

@@ -27,11 +27,21 @@ class AsyncImageWriter:
         self._q: "queue.Queue[Tuple[Optional[str], Optional[np.ndarray]]]" \
             = queue.Queue(maxsize=max_queue)
         self._error: Optional[BaseException] = None
+        self._workers = max(1, workers)
         self._threads: List[threading.Thread] = []
-        for _ in range(max(1, workers)):
-            t = threading.Thread(target=self._worker, daemon=True)
-            t.start()
-            self._threads.append(t)
+        self._start_lock = threading.Lock()
+
+    def _ensure_workers(self) -> None:
+        # lazy: a Visualizer that never displays an image costs no threads
+        if self._threads:
+            return
+        with self._start_lock:
+            if self._threads:
+                return
+            for _ in range(self._workers):
+                t = threading.Thread(target=self._worker, daemon=True)
+                t.start()
+                self._threads.append(t)
 
     def _worker(self) -> None:
         from ir2rgb_tpu.data.native import encode_png
@@ -50,6 +60,7 @@ class AsyncImageWriter:
     def write(self, path: str, img: np.ndarray) -> None:
         """Queue one HWC/HW uint8 image; blocks only when the (bounded)
         queue is full — backpressure instead of unbounded memory."""
+        self._ensure_workers()
         self._q.put((path, np.asarray(img)))
 
     def flush(self) -> None:

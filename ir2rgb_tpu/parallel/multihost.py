@@ -36,30 +36,35 @@ from .mesh import batch_sharding
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Bring up the multi-process JAX runtime; no-op single-host.
+    """Bring up the multi-process JAX runtime.
 
-    On TPU pods the three arguments are auto-detected from the
-    environment by ``jax.distributed.initialize``; pass them explicitly
-    only for non-TPU or manual setups. Safe to call unconditionally —
-    a single-process run (no coordinator configured, no pod metadata)
-    returns without touching the runtime.
+    MUST run before any other JAX API call — the first device query
+    finalizes the local backend topology, after which distributed
+    initialization is rejected (this function therefore does no
+    ``jax.devices()``/``process_count()`` probing of its own, and the
+    train CLI calls it straight after config parsing). On TPU pods all
+    three arguments auto-detect from the pod metadata; pass them
+    explicitly (or set JAX_COORDINATOR_ADDRESS) elsewhere. So the same
+    ``--train.multihost`` script runs unchanged on one host, a run with
+    NO explicit configuration where auto-detection finds no cluster
+    downgrades the failure to a warning and stays single-process; any
+    explicitly-configured failure raises.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    has_cfg = coordinator_address or os.environ.get(
-        "JAX_COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
-    if not has_cfg and jax.default_backend() != "tpu":
-        return
-    if not has_cfg and jax.default_backend() == "tpu":
-        # single-host TPU (the dev harness): nothing to initialize
-        try:
-            if len(jax.devices()) <= 8 and jax.process_count() == 1:
-                return
-        except RuntimeError:
-            pass
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except Exception as e:
+        explicit = (coordinator_address is not None
+                    or num_processes is not None
+                    or process_id is not None
+                    or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+        if explicit:
+            raise
+        import warnings
+        warnings.warn(
+            f"multihost.initialize: no cluster detected; continuing "
+            f"single-process ({type(e).__name__}: {e})")
 
 
 def global_batch(local_batch: Any, mesh, temporal: bool = False) -> Any:

@@ -93,6 +93,10 @@ class Trainer:
             if step is not None:
                 state = self.ckpt.restore(step, template=state)
                 state = jax.device_put(state, replicate(self.mesh))
+                # resuming from a non-latest epoch forks a new trajectory:
+                # later checkpoints must go (orbax rejects re-saving an
+                # existing step when training reaches it again)
+                self.ckpt.delete_after(step)
         return state
 
     def shard(self, batch):

@@ -122,6 +122,12 @@ def test_which_epoch_resume_and_fresh_run_overwrite(tmp_path):
     state2 = trainer2.init_or_restore(jax.random.PRNGKey(1),
                                       next(iter(_batches(1))))
     assert int(jax.device_get(state2.step)) == 4
+    # the fork dropped the stale later checkpoint — and TRAINING PAST
+    # the old step 6 must re-save it without StepAlreadyExistsError
+    assert sorted(trainer2.ckpt.all_steps()) == [2, 4]
+    state2 = trainer2.fit(state2, _batches(10))
+    assert int(jax.device_get(state2.step)) == 6
+    assert sorted(trainer2.ckpt.all_steps()) == [2, 4, 6]
 
     # fresh run, same dir: old steps cleared, no StepAlreadyExistsError
     cfg3 = _cfg(tmp_path, niter=1, save_epoch_freq=1)
