@@ -236,6 +236,21 @@ int i2r_decode_resize(const char* path, int out_h, int out_w, int gray,
                       uint8_t* out) {
   Image im;
   if (!decode_file(path, &im) || im.h == 0 || im.w == 0) return 1;
+  if (im.h == out_h && im.w == out_w) {
+    // already target geometry: skip the bilinear pass entirely (the
+    // common serving/training case — datasets pre-sized to crop_size)
+    if (!gray) {
+      std::memcpy(out, im.data.data(), size_t(out_h) * out_w * 3);
+    } else {
+      const uint8_t* src = im.data.data();
+      for (size_t i = 0, n = size_t(out_h) * out_w; i < n; ++i) {
+        const uint8_t* p = src + i * 3;
+        float l = 0.299f * p[0] + 0.587f * p[1] + 0.114f * p[2];
+        out[i] = uint8_t(l + 0.5f);
+      }
+    }
+    return 0;
+  }
   resize_bilinear(im, out_h, out_w, gray, out);
   return 0;
 }
