@@ -57,10 +57,18 @@ class CheckpointManager:
     def delete_after(self, step: int) -> None:
         """Drop checkpoints (and epoch labels) newer than ``step`` —
         resuming from a non-latest epoch starts a NEW trajectory, and
-        orbax rejects re-saving a step that already exists."""
-        for s in list(self._mgr.all_steps()):
-            if s > step:
-                self._mgr.delete(s)
+        orbax rejects re-saving a step that already exists. The dropped
+        steps are logged loudly first: an accidental --which_epoch typo
+        otherwise destroys later training history with no trace."""
+        newer = [s for s in self._mgr.all_steps() if s > step]
+        if newer:
+            import logging
+            logging.getLogger(__name__).warning(
+                "checkpoint: resuming from step %d FORKS the run — "
+                "permanently deleting %d newer checkpoint(s) %s from %s",
+                step, len(newer), sorted(newer), self._dir)
+        for s in newer:
+            self._mgr.delete(s)
         path = self._epochs_path()
         if os.path.exists(path):
             with open(path) as fh:

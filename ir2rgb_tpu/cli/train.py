@@ -30,7 +30,10 @@ def main(argv=None) -> int:
     cfg = parse_cli(argv)
     if cfg.train.multihost:
         from ir2rgb_tpu.parallel import multihost
-        multihost.initialize()
+        # explicit user intent: a failed cluster bring-up must raise, not
+        # silently fall back to N independent single-process runs that
+        # clobber a shared run_dir
+        multihost.initialize(require=True)
     loader = DataLoader(cfg)
     steps_per_epoch = max(len(loader), 1)
     model = create_model(cfg, steps_per_epoch=steps_per_epoch)

@@ -61,6 +61,11 @@ class ModelConfig:
     feat_num: int = 3
     nef: int = 16
     n_downsample_e: int = 4
+    # static segment-space size for the on-device instance-wise pooling
+    # (raw ids are hashed into this many slots; distinct ids that collide
+    # share a style vector — raise this for datasets with many instances
+    # per frame; the train step reports `inst_collisions` per batch)
+    num_instances: int = 1024
     # temporal mode: how many previous generated frames condition G
     n_frames_g: int = 2
     # dtype policy: params fp32; compute bf16 on TPU ("bf16") or fp32

@@ -106,17 +106,8 @@ def instance_wise_avg_pool(feat: jax.Array, inst: jax.Array,
     mean, fully on-device.
     """
     b, h, w, c = feat.shape
-    # hash raw ids into the static segment space via the TOP bits of a
-    # Knuth multiplicative hash. A plain `id % n` is structurally lossy
-    # for RGB-folded ids (R*65536 + G*256 + B): 65536 % 1024 == 0 wipes
-    # the R channel, so distinct instances collide systematically. The
-    # odd-multiply-then-low-bits form has the same flaw (low bits of
-    # x*K depend only on low bits of x); taking the high 16 bits first
-    # mixes every input bit into the segment id, leaving only
-    # birthday-bound collisions.
-    raw = inst.reshape(b, h * w).astype(jnp.uint32)
-    hashed = (raw * jnp.uint32(2654435761)) >> jnp.uint32(16)
-    ids = (hashed % jnp.uint32(num_instances)).astype(jnp.int32)
+    raw = inst.reshape(b, h * w)
+    ids = hash_instance_ids(raw, num_instances)
     flat = feat.reshape(b, h * w, c).astype(jnp.float32)
 
     def per_image(fi, idi):
@@ -129,6 +120,49 @@ def instance_wise_avg_pool(feat: jax.Array, inst: jax.Array,
 
     out = jax.vmap(per_image)(flat, ids)
     return out.reshape(b, h, w, c)
+
+
+def hash_instance_ids(raw: jax.Array, num_instances: int) -> jax.Array:
+    """Hash raw instance ids into the static segment space via the TOP
+    bits of a Knuth multiplicative hash. A plain `id % n` is structurally
+    lossy for RGB-folded ids (R*65536 + G*256 + B): 65536 % 1024 == 0
+    wipes the R channel, so distinct instances collide systematically.
+    The odd-multiply-then-low-bits form has the same flaw (low bits of
+    x*K depend only on low bits of x); taking the high 16 bits first
+    mixes every input bit into the segment id, leaving only
+    birthday-bound collisions."""
+    raw = raw.astype(jnp.uint32)
+    hashed = (raw * jnp.uint32(2654435761)) >> jnp.uint32(16)
+    return (hashed % jnp.uint32(num_instances)).astype(jnp.int32)
+
+
+def instance_collision_count(inst: jax.Array,
+                             num_instances: int = 1024) -> jax.Array:
+    """Number of hash-segment collisions in a batch of instance maps —
+    segments whose pixels carry MORE THAN ONE distinct raw id (those
+    instances silently share one averaged style vector).
+
+    Static shapes throughout (jit/vmap-safe): per segment, reduce the
+    raw ids with segment_min and segment_max; a populated segment whose
+    min != max holds at least two distinct raw ids. Returns an int32
+    scalar — the total count over the batch. The reference's host-side
+    ``inst.unique()`` loop can never collide; this is the price of the
+    on-device fixed-shape pooling, so the train step surfaces it as the
+    ``inst_collisions`` metric (round-2 verdict weak #7).
+    """
+    b = inst.shape[0]
+    # RGB-folded ids max out at 2^24 — int32 holds them exactly
+    raw = inst.reshape(b, -1).astype(jnp.int32)
+    ids = hash_instance_ids(raw, num_instances)
+
+    def per_image(ri, idi):
+        lo = jax.ops.segment_min(ri, idi, num_segments=num_instances)
+        hi = jax.ops.segment_max(ri, idi, num_segments=num_instances)
+        cnt = jax.ops.segment_sum(jnp.ones_like(ri), idi,
+                                  num_segments=num_instances)
+        return jnp.sum((cnt > 0) & (lo != hi))
+
+    return jax.vmap(per_image)(raw, ids).sum().astype(jnp.int32)
 
 
 def define_e(cfg: EncoderConfig):

@@ -35,6 +35,10 @@ class Visualizer:
         self.writer = AsyncImageWriter()
         self.log_path = os.path.join(run_dir, "loss_log.txt")
         self.jsonl_path = os.path.join(run_dir, "metrics.jsonl")
+        # TensorBoard event files (SURVEY.md §5 metrics row) — native
+        # dependency-free writer; `tensorboard --logdir <run_dir>` works
+        from .tb import TBEventWriter
+        self.tb = TBEventWriter(os.path.join(run_dir, "tb"))
         with open(self.log_path, "a") as fh:
             fh.write(f"================ Training Loss ({time.strftime('%c')})"
                      f" ================\n")
@@ -54,6 +58,9 @@ class Visualizer:
                                  "step_time": step_time, **{
                                      k: float(v) for k, v in errors.items()
                                  }}) + "\n")
+        self.tb.add_scalars(
+            {f"loss/{k}": float(v) for k, v in errors.items()
+             } | {"perf/step_time": step_time}, step)
 
     # ------------------------------------------------------------------
 
@@ -65,6 +72,10 @@ class Visualizer:
             fname = f"epoch{epoch:03d}_step{step:07d}_{label}.png"
             self.writer.write(os.path.join(self.img_dir, fname), img)
             names.append((fname, label))
+        # barrier the queued PNGs before publishing the page that links
+        # them — otherwise the live dashboard transiently references
+        # images not yet on disk (cheap at display_freq cadence)
+        self.writer.flush()
         page = HTMLPage(self.web_dir, f"Experiment: {self.name}")
         page.add_header(f"epoch {epoch}, step {step}")
         page.add_images([n for n, _ in names], [l for _, l in names])
@@ -87,6 +98,7 @@ class Visualizer:
         """Barrier: all queued gallery images are on disk (raises any
         worker error). Call before reading the files back or exiting."""
         self.writer.flush()
+        self.tb.flush()
 
     # ------------------------------------------------------------------
 

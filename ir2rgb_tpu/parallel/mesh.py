@@ -55,8 +55,14 @@ def dp_sp_mesh(dp: int = 0, sp: int = 1,
     slice is) — halo exchanges ride neighbour links."""
     if devices is None:
         devices = jax.devices()
+    if sp < 1:
+        raise ValueError(f"sp must be >= 1, got {sp}")
     if not dp:
         dp = len(devices) // sp
+        if dp == 0:
+            raise ValueError(
+                f"sp = {sp} exceeds {len(devices)} visible devices "
+                f"(dp would be 0)")
     n = dp * sp
     if n > len(devices):
         raise ValueError(f"dp*sp = {dp}*{sp} = {n} exceeds "
@@ -65,12 +71,16 @@ def dp_sp_mesh(dp: int = 0, sp: int = 1,
                 axis_names=("data", "spatial"))
 
 
-def batch_sharding(mesh: Mesh, temporal: bool = False) -> NamedSharding:
+def batch_sharding(mesh: Mesh, temporal: bool = False,
+                   ndim: int = 4) -> NamedSharding:
     """Batch sharding for ``mesh``: batch axis over 'data', and — when
     the mesh has a 'spatial' axis — image rows (H) over 'spatial'. For
     ``temporal`` batches (B, T, H, W, C) the time axis stays replicated
-    and H is dim 2."""
-    if "spatial" in mesh.axis_names:
+    and H is dim 2. Only rank-4/5 leaves are image-shaped; lower-rank
+    leaves (e.g. rank-3 instance-id maps, rank-1 labels) shard the batch
+    axis only — P('data','spatial') on a rank-2 non-image leaf would
+    silently shard its feature dim as image rows."""
+    if "spatial" in mesh.axis_names and ndim in (4, 5):
         spec = (P("data", None, "spatial") if temporal
                 else P("data", "spatial"))
         return NamedSharding(mesh, spec)
@@ -87,6 +97,7 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     spatial) mesh, rank-4 leaves additionally shard H on 'spatial'
     (rank-5 temporal leaves shard dim 2 — time stays replicated)."""
     def put(x):
+        nd = getattr(x, "ndim", 0)
         return jax.device_put(
-            x, batch_sharding(mesh, temporal=getattr(x, "ndim", 0) == 5))
+            x, batch_sharding(mesh, temporal=nd == 5, ndim=nd))
     return jax.tree.map(put, batch)

@@ -35,7 +35,8 @@ from .mesh import batch_sharding
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
+               process_id: Optional[int] = None,
+               require: bool = False) -> None:
     """Bring up the multi-process JAX runtime.
 
     MUST run before any other JAX API call — the first device query
@@ -49,13 +50,20 @@ def initialize(coordinator_address: Optional[str] = None,
     NO explicit configuration where auto-detection finds no cluster
     downgrades the failure to a warning and stays single-process; any
     explicitly-configured failure raises.
+
+    ``require=True`` treats any initialization failure as fatal — the
+    train CLI passes it when ``cfg.train.multihost`` is set, because a
+    user who asked for multihost and silently got N independent
+    single-process runs would have every host clobbering the same
+    run_dir/checkpoints (advisor round-2 medium finding).
     """
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except Exception as e:
-        explicit = (coordinator_address is not None
+        explicit = (require
+                    or coordinator_address is not None
                     or num_processes is not None
                     or process_id is not None
                     or os.environ.get("JAX_COORDINATOR_ADDRESS"))

@@ -229,12 +229,21 @@ class GanModel:
         else:
             a, b = batch["a"], batch["b"]
             feat = None
+            inst_collisions = None
             if self.enc_cfg is not None:
                 # reference pix2pixHD feature mode: E encodes the REAL
                 # image (instance-pooled) and G conditions on it; E's
                 # grads flow through G's losses via feat
                 feat = self.encode_features(g_params, b,
                                             batch.get("inst"))
+                if batch.get("inst") is not None:
+                    # surface hash-segment collisions (distinct raw ids
+                    # sharing one pooled style) as a per-batch metric
+                    from ir2rgb_tpu.nn.encoders import (
+                        instance_collision_count,
+                    )
+                    inst_collisions = instance_collision_count(
+                        batch["inst"], self.enc_cfg.num_instances)
             fake = self.generate(g_params, a, train=True, rng=k_drop,
                                  feat=feat)
             if self.cfg.loss.pool_size > 0:
@@ -244,6 +253,10 @@ class GanModel:
                 fake_for_d = fake
             metrics = self._frame_losses(g_params, d_params, a, b,
                                          fake_for_d, fake)
+            if inst_collisions is not None:
+                # stop_gradient: a diagnostic count, not a loss term
+                metrics["inst_collisions"] = jax.lax.stop_gradient(
+                    inst_collisions.astype(jnp.float32))
         total = metrics["_loss_g"] + metrics["_loss_d"]
         return total, (metrics, pool)
 
@@ -349,6 +362,7 @@ def create_model(cfg: Config, steps_per_epoch: int = 1000,
         enc_cfg = EncoderConfig(
             input_nc=m.output_nc, feat_num=m.feat_num, nef=m.nef,
             n_downsample_e=m.n_downsample_e, norm=m.norm,
+            num_instances=m.num_instances,
             compute_dtype=compute_dtype)
         g_input_nc += m.feat_num
     gen_cfg = GenConfig(

@@ -91,13 +91,35 @@ class Trainer:
             # reference --which_epoch: 'latest' or a named epoch/step
             step = self.ckpt.step_for_label(self.cfg.train.which_epoch)
             if step is not None:
-                state = self.ckpt.restore(step, template=state)
+                state = self._restore_tolerant(step, state)
                 state = jax.device_put(state, replicate(self.mesh))
                 # resuming from a non-latest epoch forks a new trajectory:
                 # later checkpoints must go (orbax rejects re-saving an
-                # existing step when training reaches it again)
-                self.ckpt.delete_after(step)
+                # existing step when training reaches it again).
+                # delete_after logs the dropped steps loudly; skip the
+                # call entirely when resuming from the latest step.
+                if any(s > step for s in self.ckpt.all_steps()):
+                    self.ckpt.delete_after(step)
         return state
+
+    def _restore_tolerant(self, step: int, state: TrainState) -> TrainState:
+        """Restore with the live template; if the stored pool buffer was
+        written in a different float dtype (pre-round-2 checkpoints held
+        an f32 pool, the template is now compute-dtype), retry with an
+        f32-pool template and cast back — old checkpoints stay
+        resumable."""
+        try:
+            return self.ckpt.restore(step, template=state)
+        except Exception:
+            f32_pool = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                state.pool)
+            loaded = self.ckpt.restore(
+                step, template=state._replace(pool=f32_pool))
+            pool = jax.tree.map(lambda x, t: x.astype(t.dtype),
+                                loaded.pool, state.pool)
+            return loaded._replace(pool=pool)
 
     def shard(self, batch):
         return shard_batch(batch, self.mesh)

@@ -82,6 +82,64 @@ def main() -> None:
     for r in rows:
         print(json.dumps(r), flush=True)
 
+    # ------------------------------------------------------------------
+    # Component breakdown: separates what the end-to-end number is made
+    # of, so a relay/link artifact can't masquerade as compute cost
+    # (round-2 verdict weak #6). On the dev harness the transfer numbers
+    # measure the TUNNELED relay, not production PCIe/ICI — the
+    # "production estimate" row replaces them with arithmetic:
+    # bytes-per-frame over a conservative host-link bandwidth. With the
+    # depth-1 pipeline transfers overlap compute, so projected fps is
+    # 1 / max(device_ms, transfer_ms).
+    # ------------------------------------------------------------------
+    if model.cfg.model.model == "temporal":
+        return  # carry-threading: component split not implemented
+    stream = StreamingGenerator(model, g, (size, size))
+    dev_frames = [jax.device_put(jnp.asarray(f[None])) for f in frames]
+    # warm
+    jax.block_until_ready(stream._step_u8(stream.g_params, dev_frames[0]))
+    dev_frames[0] = jax.device_put(jnp.asarray(frames[0][None]))
+
+    t0 = time.perf_counter()
+    out = None
+    for f in dev_frames:  # device-resident in, device-resident out
+        out = stream._step_u8(stream.g_params, f)
+    _ = jax.device_get(out)
+    device_ms = (time.perf_counter() - t0) / n * 1e3
+
+    t0 = time.perf_counter()
+    put = [jax.device_put(jnp.asarray(f[None])) for f in frames]
+    jax.block_until_ready(put)
+    h2d_ms = (time.perf_counter() - t0) / n * 1e3
+
+    outs = []
+    for f in put[: max(1, n // 4)]:
+        outs.append(stream._step_u8(stream.g_params, f))
+    jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    for o in outs:
+        jax.device_get(o)
+    d2h_ms = (time.perf_counter() - t0) / len(outs) * 1e3
+
+    bytes_in = size * size * cfg.model.input_nc          # uint8 wire path
+    bytes_out = size * size * cfg.model.output_nc
+    link_gbps = float(os.environ.get("IR2RGB_LINK_GBPS", "8"))  # PCIe-ish
+    est_transfer_ms = (bytes_in + bytes_out) / (link_gbps * 1e9) * 1e3
+    est_fps = 1e3 / max(device_ms, est_transfer_ms)
+    print(json.dumps({
+        "mode": "components", "preset": preset, "size": size,
+        "device_ms": round(device_ms, 3),
+        "h2d_ms_measured": round(h2d_ms, 3),
+        "d2h_ms_measured": round(d2h_ms, 3),
+        "transfer_note": "measured H2D/D2H include the dev-harness "
+                         "relay; production estimate below uses "
+                         "bytes/bandwidth arithmetic instead",
+        "bytes_per_frame": bytes_in + bytes_out,
+        "assumed_link_GBps": link_gbps,
+        "est_transfer_ms_production": round(est_transfer_ms, 4),
+        "est_fps_production_pipelined": round(est_fps, 1),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -116,3 +116,58 @@ def test_freeze_gate_keeps_netE_live():
     assert delta("global") == 0.0     # frozen
     assert delta("enhancer1") > 0.0   # training
     assert delta("netE") > 0.0        # reference keeps E in optimizer_G
+
+
+def test_instance_collision_detection():
+    """>1024 distinct raw ids into a 1024-slot hash space MUST collide
+    (pigeonhole) — the counter detects it; and the count matches an
+    exact numpy replication of the hash (round-2 verdict weak #7)."""
+    from ir2rgb_tpu.nn.encoders import instance_collision_count
+
+    n_ids = 2048
+    raw = np.arange(n_ids, dtype=np.int32).reshape(1, 32, 64)
+    got = int(instance_collision_count(jnp.asarray(raw),
+                                       num_instances=1024))
+    assert got > 0  # pigeonhole guarantees at least one
+
+    # exact numpy reference: segments holding >1 distinct raw id
+    hashed = ((raw.ravel().astype(np.uint32) * np.uint32(2654435761))
+              >> np.uint32(16)) % np.uint32(1024)
+    expect = sum(len(np.unique(raw.ravel()[hashed == s])) > 1
+                 for s in np.unique(hashed))
+    assert got == expect
+
+    # a collision-free map reports zero
+    few = np.asarray([[1, 2], [3, 4]], np.int32).reshape(1, 2, 2)
+    hashed_few = ((few.ravel().astype(np.uint32) * np.uint32(2654435761))
+                  >> np.uint32(16)) % np.uint32(1024)
+    if len(np.unique(hashed_few)) == len(np.unique(few)):
+        assert int(instance_collision_count(jnp.asarray(few), 1024)) == 0
+
+
+def test_train_step_reports_inst_collisions():
+    """The fused train step surfaces `inst_collisions` when instance
+    maps are in the batch; num_instances is reachable from ModelConfig."""
+    cfg = Config(
+        model=ModelConfig(model="pix2pixhd", net_g="global",
+                          ngf=4, ndf=4, n_downsample_global=2,
+                          n_blocks_global=1, use_instance_feat=True,
+                          nef=4, n_downsample_e=2, num_instances=64),
+        data=DataConfig(crop_size=32, batch_size=1),
+        loss=LossConfig(no_vgg_loss=True, pool_size=0),
+        train=TrainConfig(),
+    )
+    model = create_model(cfg, steps_per_epoch=10)
+    assert model.enc_cfg.num_instances == 64
+    r = np.random.RandomState(0)
+    batch = {
+        "a": jnp.asarray(r.rand(1, 32, 32, 3) * 2 - 1, jnp.float32),
+        "b": jnp.asarray(r.rand(1, 32, 32, 3) * 2 - 1, jnp.float32),
+        # 128 distinct ids into 64 slots: collisions guaranteed
+        "inst": jnp.asarray(np.arange(128, dtype=np.int32)
+                            .repeat(8).reshape(1, 32, 32)),
+    }
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    _, metrics = jax.jit(model.train_step)(state, batch)
+    assert "inst_collisions" in metrics
+    assert float(metrics["inst_collisions"]) > 0

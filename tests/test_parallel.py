@@ -3,6 +3,8 @@ step on a fake 8-device CPU mesh must numerically match the 1-device run
 for the same total batch.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -209,3 +211,128 @@ def test_multihost_global_batch_single_process():
     b2 = shard_batch({"a": jnp.asarray(x)}, mesh2)["a"]
     assert a2.sharding == b2.sharding
     np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
+
+def _spawn_worker(coord, nproc, pid, n_local_devices, repo_root):
+    import subprocess
+    import sys
+
+    env = {
+        "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+        "HOME": os.environ.get("HOME", "/root"),
+        "PYTHONPATH": repo_root,  # NOT .axon_site — CPU only
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": (f"--xla_force_host_platform_device_count="
+                      f"{n_local_devices}"),
+    }
+    return subprocess.Popen(
+        [sys.executable, os.path.join(repo_root, "tests",
+                                      "_multihost_worker.py"),
+         coord, str(nproc), str(pid)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, cwd=repo_root)
+
+
+def _worker_metrics(proc, timeout=600):
+    out, err = proc.communicate(timeout=timeout)
+    assert proc.returncode == 0, f"worker failed:\n{err[-3000:]}"
+    for line in out.splitlines():
+        if line.startswith("METRICS "):
+            import json
+            return json.loads(line[len("METRICS "):])
+    raise AssertionError(f"no METRICS line in worker output:\n{out}\n{err}")
+
+
+def test_multihost_two_process_real():
+    """The SUCCESS path of parallel/multihost.py, for real (round-2
+    verdict missing #3): two OS processes, each with 4 virtual CPU
+    devices, jax.distributed.initialize over a local coordinator, a
+    global 8-device mesh, per-process local shards assembled via
+    multihost.global_batch, two fused G+D train steps — and the
+    replicated metrics must agree between the processes AND match the
+    single-process 8-device run of the same global batch."""
+    import socket
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    p0 = _spawn_worker(coord, 2, 0, 4, repo_root)
+    p1 = _spawn_worker(coord, 2, 1, 4, repo_root)
+    m0 = _worker_metrics(p0)
+    m1 = _worker_metrics(p1)
+
+    ref = _worker_metrics(_spawn_worker(coord, 1, 0, 8, repo_root))
+
+    assert m0["_step"] == m1["_step"] == ref["_step"] == 2
+    assert set(m0) == set(m1) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(m0[k], m1[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=f"{k}: processes disagree")
+        np.testing.assert_allclose(m0[k], ref[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=f"{k}: 2-process vs 1-process")
+
+
+def test_multihost_initialize_after_jax_raises_when_required():
+    """The initialize-before-JAX ordering hazard must be FATAL on an
+    explicitly requested multihost run (require=True — what the train
+    CLI passes), never a silent single-process fallback."""
+    import subprocess
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import jax; jax.devices()\n"  # finalizes the backend FIRST
+        "from ir2rgb_tpu.parallel import multihost\n"
+        "try:\n"
+        "    multihost.initialize(coordinator_address='localhost:1',\n"
+        "                         num_processes=2, process_id=0,\n"
+        "                         require=True)\n"
+        "except Exception as e:\n"
+        "    print('RAISED', type(e).__name__)\n"
+        "else:\n"
+        "    print('NO-RAISE')\n"
+    )
+    env = {"PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+           "HOME": os.environ.get("HOME", "/root"),
+           "PYTHONPATH": repo_root, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300,
+                       cwd=repo_root)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "RAISED" in r.stdout, r.stdout + r.stderr[-1000:]
+
+
+def test_dp_sp_mesh_rejects_oversized_sp():
+    """sp > visible devices must fail at the call site, not build an
+    empty (0, sp) mesh that errors obscurely later (advisor round-2)."""
+    from ir2rgb_tpu.parallel import dp_sp_mesh
+
+    with pytest.raises(ValueError, match="exceeds"):
+        dp_sp_mesh(sp=16)  # 8 visible devices
+    with pytest.raises(ValueError, match="sp must be"):
+        dp_sp_mesh(sp=0)
+
+
+def test_spatial_batch_sharding_skips_low_rank_leaves():
+    """On a (data, spatial) mesh, only rank-4/5 image leaves shard H on
+    'spatial'; a rank-3 leaf (e.g. instance-id maps) and rank-1 labels
+    shard batch only (advisor round-2: a rank-2 feature leaf must not
+    have its feature dim sharded as image rows)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ir2rgb_tpu.parallel import dp_sp_mesh, shard_batch
+
+    mesh = dp_sp_mesh(2, 4)
+    batch = {
+        "img": np.zeros((2, 8, 8, 3), np.float32),
+        "inst": np.zeros((2, 8, 8), np.int32),
+        "label": np.zeros((2,), np.int32),
+    }
+    out = shard_batch(batch, mesh)
+    assert out["img"].sharding.spec == P("data", "spatial")
+    assert out["inst"].sharding.spec == P("data")
+    assert out["label"].sharding.spec == P("data")

@@ -139,3 +139,41 @@ def test_which_epoch_resume_and_fresh_run_overwrite(tmp_path):
     state3 = trainer3.fit(state3, _batches(5))
     assert int(jax.device_get(state3.step)) == 2
     assert sorted(trainer3.ckpt.all_steps()) == [2]
+
+
+def test_restore_tolerates_f32_pool_checkpoint(tmp_path):
+    """Pre-round-2 checkpoints hold an f32 image pool; the live template
+    is compute-dtype (bf16). Resume must cast, not crash (advisor
+    round-2 low #2)."""
+    def cfg_bf16(**kw):
+        c = _cfg(tmp_path, **kw)
+        import dataclasses
+        return dataclasses.replace(
+            c, model=dataclasses.replace(c.model, compute_dtype="bf16"))
+
+    cfg = cfg_bf16()
+    model = create_model(cfg, steps_per_epoch=3)
+    trainer = Trainer(model, cfg)
+    first = next(_batches(1))
+    state = trainer.init_or_restore(jax.random.PRNGKey(0), first)
+    assert state.pool.buffer.dtype == jnp.bfloat16
+    # simulate an old checkpoint: pool buffer saved as f32 (step value 1
+    # so the restore is observable)
+    old = state._replace(
+        step=jnp.ones((), jnp.int32),
+        pool=state.pool._replace(
+            buffer=state.pool.buffer.astype(jnp.float32)))
+    trainer.ckpt.save(1, jax.device_get(old), force=True)
+    trainer.ckpt.wait()
+    trainer.ckpt.close()
+
+    cfg2 = cfg_bf16(continue_train=True)
+    model2 = create_model(cfg2, steps_per_epoch=3)
+    trainer2 = Trainer(model2, cfg2)
+    state2 = trainer2.init_or_restore(jax.random.PRNGKey(1), first)
+    assert int(jax.device_get(state2.step)) == 1
+    assert state2.pool.buffer.dtype == jnp.bfloat16  # cast back on restore
+    # training continues from the restored state
+    state2, _ = trainer2._train_step(state2, trainer2.shard(first))
+    assert int(jax.device_get(state2.step)) == 2
+    trainer2.ckpt.close()
