@@ -11,6 +11,7 @@ inflation; the rest complete the serving ladder):
   alternative 512p reading.
 - ``temporal_512`` — streaming video (prev-frame carry in HBM).
 - ``pix2pixhd_1024`` — the family's high-res tier.
+- ``pix2pixhd_2048`` — two local enhancers, the 2048-wide recipe.
 - ``pix2pixhd_512`` at batch 8 — batched serving throughput.
 
 Methodology — in-compiled-loop slope timing: K generator steps run inside
@@ -137,6 +138,7 @@ def main() -> None:
         rows.append(measure("pix2pixhd_global_512", on_tpu))
         rows.append(measure("temporal_512", on_tpu))
         rows.append(measure("pix2pixhd_1024", on_tpu))
+        rows.append(measure("pix2pixhd_2048", on_tpu))
         # batched serving (not the reference's batch-1 streaming headline,
         # but the right way to feed the MXU when latency allows)
         rows.append(measure("pix2pixhd_512", on_tpu, batch=8))

@@ -199,19 +199,42 @@ def _head_conv_s2d(pc, x, cfg: GenConfig):
     return y
 
 
+# Above this many s2d rows, a res block's reflect pads go through the
+# border-fixup conv instead of a materialized pad. At 512px (s2d 128-256
+# rows) the materialized k=3 pads cost only ~50 us each and the fixup's
+# four strip convs LOSE (240.8 -> 225 fps, round 2); at the 1024/2048
+# tiers the same pads are 0.7-1.5 ms each (round-3 profile:
+# reflect_pad_s2d's phase-split + compose fusions dominate the enhancer)
+# and the thin strips win.
+_BORDER_FIXUP_MIN_ROWS = 384
+
+
 def _resnet_block_apply_s2d(p, hs, cfg: GenConfig, *, train=False, rng=None):
-    # NOTE: the border-fixup conv (conv_reflect_s2d, used by the tail)
-    # was measured HERE too and lost: the k=3 pads cost only ~50 us each
-    # while the four strip convs are too thin to run efficiently
-    # (240.8 -> 225 fps at 512px). The materialized pad stays.
-    from .s2d_space import instance_norm_act_s2d, reflect_pad_s2d
-    h = reflect_pad_s2d(hs, 1)
-    h = _conv_s2d_wrap(p["conv0"]["conv"], h, cfg, k=3)
+    from .s2d_space import (
+        conv_reflect_s2d,
+        instance_norm_act_s2d,
+        reflect_pad_s2d,
+    )
+    from jax import lax
+    big = hs.shape[1] >= _BORDER_FIXUP_MIN_ROWS
+    prec = (lax.Precision.DEFAULT if cfg.compute_dtype == jnp.bfloat16
+            else lax.Precision.HIGHEST)
+
+    def conv_pad1(pc, x):
+        if big:
+            y = conv_reflect_s2d(x.astype(cfg.compute_dtype),
+                                 pc["w"].astype(cfg.compute_dtype),
+                                 precision=prec)
+            if "b" in pc:
+                y = y + jnp.tile(pc["b"].astype(y.dtype), 4)
+            return y
+        return _conv_s2d_wrap(pc, reflect_pad_s2d(x, 1), cfg, k=3)
+
+    h = conv_pad1(p["conv0"]["conv"], hs)
     h = instance_norm_act_s2d(h, "relu")
     if cfg.use_dropout and train and rng is not None:
         h = ops.dropout(rng, h, 0.5)
-    h = reflect_pad_s2d(h, 1)
-    h = _conv_s2d_wrap(p["conv1"]["conv"], h, cfg, k=3)
+    h = conv_pad1(p["conv1"]["conv"], h)
     h = instance_norm_act_s2d(h, "none")
     return hs + h
 
@@ -303,7 +326,7 @@ def _resnet_generator_apply_s2d(p: Params, x: jax.Array, cfg: GenConfig, *,
     depth-to-space on the 3-channel output.
     """
     from .s2d_space import (
-        deconv_s2d_to_s2d,
+        deconv_in_act_s2d,
         from_s2d,
         instance_norm_act_s2d,
     )
@@ -341,12 +364,13 @@ def _resnet_generator_apply_s2d(p: Params, x: jax.Array, cfg: GenConfig, *,
         cout = p[f"up{i}"]["up"]["w"].shape[3]
         last = i == n_downsampling - 1
         if in_s2d:
-            # already in s2d on the way up: quad-phase deconv stays there
-            hs = deconv_s2d_to_s2d(
+            # already in s2d on the way up: quad-phase deconv stays
+            # there; IN+relu run on the pre-d2s phase rep so the
+            # interleave transpose happens once (deconv_in_act_s2d)
+            hs = deconv_in_act_s2d(
                 hs.astype(cfg.compute_dtype),
                 p[f"up{i}"]["up"]["w"].astype(cfg.compute_dtype),
-                p[f"up{i}"]["up"].get("b"))
-            hs = instance_norm_act_s2d(hs, "relu")
+                p[f"up{i}"]["up"].get("b"), "relu")
         elif last or cout <= _S2D_MAX_CH:
             # re-enter s2d: the subpixel deconv's phase output IS the rep
             hs = ops.deconv_apply_s2d_out(p[f"up{i}"]["up"], h, k=3, pad=1,
@@ -460,7 +484,7 @@ def _local_enhancer_apply_s2d(p: Params, pyramid, cfg: GenConfig, *,
     over as an s2d rep; each enhancer level computes its branch, junction,
     residual blocks, upsample, and tail without leaving s2d."""
     from .s2d_space import (
-        deconv_s2d_to_s2d,
+        deconv_in_act_s2d,
         instance_norm_act_s2d,
     )
     n_local = cfg.n_local_enhancers
@@ -481,12 +505,12 @@ def _local_enhancer_apply_s2d(p: Params, pyramid, cfg: GenConfig, *,
         for i in range(cfg.n_blocks_local):
             hs = _resnet_block_apply_s2d(enh[f"block{i}"], hs, cfg,
                                          train=train)
-        # upsample: quad-phase deconv, s2d in -> s2d out (no plain hop)
-        hs = deconv_s2d_to_s2d(
+        # upsample: quad-phase deconv, s2d in -> s2d out (no plain
+        # hop); IN+relu on the pre-d2s phase rep (one transpose)
+        hs = deconv_in_act_s2d(
             hs.astype(cfg.compute_dtype),
             enh["up"]["up"]["w"].astype(cfg.compute_dtype),
-            enh["up"]["up"].get("b"))
-        hs = instance_norm_act_s2d(hs, "relu")
+            enh["up"]["up"].get("b"), "relu")
         out_s2d = hs
         if n == n_local:
             return _s2d_tail_output(enh["tail"]["conv"], hs, cfg, train)

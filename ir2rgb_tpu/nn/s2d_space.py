@@ -196,7 +196,27 @@ def conv_image_to_s2d(x: jax.Array, w: jax.Array, stride: int = 1,
     generators' c7s1 heads (stride 1, manually reflect-padded inputs) and
     the VGG/discriminator entry convs (stride 1/2, zero pad) use this so
     channel-starved inputs are touched exactly once. Output image size
-    must be even."""
+    must be even.
+
+    Round-3 note — the im2col+matmul lowering
+    (``conv_image_to_s2d_im2col``, IR2RGB_HEAD=im2col) measured 13-52%
+    faster STANDALONE at 256-512 px on the v5e (head+IN+relu segment:
+    629->475 us at 512/ngf64, 109->52 at 256/ngf64) but LOSES IN
+    CONTEXT: with it enabled the full 512p generators regress 285->272
+    fps (local) and 297->216 fps (temporal) — the patch-concat's layout
+    requirements retile neighbouring ops, the same propagation failure
+    mode as the Pallas tail kernel (docs/DESIGN.md §4). Default is the
+    direct form everywhere; the im2col path stays as the measured
+    record + an opt-in for standalone/export use."""
+    k, _, ci, co = w.shape
+    if (stride == 1 and k % 2 == 1 and jax.default_backend() == "tpu"
+            and os.environ.get("IR2RGB_HEAD", "direct") == "im2col"):
+        return _conv_i2s_im2col_vjp(pad, precision, x, w)
+    return _conv_i2s_direct(x, w, stride, pad, precision)
+
+
+def _conv_i2s_direct(x: jax.Array, w: jax.Array, stride: int, pad: int,
+                     precision) -> jax.Array:
     k, _, ci, co = w.shape
     h = x.shape[1]
     h_out = (h + 2 * pad - k) // stride + 1
@@ -218,6 +238,108 @@ def conv_image_to_s2d(x: jax.Array, w: jax.Array, stride: int = 1,
         else None,
     )
     return y[:, :h_out // 2, :h_out // 2, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _conv_i2s_im2col_vjp(pad, precision, x, w):
+    """im2col forward with the DIRECT conv's backward (same function, so
+    its linear transpose is exact): autodiff through the im2col concat
+    would scatter the cotangent through 16 padded slice-adds; the direct
+    transposed conv is what XLA lowers well (same pattern as
+    conv_on_s2d_wide's custom VJP)."""
+    return conv_image_to_s2d_im2col(x, w, pad=pad, precision=precision)
+
+
+def _conv_i2s_fwd(pad, precision, x, w):
+    return _conv_i2s_im2col_vjp(pad, precision, x, w), (x, w)
+
+
+def _conv_i2s_bwd(pad, precision, res, ct):
+    x, w = res
+
+    def direct_x(v):
+        return _conv_i2s_direct(v, w, 1, pad, precision)
+
+    def direct_w(v):
+        return _conv_i2s_direct(x, v, 1, pad, precision)
+
+    dx = jax.linear_transpose(direct_x, x)(ct)[0]
+    dw = jax.linear_transpose(direct_w, w)(ct)[0]
+    return dx, dw
+
+
+_conv_i2s_im2col_vjp.defvjp(_conv_i2s_fwd, _conv_i2s_bwd)
+
+
+@functools.lru_cache(maxsize=None)
+def _im2col_maps(k: int):
+    """Index/mask arrays for the im2col head lowering (stride 1, odd k):
+    out[j, (dh,dw)] = sum_r w[r] xpad[2j+d+r]; with xpad folded to s2d
+    (cell j+s, phase q), the tap is r = 2s + q - d. Returns (A, B, M,
+    kk2): rh/rw index arrays of shape (kk2, kk2, 2, 2, 2, 2) over
+    (sh, sw, qh, qw, dh, dw), validity mask, and the s2d window kk2."""
+    kk2 = k // 2 + 1
+    A = np.zeros((kk2, kk2, 2, 2, 2, 2), np.int32)
+    B = np.zeros((kk2, kk2, 2, 2, 2, 2), np.int32)
+    M = np.zeros((kk2, kk2, 2, 2, 2, 2), bool)
+    for sh in range(kk2):
+        for sw in range(kk2):
+            for qh in (0, 1):
+                for qw in (0, 1):
+                    for dh in (0, 1):
+                        for dw in (0, 1):
+                            rh = 2 * sh + qh - dh
+                            rw = 2 * sw + qw - dw
+                            if 0 <= rh < k and 0 <= rw < k:
+                                A[sh, sw, qh, qw, dh, dw] = rh
+                                B[sh, sw, qh, qw, dh, dw] = rw
+                                M[sh, sw, qh, qw, dh, dw] = True
+    return A, B, M, kk2
+
+
+def conv_image_to_s2d_im2col(x: jax.Array, w: jax.Array, pad: int = 0,
+                             precision=lax.Precision.HIGHEST) -> jax.Array:
+    """The head conv as explicit im2col + ONE dense matmul.
+
+    XLA's conv engine iterates k*k taps with K = ci per MXU pass — for
+    the generators' 3-channel c7s1 heads that is 49-64 passes at 2% K
+    utilization, leaving the head conv MXU-pass-limited (round-3
+    profile: 1.34 ms at 1024p, 5.1 ms at 2048p in-context). Here the
+    padded image folds to s2d (12 channels), the (k//2+1)^2 s2d window
+    is gathered as shifted slices concatenated on channels (one copy
+    pass), and a single (M, kk2^2*4*ci) x (.., 4*co) dot emits the s2d
+    rep — ceil(K/128) MXU passes instead of k*k.
+
+    Measured on the v5e (exp_head_conv.py, head+IN+relu segment): WINS
+    25% at 512px/ngf64 (629 -> 475 us — the global-512 trunk head and
+    every tier's trunk head); LOSES at >=1024px full-res enhancer heads
+    (1983 -> 2974 us at 1024/ngf32) where the patch buffer's lane-padded
+    slice reads dominate — the dispatch gate in conv_image_to_s2d keeps
+    those on the direct form. Exact same math (0/1 gather of w, fp32
+    MXU accumulation); stride-1 odd-k only."""
+    k, _, ci, co = w.shape
+    assert k % 2 == 1, "im2col head path requires odd k"
+    if pad:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    h = x.shape[1]
+    out_img = h - k + 1
+    assert out_img % 2 == 0, "s2d output requires even conv output size"
+    xs = space_to_depth(x)                      # (n, h/2, w/2, 4ci)
+    A, B, M, kk2 = _im2col_maps(k)
+    out_s = out_img // 2
+    patches = jnp.concatenate(
+        [xs[:, sh:sh + out_s, sw:sw + out_s, :]
+         for sh in range(kk2) for sw in range(kk2)], axis=-1)
+    wk = w[jnp.asarray(A), jnp.asarray(B)]      # (...,2,2, ci, co)
+    wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
+    # (sh,sw,qh,qw,dh,dw,ci,co) -> (sh,sw,qh,qw,ci,dh,dw,co)
+    wk = wk.transpose(0, 1, 2, 3, 6, 4, 5, 7)
+    wk = wk.reshape(kk2 * kk2 * 4 * ci, 4 * co).astype(x.dtype)
+    y = lax.dot_general(patches, wk, (((3,), (0,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=jnp.float32
+                        if x.dtype == jnp.float32 else None)
+    return y.astype(x.dtype)
 
 
 def max_pool_2x2_s2d(xs: jax.Array) -> jax.Array:
@@ -330,6 +452,34 @@ def deconv_s2d_to_s2d(xs: jax.Array, w: jax.Array, b=None,
     if b is not None:
         y = y + jnp.tile(b.astype(y.dtype), 4)
     return y
+
+
+def deconv_in_act_s2d(xs: jax.Array, w: jax.Array, b=None,
+                      act: str = "relu", k: int = 3, pad: int = 1,
+                      precision=lax.Precision.HIGHEST) -> jax.Array:
+    """deconv_s2d_to_s2d + instance_norm_act_s2d with the norm applied
+    on the PRE-d2s 16co-phase rep.
+
+    Instance-norm statistics are phase-invariant (the d2s only permutes
+    spatial positions within a channel), so normalizing before the
+    interleave is the exact same math — and it halves the d2s transpose
+    traffic: the round-3 2048p profile showed the deconv's internal
+    depth-to-space materialized TWICE (~755 us each at 2048p — once
+    feeding the IN-stats reduce, once fused into the IN-apply pass,
+    s2d_conv.py depth_to_space + the convert at the IN tail). With the
+    norm upstream the transpose runs once, after, into the consumer.
+    Channel order pre-d2s is (e_h, e_w, d_h, d_w, co) — phase-major, so
+    the stats fold is the same ``reshape(n, phases, co)`` with
+    phases=16."""
+    co = w.shape[3]
+    if os.environ.get("IR2RGB_DECONV_NORM", "pre") == "post":
+        return instance_norm_act_s2d(
+            deconv_s2d_to_s2d(xs, w, b, k, pad, precision), act)
+    y = _deconv_conv(xs, _deconv_wk(w, k, pad), k, pad, precision)
+    if b is not None:
+        y = y + jnp.tile(b.astype(y.dtype), 16)
+    y = instance_norm_act_s2d(y, act, phases=16)
+    return depth_to_space(y, 4 * co)
 
 
 
@@ -575,28 +725,31 @@ _in_stats_dot.defvjp(_in_stats_dot_fwd, _in_stats_dot_bwd)
 
 def instance_norm_act_s2d(xs: jax.Array, act: str = "relu",
                           eps: float = 1e-5,
-                          negative_slope: float = 0.2) -> jax.Array:
+                          negative_slope: float = 0.2,
+                          phases: int = 4) -> jax.Array:
     """Exact image-space instance norm on the s2d rep: fp32 statistics per
-    original channel, reduced over space and the 4 phase blocks.
+    original channel, reduced over space and the ``phases`` phase blocks
+    (4 for the standard s2d rep; 16 for the quad-phase deconv's pre-d2s
+    rep — see deconv_in_act_s2d).
 
-    The phase fold happens on the (n, 4C) stats vector, not on the big
-    tensor (a 6-d phase view of the activation costs a materialized
+    The phase fold happens on the (n, phases*C) stats vector, not on the
+    big tensor (a 6-d phase view of the activation costs a materialized
     relayout on TPU)."""
     n, hs, ws, c4 = xs.shape
-    c = c4 // 4
+    c = c4 // phases
     x32 = xs.astype(jnp.float32)
-    if (jax.default_backend() == "tpu" and c4 <= 512
+    if (phases == 4 and jax.default_backend() == "tpu" and c4 <= 512
             and os.environ.get("IR2RGB_IN_STATS", "xla") == "dot"):
         s, ss = _in_stats_dot(xs)
     else:
-        s = jnp.sum(x32, axis=(1, 2))            # (n, 4C)
+        s = jnp.sum(x32, axis=(1, 2))            # (n, phases*C)
         ss = jnp.sum(x32 * x32, axis=(1, 2))
-    cnt = float(hs * ws * 4)
-    mean_c = jnp.sum(s.reshape(n, 4, c), axis=1) / cnt       # (n, C)
-    ex2_c = jnp.sum(ss.reshape(n, 4, c), axis=1) / cnt
+    cnt = float(hs * ws * phases)
+    mean_c = jnp.sum(s.reshape(n, phases, c), axis=1) / cnt  # (n, C)
+    ex2_c = jnp.sum(ss.reshape(n, phases, c), axis=1) / cnt
     var_c = jnp.maximum(ex2_c - mean_c * mean_c, 0.0)
-    mean = jnp.tile(mean_c, (1, 4))[:, None, None, :]        # (n,1,1,4C)
-    rstd = jnp.tile(lax.rsqrt(var_c + eps), (1, 4))[:, None, None, :]
+    mean = jnp.tile(mean_c, (1, phases))[:, None, None, :]
+    rstd = jnp.tile(lax.rsqrt(var_c + eps), (1, phases))[:, None, None, :]
     y = (x32 - mean) * rstd
     if act == "relu":
         y = jnp.maximum(y, 0.0)

@@ -25,13 +25,15 @@ import jax
 import jax.numpy as jnp
 
 
-def run_trace(preset: str, trace_dir: str, size: int = 512,
+def run_trace(preset: str, trace_dir: str, size: int = 0,
               k: int = 12, train: bool = False) -> None:
     from ir2rgb_tpu.config import PRESETS
     from ir2rgb_tpu.train import create_model
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = PRESETS[preset]
+    if not size:  # default: the preset's own frame size (1024/2048 tiers)
+        size = cfg.data.crop_size
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype="bf16" if on_tpu else "float32"))
     model = create_model(cfg, steps_per_epoch=1000)
@@ -153,6 +155,11 @@ if __name__ == "__main__":
     if "--trace-dir" in sys.argv:
         trace_dir = sys.argv[sys.argv.index("--trace-dir") + 1]
     train = "--train" in sys.argv
+    size = 0
+    if "--size" in sys.argv:
+        size = int(sys.argv[sys.argv.index("--size") + 1])
     k = 6 if train else 12
-    run_trace(preset, trace_dir, k=k, train=train)
+    if "--k" in sys.argv:
+        k = int(sys.argv[sys.argv.index("--k") + 1])
+    run_trace(preset, trace_dir, size=size, k=k, train=train)
     parse_trace(trace_dir, k)

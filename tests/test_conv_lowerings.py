@@ -73,3 +73,39 @@ def test_conv_apply_routes_small_channels_through_s2d():
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=lax.Precision.HIGHEST) + p["b"]
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("k,pad,h,ci,co", [
+    (7, 0, 38, 3, 16),   # c7s1 head on a reflect-padded input
+    (7, 3, 32, 3, 8),    # zero-pad form
+    (3, 1, 20, 3, 12),   # VGG-entry shape
+    (5, 2, 24, 6, 4),    # temporal 6-channel head
+])
+def test_head_im2col_exact_and_grads(k, pad, h, ci, co):
+    """The im2col head lowering (round 3: one K-dense matmul instead of
+    k*k channel-starved MXU passes) must match the direct fused
+    image->s2d conv elementwise, and its custom VJP (backward via the
+    direct form's linear transpose) must match direct-form gradients."""
+    from ir2rgb_tpu.nn import s2d_space as s
+
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(1, h, h, ci), jnp.float32)
+    w = jnp.asarray(r.randn(k, k, ci, co) * 0.1, jnp.float32)
+    hp = lax.Precision.HIGHEST
+
+    out = s._conv_i2s_im2col_vjp(pad, hp, x, w)
+    ref = s._conv_i2s_direct(x, w, 1, pad, hp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    def f_new(x, w):
+        return jnp.sum(jnp.sin(s._conv_i2s_im2col_vjp(pad, hp, x, w)))
+
+    def f_ref(x, w):
+        return jnp.sum(jnp.sin(s._conv_i2s_direct(x, w, 1, pad, hp)))
+
+    g1 = jax.grad(f_new, argnums=(0, 1))(x, w)
+    g2 = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)

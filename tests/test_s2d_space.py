@@ -180,3 +180,41 @@ def test_conv_wide_custom_vjp_matches_direct(dtype):
     np.testing.assert_array_equal(
         np.asarray(gw_w.astype(jnp.float32)),
         np.asarray(gw_d.astype(jnp.float32)))
+
+
+def test_deconv_in_act_s2d_matches_post_d2s_norm():
+    """IN+act on the pre-d2s 16-phase rep == IN+act after the d2s
+    (stats are phase-invariant; round-3 lowering halves the d2s
+    transpose traffic)."""
+    from ir2rgb_tpu.nn.s2d_space import (
+        deconv_in_act_s2d,
+        deconv_s2d_to_s2d,
+        instance_norm_act_s2d,
+    )
+
+    r = np.random.RandomState(0)
+    xs = jnp.asarray(r.randn(2, 8, 8, 4 * 6), jnp.float32)
+    w = jnp.asarray(r.randn(3, 3, 6, 5) * 0.2, jnp.float32)
+    b = jnp.asarray(r.randn(5), jnp.float32)
+    ref = instance_norm_act_s2d(deconv_s2d_to_s2d(xs, w, b), "relu")
+    got = deconv_in_act_s2d(xs, w, b, "relu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_resnet_block_border_fixup_matches_materialized_pad(monkeypatch):
+    """The high-res gate routing res-block pads through the border-fixup
+    conv must be exact vs the materialized reflect pad (forced on small
+    shapes by lowering the threshold)."""
+    from ir2rgb_tpu.nn import generators as G
+
+    cfg = G.GenConfig(ngf=8)
+    key = jax.random.PRNGKey(0)
+    p = G._resnet_block_init(key, 8, "instance", True)  # 8 image channels
+    hs = jnp.asarray(np.random.RandomState(1).randn(1, 24, 24, 4 * 8),
+                     jnp.float32)
+    ref = G._resnet_block_apply_s2d(p, hs, cfg)
+    monkeypatch.setattr(G, "_BORDER_FIXUP_MIN_ROWS", 4)
+    got = G._resnet_block_apply_s2d(p, hs, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
