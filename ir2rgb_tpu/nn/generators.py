@@ -199,6 +199,40 @@ def _head_conv_s2d(pc, x, cfg: GenConfig):
     return y
 
 
+def _head_in_act_s2d(pc, x, cfg: GenConfig):
+    """reflect-pad + c7s1 head + instance norm + relu, dispatched.
+
+    On TPU, heads whose output is >= 1024 px use the round-3 fold-4
+    lowering (s2d_space.head_fold4_in_act_s2d): the direct head iterates
+    k*k taps at K=3 per MXU pass and was the largest single op of the
+    1024/2048 profiles; folding the padded image 4x4 cuts it to
+    (k+2)//4+1 squared taps of K=48 with the norm on the pre-d2s phase
+    rep. Standalone segment times on the v5e (exp_head_conv.py):
+    2048/ngf16 7583->3488, 1024/ngf32 1901->1130, 512/ngf64 624->339 us
+    — but IN CONTEXT the <= 512 px heads REGRESS the full generators
+    (512p local 287->270, global 201->184, temporal 293->253 fps; the
+    same layout-retile effect as the im2col and Pallas-tail attempts),
+    while the 2048p frame drops 39.8->38.0 ms and 1024p is neutral. The
+    gate reflects the measured in-context crossover, not the standalone
+    one. IR2RGB_HEAD=direct|fold4 overrides."""
+    from .s2d_space import head_fold4_in_act_s2d, instance_norm_act_s2d
+    from jax import lax
+    w = pc["w"]
+    out_img = x.shape[1] + 6 - w.shape[0] + 1
+    mode = os.environ.get("IR2RGB_HEAD", "auto")
+    use_fold4 = (mode == "fold4"
+                 or (mode == "auto" and out_img >= 1024))
+    if (jax.default_backend() == "tpu" and out_img % 4 == 0
+            and use_fold4):
+        prec = (lax.Precision.DEFAULT
+                if cfg.compute_dtype == jnp.bfloat16
+                else lax.Precision.HIGHEST)
+        xp = ops.reflect_pad(x.astype(cfg.compute_dtype), 3)
+        return head_fold4_in_act_s2d(xp, w.astype(cfg.compute_dtype),
+                                     pc.get("b"), "relu", precision=prec)
+    return instance_norm_act_s2d(_head_conv_s2d(pc, x, cfg), "relu")
+
+
 # Above this many s2d rows, a res block's reflect pads go through the
 # border-fixup conv instead of a materialized pad. At 512px (s2d 128-256
 # rows) the materialized k=3 pads cost only ~50 us each and the fixup's
@@ -330,8 +364,7 @@ def _resnet_generator_apply_s2d(p: Params, x: jax.Array, cfg: GenConfig, *,
         from_s2d,
         instance_norm_act_s2d,
     )
-    hs = _head_conv_s2d(p["head"]["conv"], x, cfg)
-    hs = instance_norm_act_s2d(hs, "relu")
+    hs = _head_in_act_s2d(p["head"]["conv"], x, cfg)
     in_s2d = True
     h = None
     for i in range(n_downsampling):
@@ -478,6 +511,25 @@ def local_enhancer_apply(p: Params, x: jax.Array, cfg: GenConfig, *,
     return out
 
 
+def _use_fold4_tail(hs: jax.Array) -> bool:
+    """Gate for the fold-4 tail fusion (final enhancer level): the
+    deconv's pre-d2s rep feeds the tail directly, skipping the d2s
+    transpose. In-context on the v5e (round 3): WINS at the 2048 tier
+    (37.6 -> 37.3 ms), LOSES at 1024p (12.9 -> 13.7 ms) and 512p
+    (285 -> 263 fps local, 293 -> 271 temporal) where the d2s it saves
+    is small and the fold-4 conv's layouts retile neighbours — gate to
+    the 2048 tier (pre-up s2d rep >= 512 rows).
+    IR2RGB_TAIL=fold4|s2d overrides."""
+    if jax.default_backend() != "tpu":
+        return False
+    mode = os.environ.get("IR2RGB_TAIL", "auto")
+    if mode == "fold4":
+        return True
+    if mode == "s2d":
+        return False
+    return hs.shape[1] >= 512
+
+
 def _local_enhancer_apply_s2d(p: Params, pyramid, cfg: GenConfig, *,
                               train: bool, rng) -> jax.Array:
     """Coarse-to-fine in s2d space: the trunk hands its (headless) output
@@ -495,8 +547,7 @@ def _local_enhancer_apply_s2d(p: Params, pyramid, cfg: GenConfig, *,
     for n in range(1, n_local + 1):
         enh = p[f"enhancer{n}"]
         xi = pyramid[n_local - n]
-        hs = _head_conv_s2d(enh["down0"]["conv"], xi, cfg)
-        hs = instance_norm_act_s2d(hs, "relu")
+        hs = _head_in_act_s2d(enh["down0"]["conv"], xi, cfg)
         # stride-2 down, staying in s2d (emits the half-res s2d rep)
         hs = _conv_s2d_wrap(enh["down1"]["conv"], hs, cfg, k=3, pad=1,
                             stride=2, out_s2d=True)
@@ -507,10 +558,20 @@ def _local_enhancer_apply_s2d(p: Params, pyramid, cfg: GenConfig, *,
                                          train=train)
         # upsample: quad-phase deconv, s2d in -> s2d out (no plain
         # hop); IN+relu on the pre-d2s phase rep (one transpose)
-        hs = deconv_in_act_s2d(
-            hs.astype(cfg.compute_dtype),
-            enh["up"]["up"]["w"].astype(cfg.compute_dtype),
-            enh["up"]["up"].get("b"), "relu")
+        up_w = enh["up"]["up"]["w"].astype(cfg.compute_dtype)
+        up_b = enh["up"]["up"].get("b")
+        if n == n_local and _use_fold4_tail(hs):
+            # final level: the tail reads the deconv's pre-d2s fold-4
+            # rep directly — the d2s transpose never happens
+            from .s2d_space import tail_from_fold4
+            y4 = deconv_in_act_s2d(hs.astype(cfg.compute_dtype), up_w,
+                                   up_b, "relu", emit_d2s=False)
+            tp = enh["tail"]["conv"]
+            out = tail_from_fold4(y4, tp["w"].astype(cfg.compute_dtype),
+                                  tp.get("b"))
+            return out.astype(cfg.compute_dtype)
+        hs = deconv_in_act_s2d(hs.astype(cfg.compute_dtype), up_w, up_b,
+                               "relu")
         out_s2d = hs
         if n == n_local:
             return _s2d_tail_output(enh["tail"]["conv"], hs, cfg, train)

@@ -342,6 +342,231 @@ def conv_image_to_s2d_im2col(x: jax.Array, w: jax.Array, pad: int = 0,
     return y.astype(x.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _fold4_head_maps(k: int):
+    """Gather maps for the fold-4 head conv (stride 1, odd k).
+
+    The image folds 4x4 into 16ci channels; each fold-4 output cell t
+    hosts 2x2 s2d cells (sub-position e) each with 2x2 image phases d,
+    so one conv with window kk = (k+2)//4 + 1 and 16co phase-expanded
+    output channels computes the whole head: tap r lives at cell offset
+    o = (2e + d + r) // 4, intra-cell row u = (2e + d + r) % 4, i.e.
+    r = 4o + u - 2e - d when 0 <= r < k. Output channel order
+    (e_h, e_w, d_h, d_w, co) is exactly the quad-phase deconv's pre-d2s
+    layout, so the same depth_to_space(+pre-d2s instance norm) finishes
+    the job."""
+    kk = (k + 2) // 4 + 1
+    A = np.zeros((kk, kk, 4, 4, 2, 2, 2, 2), np.int32)
+    B = np.zeros((kk, kk, 4, 4, 2, 2, 2, 2), np.int32)
+    M = np.zeros((kk, kk, 4, 4, 2, 2, 2, 2), bool)
+    for oh in range(kk):
+        for ow in range(kk):
+            for uh in range(4):
+                for uw in range(4):
+                    for eh in (0, 1):
+                        for ew in (0, 1):
+                            for dh in (0, 1):
+                                for dw in (0, 1):
+                                    rh = 4 * oh + uh - 2 * eh - dh
+                                    rw = 4 * ow + uw - 2 * ew - dw
+                                    if 0 <= rh < k and 0 <= rw < k:
+                                        idx = (oh, ow, uh, uw, eh, ew,
+                                               dh, dw)
+                                        A[idx] = rh
+                                        B[idx] = rw
+                                        M[idx] = True
+    return A, B, M, kk
+
+
+def head_fold4_in_act_s2d(x: jax.Array, w: jax.Array, b=None,
+                          act: str = "relu",
+                          precision=lax.Precision.HIGHEST) -> jax.Array:
+    """c7s1 head + instance norm + activation via a fold-4 conv.
+
+    The direct head conv is MXU-pass-limited: XLA iterates k*k taps with
+    K = 3 per pass (64 passes for k=7 — 5.1 ms at 2048p). Folding the
+    reflect-padded image 4x4 (48 input channels) turns it into kk^2 = 9
+    taps of K = 48 with N = 16co phase channels; the norm runs on the
+    pre-d2s 16-phase rep (deconv_in_act_s2d's trick) and one
+    depth-to-space emits the s2d rep. Exact: 0/1 gather of w, same
+    conv/reduce arithmetic.
+
+    ``x`` must already carry the conv's padding (the generators
+    reflect-pad); output image size must be divisible by 4."""
+    k, _, ci, co = w.shape
+    n, h, wd, _ = x.shape
+    out_img = h - k + 1
+    assert out_img % 4 == 0, "fold-4 head needs output divisible by 4"
+    A, B, M, kk = _fold4_head_maps(k)
+    # pad H/W up to a multiple of 4: the extra rows/cols sit beyond every
+    # valid tap (the kernel map zeroes any (o, u) pair whose r falls
+    # outside the window), so zero-fill is exact
+    hp = -h % 4
+    wp = -wd % 4
+    if hp or wp:
+        x = jnp.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)))
+    h4, w4 = (h + hp) // 4, (wd + wp) // 4
+    xs4 = x.reshape(n, h4, 4, w4, 4, ci).transpose(0, 1, 3, 2, 4, 5)
+    xs4 = xs4.reshape(n, h4, w4, 16 * ci)
+
+    wk = w[jnp.asarray(A), jnp.asarray(B)]  # (kk,kk,4,4,2,2,2,2,ci,co)
+    wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
+    # -> (oh,ow, uh,uw,ci, eh,ew,dh,dw,co)
+    wk = wk.transpose(0, 1, 2, 3, 8, 4, 5, 6, 7, 9)
+    wk = wk.reshape(kk, kk, 16 * ci, 16 * co).astype(x.dtype)
+
+    y = lax.conv_general_dilated(
+        xs4, wk, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32
+        else None,
+    )
+    y = y[:, :out_img // 4, :out_img // 4, :]
+    if b is not None:
+        y = y + jnp.tile(b.astype(y.dtype), 16)
+    y = instance_norm_act_s2d(y, act, phases=16)
+    return depth_to_space(y, 4 * co)
+
+
+@functools.lru_cache(maxsize=None)
+def _fold4_tail_maps(k: int):
+    """Gather maps for the tail conv reading the quad-phase deconv's
+    PRE-d2s rep (which is a fold-4 rep with channel blocks ordered
+    (e_h, e_w, d_h, d_w, ci); image offset within a cell v = 2e + d).
+
+    Output image index m = 4t + v_out; tap r with pad p=(k-1)//2 reads
+    input i = m + r - p = 4(t + o) + v_in with o = floor((v_out+r-p)/4)
+    in {-1,0,1} -> window 3 with cell-level zero padding (1,1); the
+    border strips are reflect-recomputed by the caller."""
+    p = (k - 1) // 2
+    kk = 3
+    A = np.zeros((kk, kk, 4, 4, 4, 4), np.int32)   # (oh,ow,vin_h,vin_w,vout_h,vout_w)
+    B = np.zeros((kk, kk, 4, 4, 4, 4), np.int32)
+    M = np.zeros((kk, kk, 4, 4, 4, 4), bool)
+    for vo_h in range(4):
+        for r_h in range(k):
+            t_h = vo_h + r_h - p
+            oh, vi_h = t_h // 4 + 1, t_h % 4
+            for vo_w in range(4):
+                for r_w in range(k):
+                    t_w = vo_w + r_w - p
+                    ow, vi_w = t_w // 4 + 1, t_w % 4
+                    A[oh, ow, vi_h, vi_w, vo_h, vo_w] = r_h
+                    B[oh, ow, vi_h, vi_w, vo_h, vo_w] = r_w
+                    M[oh, ow, vi_h, vi_w, vo_h, vo_w] = True
+    return A, B, M, kk
+
+
+def tail_fold4_body(y4: jax.Array, w: jax.Array) -> jax.Array:
+    """Zero-padded tail conv on the pre-d2s (fold-4) rep: one conv of
+    window 3, K = 16*ci, N = 16*co — replaces [d2s + 25-tap wide conv]
+    for the final enhancer level. ``y4`` channels ordered
+    (e_h, e_w, d_h, d_w, ci). Output: fold-4 rep of the conv result
+    (v-major channel blocks, co minor). Borders (within (k-1)//2 px)
+    assume zero padding — the caller patches reflect-correct strips."""
+    k, _, ci, co = w.shape
+    A, B, M, kk = _fold4_tail_maps(k)
+    wk = w[jnp.asarray(A), jnp.asarray(B)]  # (kk,kk,4,4,4,4,ci,co)
+    wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
+    # input channel block (e_h,e_w,d_h,d_w) = (vh//2, vw//2, vh%2, vw%2)
+    vi = np.arange(4)
+    perm_in = ((vi[:, None] // 2 * 2 + vi[None, :] // 2) * 4
+               + vi[:, None] % 2 * 2 + vi[None, :] % 2)  # (vh,vw)->block
+    # reorder wk's (vin_h, vin_w) axes into the deconv's channel order:
+    # build (kk,kk,16in,ci,16out,co) with 16in indexed by the deconv
+    # block id
+    wk = wk.transpose(0, 1, 2, 3, 6, 4, 5, 7)  # (kk,kk,vih,viw,ci,voh,vow,co)
+    wk = wk.reshape(kk, kk, 16, ci, 16, co)
+    inv = np.argsort(perm_in.reshape(16))       # deconv block -> (vh,vw)
+    wk = wk[:, :, jnp.asarray(inv)]
+    wk = wk.reshape(kk, kk, 16 * ci, 16 * co).astype(y4.dtype)
+    prec = (lax.Precision.DEFAULT if y4.dtype == jnp.bfloat16
+            else lax.Precision.HIGHEST)
+    return lax.conv_general_dilated(
+        y4, wk, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=prec,
+        preferred_element_type=jnp.float32 if y4.dtype == jnp.float32
+        else None,
+    )
+
+
+def unfold4(y: jax.Array, c: int) -> jax.Array:
+    """(n, h4, w4, 16c) v-major fold-4 rep -> (n, 4h4, 4w4, c) image."""
+    n, h4, w4, _ = y.shape
+    y = y.reshape(n, h4, w4, 4, 4, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 4 * h4, 4 * w4, c)
+
+
+def unfold4_deconv(y: jax.Array, c: int) -> jax.Array:
+    """Unfold the deconv's pre-d2s rep — channel blocks ordered
+    (e_h, e_w, d_h, d_w, c), image offset v = 2e + d — to the image."""
+    n, h4, w4, _ = y.shape
+    y = y.reshape(n, h4, w4, 2, 2, 2, 2, c)
+    y = y.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (n,h4,eh,dh,w4,ew,dw,c)
+    return y.reshape(n, 4 * h4, 4 * w4, c)
+
+
+def fold4_of_image(x: jax.Array) -> jax.Array:
+    """(n, H, W, c) -> (n, H/4, W/4, 16c), v-major channel blocks."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 4, 4, w // 4, 4, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 4, w // 4, 16 * c)
+
+
+def tail_from_fold4(y4: jax.Array, w: jax.Array, b=None,
+                    out_nc: int = 3) -> jax.Array:
+    """Generator tail (reflect-pad (k-1)//2 + c7s1 conv + tanh) reading
+    the final deconv's PRE-d2s rep directly, emitting the image.
+
+    Skips the deconv's depth-to-space entirely (at 2048p that transpose
+    alone cost ~755 us) and runs the tail as a 9-tap K=16ci conv on full
+    128-lane channels instead of the 25-pass wide matmul on the
+    half-lane s2d rep. Zero-pad body + exact reflect strips: the
+    (k-1)//2-pixel borders are recomputed in image space from a thin
+    unfolded slice (the conv_reflect_s2d recipe, one fold level up)."""
+    k, _, ci, co = w.shape
+    p = (k - 1) // 2
+    n, h4, w4, _ = y4.shape
+    H, W = 4 * h4, 4 * w4
+    body = tail_fold4_body(y4, w)                    # (n, h4, w4, 16co)
+    if b is not None:
+        body = body + jnp.tile(b.astype(body.dtype), 16)
+    body = jnp.tanh(body.astype(jnp.float32)).astype(y4.dtype)
+    out = unfold4(body, co)                          # (n, 4h4, 4w4, co)
+
+    # zero-pad error region = outputs within p px of each border; the
+    # strip conv needs 2p interior image rows/cols, = ceil(2p/4) cells
+    sc = (2 * p + 3) // 4
+
+    def reflect_conv(sub):
+        subp = jnp.pad(sub, ((0, 0), (p, p), (p, p), (0, 0)),
+                       mode="reflect")
+        y = lax.conv_general_dilated(
+            subp, w.astype(sub.dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=(lax.Precision.DEFAULT
+                       if sub.dtype == jnp.bfloat16
+                       else lax.Precision.HIGHEST))
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        return jnp.tanh(y.astype(jnp.float32)).astype(sub.dtype)
+
+    # NB the strip's reflect pad on its slice-interior side is wrong,
+    # but only rows/cols < p from the TRUE border are kept — those read
+    # interior rows <= 2p-1, all inside the slice
+    top = reflect_conv(unfold4_deconv(y4[:, :sc], ci))[:, :p]
+    bot = reflect_conv(unfold4_deconv(y4[:, h4 - sc:], ci))[:, -p:]
+    out = out.at[:, :p, :, :].set(top)
+    out = out.at[:, H - p:, :, :].set(bot)
+    lef = reflect_conv(unfold4_deconv(y4[:, :, :sc], ci))[:, :, :p]
+    rig = reflect_conv(unfold4_deconv(y4[:, :, w4 - sc:], ci))[:, :, -p:]
+    out = out.at[:, :, :p, :].set(lef)
+    out = out.at[:, :, W - p:, :].set(rig)
+    return out
+
+
 def max_pool_2x2_s2d(xs: jax.Array) -> jax.Array:
     """MaxPool2d(2, stride=2) of the underlying image, given its s2d rep:
     the pool windows ARE the phase blocks, so this is an elementwise max
@@ -456,7 +681,8 @@ def deconv_s2d_to_s2d(xs: jax.Array, w: jax.Array, b=None,
 
 def deconv_in_act_s2d(xs: jax.Array, w: jax.Array, b=None,
                       act: str = "relu", k: int = 3, pad: int = 1,
-                      precision=lax.Precision.HIGHEST) -> jax.Array:
+                      precision=lax.Precision.HIGHEST,
+                      emit_d2s: bool = True) -> jax.Array:
     """deconv_s2d_to_s2d + instance_norm_act_s2d with the norm applied
     on the PRE-d2s 16co-phase rep.
 
@@ -479,6 +705,8 @@ def deconv_in_act_s2d(xs: jax.Array, w: jax.Array, b=None,
     if b is not None:
         y = y + jnp.tile(b.astype(y.dtype), 16)
     y = instance_norm_act_s2d(y, act, phases=16)
+    if not emit_d2s:
+        return y  # pre-d2s fold-4 rep — tail_from_fold4 consumes this
     return depth_to_space(y, 4 * co)
 
 

@@ -109,9 +109,17 @@ def main():
         y = y.astype(x.dtype) + jnp.tile(b, 4)
         return instance_norm_act_s2d(y, "relu")
 
+    def head_f(x):
+        """fold-4 conv: kk^2=9 taps of K=48 + pre-d2s IN (round 3)."""
+        from ir2rgb_tpu.nn.s2d_space import head_fold4_in_act_s2d
+        from jax import lax
+        xp = ops.reflect_pad(x, 3)
+        return head_fold4_in_act_s2d(xp, w, b, "relu",
+                                     precision=lax.Precision.DEFAULT)
+
     variants = {"A_current": head_a, "B_barrier": head_b,
                 "C_s2d_first": head_c, "D_barrier_prebias": head_d,
-                "E_im2col": head_e}
+                "E_im2col": head_e, "F_fold4": head_f}
     only = os.environ.get("IR2RGB_EXP_ONLY")
     if only:
         keep = {"A_current": head_a}

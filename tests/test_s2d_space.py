@@ -218,3 +218,52 @@ def test_resnet_block_border_fixup_matches_materialized_pad(monkeypatch):
     got = G._resnet_block_apply_s2d(p, hs, cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_tail_from_fold4_matches_s2d_tail():
+    """Final-level fusion (round 3): deconv pre-d2s rep -> fold-4 tail
+    conv -> image must equal [deconv + d2s + reflect-conv tail + tanh +
+    from_s2d] elementwise, including the reflect-corrected borders and
+    corners."""
+    from ir2rgb_tpu.nn.s2d_space import (
+        conv_reflect_s2d,
+        deconv_in_act_s2d,
+        from_s2d,
+        tail_from_fold4,
+    )
+
+    r = np.random.RandomState(3)
+    for ci_in, co_up, hs, k in [(8, 6, 12, 7), (4, 5, 16, 7), (8, 6, 12, 3)]:
+        xs = jnp.asarray(r.randn(1, hs, hs, 4 * ci_in) * 0.5, jnp.float32)
+        wd = jnp.asarray(r.randn(3, 3, ci_in, co_up) * 0.2, jnp.float32)
+        bd = jnp.asarray(r.randn(co_up), jnp.float32)
+        wt = jnp.asarray(r.randn(k, k, co_up, 3) * 0.1, jnp.float32)
+        bt = jnp.asarray(r.randn(3), jnp.float32)
+        hs2 = deconv_in_act_s2d(xs, wd, bd, "relu")
+        y = conv_reflect_s2d(hs2, wt) + jnp.tile(bt, 4)
+        ref = from_s2d(jnp.tanh(y.astype(jnp.float32)), 3)
+        y4 = deconv_in_act_s2d(xs, wd, bd, "relu", emit_d2s=False)
+        got = tail_from_fold4(y4, wt, bt)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_head_fold4_matches_direct_head():
+    """fold-4 head conv + pre-d2s IN == direct fused head + IN (round-3
+    lowering for >= 1024 px heads)."""
+    from jax import lax
+
+    from ir2rgb_tpu.nn import s2d_space as s
+
+    r = np.random.RandomState(4)
+    for k, ci, co, out in [(7, 3, 16, 16), (7, 6, 8, 32), (3, 3, 8, 16)]:
+        h = out + k - 1
+        x = jnp.asarray(r.randn(1, h, h, ci), jnp.float32)
+        w = jnp.asarray(r.randn(k, k, ci, co) * 0.1, jnp.float32)
+        b = jnp.asarray(r.randn(co), jnp.float32)
+        ref = s._conv_i2s_direct(x, w, 1, 0, lax.Precision.HIGHEST)
+        ref = s.instance_norm_act_s2d(ref + jnp.tile(b, 4), "relu")
+        got = s.head_fold4_in_act_s2d(x, w, b, "relu",
+                                      precision=lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
