@@ -215,10 +215,13 @@ def _head_in_act_s2d(pc, x, cfg: GenConfig):
     while the 2048p frame drops 39.8->38.0 ms and 1024p is neutral. The
     gate reflects the measured in-context crossover, not the standalone
     one. IR2RGB_HEAD=direct|fold4 overrides."""
-    from .s2d_space import head_fold4_in_act_s2d, instance_norm_act_s2d
+    from .s2d_space import (
+        head_fold4_reflect_in_act_s2d,
+        instance_norm_act_s2d,
+    )
     from jax import lax
     w = pc["w"]
-    out_img = x.shape[1] + 6 - w.shape[0] + 1
+    out_img = x.shape[1]  # c7s1: reflect pad (k-1)//2 preserves size
     mode = os.environ.get("IR2RGB_HEAD", "auto")
     use_fold4 = (mode == "fold4"
                  or (mode == "auto" and out_img >= 1024))
@@ -227,9 +230,11 @@ def _head_in_act_s2d(pc, x, cfg: GenConfig):
         prec = (lax.Precision.DEFAULT
                 if cfg.compute_dtype == jnp.bfloat16
                 else lax.Precision.HIGHEST)
-        xp = ops.reflect_pad(x.astype(cfg.compute_dtype), 3)
-        return head_fold4_in_act_s2d(xp, w.astype(cfg.compute_dtype),
-                                     pc.get("b"), "relu", precision=prec)
+        # reflect variant: no materialized padded image (the pad copy
+        # alone cost ~836 us at 2048p) — zero-pad body + exact strips
+        return head_fold4_reflect_in_act_s2d(
+            x.astype(cfg.compute_dtype), w.astype(cfg.compute_dtype),
+            pc.get("b"), "relu", precision=prec)
     return instance_norm_act_s2d(_head_conv_s2d(pc, x, cfg), "relu")
 
 

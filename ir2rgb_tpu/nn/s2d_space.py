@@ -406,8 +406,7 @@ def head_fold4_in_act_s2d(x: jax.Array, w: jax.Array, b=None,
     if hp or wp:
         x = jnp.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)))
     h4, w4 = (h + hp) // 4, (wd + wp) // 4
-    xs4 = x.reshape(n, h4, 4, w4, 4, ci).transpose(0, 1, 3, 2, 4, 5)
-    xs4 = xs4.reshape(n, h4, w4, 16 * ci)
+    xs4 = fold4_of_image(x)
 
     wk = w[jnp.asarray(A), jnp.asarray(B)]  # (kk,kk,4,4,2,2,2,2,ci,co)
     wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
@@ -492,8 +491,83 @@ def tail_fold4_body(y4: jax.Array, w: jax.Array) -> jax.Array:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _stride4_select_mats(n_out: int, dtype_name: str):
+    """E_v: (4*n_out, n_out) 0/1 with E_v[4j+v, j] = 1 — stride-4
+    deinterleave (fold) as a matmul; transposed, the stride-4
+    interleave (unfold)."""
+    mats = []
+    for v in range(4):
+        m = np.zeros((4 * n_out, n_out), np.dtype(dtype_name))
+        m[np.arange(n_out) * 4 + v, np.arange(n_out)] = 1
+        mats.append(m)
+    return tuple(mats)
+
+
+def _fold_prec(dtype):
+    # HIGHEST keeps f32 exact through 0/1 dots (XLA's default decomposes
+    # f32 dots into truncating bf16 passes)
+    return (lax.Precision.DEFAULT if dtype == jnp.bfloat16
+            else lax.Precision.HIGHEST)
+
+
+def fold4_of_image_dot(x: jax.Array) -> jax.Array:
+    """fold4_of_image as stride-4 selection matmuls on the MXU.
+
+    The 6-d reshape/transpose form moves a 3-channel tensor through
+    T(8,128) tiles at ~15 GB/s (round-3 2048p profile: 2.36 ms to fold
+    the input image); the 0/1-matmul form rides the MXU instead — the
+    same trick as s2d_conv._d2s_dot, one fold level up. Exact."""
+    n, H, W, c = x.shape
+    h4, w4 = H // 4, W // 4
+    ew = [jnp.asarray(m) for m in _stride4_select_mats(w4, x.dtype.name)]
+    eh = [jnp.asarray(m) for m in _stride4_select_mats(h4, x.dtype.name)]
+    prec = _fold_prec(x.dtype)
+    ein = functools.partial(jnp.einsum, precision=prec)
+    cols = [ein("nhwc,wj->nhjc", x, e) for e in ew]       # (n,H,w4,c) x4
+    out = []
+    for uh in range(4):
+        for uw in range(4):
+            out.append(ein("nhjc,hi->nijc", cols[uw], eh[uh]))
+    return jnp.concatenate(out, axis=-1).astype(x.dtype)  # (uh,uw,c)
+
+
+def unfold4_dot(y: jax.Array, c: int, order: str = "v") -> jax.Array:
+    """unfold4 (order='v') / unfold4_deconv (order='deconv') as stride-4
+    interleave matmuls — replaces the 2.9 ms reshape/transpose chain the
+    round-3 2048p profile showed for the 3-channel tail output."""
+    n, h4, w4, _ = y.shape
+    ew = [jnp.asarray(m.T) for m in _stride4_select_mats(w4, y.dtype.name)]
+    eh = [jnp.asarray(m.T) for m in _stride4_select_mats(h4, y.dtype.name)]
+    prec = _fold_prec(y.dtype)
+    ein = functools.partial(jnp.einsum, precision=prec)
+
+    def block(uh, uw):
+        if order == "v":
+            bid = uh * 4 + uw
+        else:  # deconv channel order (e_h, e_w, d_h, d_w)
+            bid = ((uh // 2 * 2 + uw // 2) * 2 + uh % 2) * 2 + uw % 2
+        return y[..., bid * c:(bid + 1) * c]
+
+    rows = []
+    for uh in range(4):
+        acc = None
+        for uw in range(4):
+            t = ein("nhjc,jw->nhwc", block(uh, uw), ew[uw])
+            acc = t if acc is None else acc + t
+        rows.append(acc)                                  # (n,h4,4w4,c)
+    out = None
+    for uh in range(4):
+        t = ein("nhwc,hi->niwc", rows[uh], eh[uh])
+        out = t if out is None else out + t
+    return out.astype(y.dtype)                            # (n,4h4,4w4,c)
+
+
 def unfold4(y: jax.Array, c: int) -> jax.Array:
     """(n, h4, w4, 16c) v-major fold-4 rep -> (n, 4h4, 4w4, c) image."""
+    if jax.default_backend() == "tpu" and os.environ.get(
+            "IR2RGB_FOLD", "dot") == "dot":
+        return unfold4_dot(y, c, order="v")
     n, h4, w4, _ = y.shape
     y = y.reshape(n, h4, w4, 4, 4, c)
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 4 * h4, 4 * w4, c)
@@ -510,6 +584,9 @@ def unfold4_deconv(y: jax.Array, c: int) -> jax.Array:
 
 def fold4_of_image(x: jax.Array) -> jax.Array:
     """(n, H, W, c) -> (n, H/4, W/4, 16c), v-major channel blocks."""
+    if jax.default_backend() == "tpu" and os.environ.get(
+            "IR2RGB_FOLD", "dot") == "dot":
+        return fold4_of_image_dot(x)
     n, h, w, c = x.shape
     x = x.reshape(n, h // 4, 4, w // 4, 4, c)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 4, w // 4, 16 * c)
@@ -565,6 +642,107 @@ def tail_from_fold4(y4: jax.Array, w: jax.Array, b=None,
     out = out.at[:, :, :p, :].set(lef)
     out = out.at[:, :, W - p:, :].set(rig)
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _fold4_head_reflect_maps(k: int):
+    """fold-4 head maps for UNPADDED input with p=(k-1)//2 zero padding
+    at cell level: image out m = 4t + 2e + d reads input i = m + r - p
+    = 4(t + o - 1) + u with conv padding (1,1). Same output channel
+    structure as _fold4_head_maps; borders are reflect-patched by the
+    caller."""
+    p = (k - 1) // 2
+    kk = 3
+    A = np.zeros((kk, kk, 4, 4, 2, 2, 2, 2), np.int32)
+    B = np.zeros((kk, kk, 4, 4, 2, 2, 2, 2), np.int32)
+    M = np.zeros((kk, kk, 4, 4, 2, 2, 2, 2), bool)
+    for eh in (0, 1):
+        for dh in (0, 1):
+            for rh in range(k):
+                th = 2 * eh + dh + rh - p
+                oh, uh = th // 4 + 1, th % 4
+                assert 0 <= oh < kk, (k, oh)
+                for ew in (0, 1):
+                    for dw in (0, 1):
+                        for rw in range(k):
+                            tw = 2 * ew + dw + rw - p
+                            ow, uw = tw // 4 + 1, tw % 4
+                            idx = (oh, ow, uh, uw, eh, ew, dh, dw)
+                            A[idx] = rh
+                            B[idx] = rw
+                            M[idx] = True
+    return A, B, M, kk
+
+
+def head_fold4_reflect_in_act_s2d(x: jax.Array, w: jax.Array, b=None,
+                                  act: str = "relu",
+                                  precision=lax.Precision.HIGHEST
+                                  ) -> jax.Array:
+    """c7s1 head (reflect pad p=(k-1)//2) + IN + act via a fold-4 conv,
+    WITHOUT materializing the reflect-padded image (at 2048p that pad
+    copy alone cost ~836 us). Zero-pad body on the folded input + exact
+    reflect strips: the first/last fold-4 cell row/col are recomputed in
+    image space from thin slices and patched into the pre-norm body, so
+    the IN statistics see the exact conv result."""
+    k, _, ci, co = w.shape
+    p = (k - 1) // 2
+    n, H, W, _ = x.shape
+    assert H % 4 == 0 and W % 4 == 0, "fold-4 reflect head needs /4 sizes"
+    h4, w4 = H // 4, W // 4
+    xs4 = fold4_of_image(x)
+    A, B, M, kk = _fold4_head_reflect_maps(k)
+    wk = w[jnp.asarray(A), jnp.asarray(B)]
+    wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
+    wk = wk.transpose(0, 1, 2, 3, 8, 4, 5, 6, 7, 9)
+    wk = wk.reshape(kk, kk, 16 * ci, 16 * co).astype(x.dtype)
+    body = lax.conv_general_dilated(
+        xs4, wk, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32
+        else None,
+    )                                           # (n, h4, w4, 16co)
+
+    # reflect-correct strips (first/last cell row/col): the zero-pad
+    # error reaches p < 4 px into the frame, i.e. only the border cells
+    def refold_rows(img_rows):
+        """(n, 4, S, co) image rows -> (n, 1, S/4, 16co) cell row in the
+        head's (e_h, e_w, d_h, d_w, co) channel order."""
+        nn, four, S, c = img_rows.shape
+        y = img_rows.reshape(nn, 2, 2, S // 4, 2, 2, c)
+        y = y.transpose(0, 3, 1, 4, 2, 5, 6)    # (n, S/4, eh, ew, dh, dw, c)
+        return y.reshape(nn, 1, S // 4, 16 * c)
+
+    def conv_strip(sub):
+        subp = jnp.pad(sub, ((0, 0), (p, p), (p, p), (0, 0)),
+                       mode="reflect")
+        return lax.conv_general_dilated(
+            subp, w.astype(sub.dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision)
+
+    # 2 cell rows (8 px) of input cover the strip conv's interior reads
+    top = conv_strip(x[:, :8, :, :])[:, :4]
+    bot = conv_strip(x[:, H - 8:, :, :])[:, -4:]
+    body = body.at[:, :1].set(refold_rows(top))
+    body = body.at[:, h4 - 1:].set(refold_rows(bot))
+    lef = conv_strip(x[:, :, :8, :])[:, :, :4]
+    rig = conv_strip(x[:, :, W - 8:, :])[:, :, -4:]
+
+    def refold_cols(img_cols):
+        """(n, S, 4, co) image cols -> (n, S/4, 1, 16co) cell col."""
+        nn, S, four, c = img_cols.shape
+        y = img_cols.reshape(nn, S // 4, 2, 2, 2, 2, c)
+        y = y.transpose(0, 1, 2, 4, 3, 5, 6)    # (n,cell,eh,ew,dh,dw,c)
+        return y.reshape(nn, S // 4, 1, 16 * c)
+
+    body = body.at[:, :, :1].set(refold_cols(lef))
+    body = body.at[:, :, w4 - 1:].set(refold_cols(rig))
+
+    if b is not None:
+        body = body + jnp.tile(b.astype(body.dtype), 16)
+    body = instance_norm_act_s2d(body, act, phases=16)
+    return depth_to_space(body, 4 * co)
 
 
 def max_pool_2x2_s2d(xs: jax.Array) -> jax.Array:

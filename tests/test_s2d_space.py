@@ -267,3 +267,26 @@ def test_head_fold4_matches_direct_head():
                                       precision=lax.Precision.HIGHEST)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_head_fold4_reflect_matches_padded_head():
+    """The pad-free fold-4 head (zero-pad body + reflect strips) must
+    equal reflect-pad + direct head + IN elementwise, borders and
+    corners included."""
+    from jax import lax
+
+    from ir2rgb_tpu.nn import ops
+    from ir2rgb_tpu.nn import s2d_space as s
+
+    r = np.random.RandomState(5)
+    for k, ci, co, S in [(7, 3, 16, 16), (7, 6, 4, 24), (3, 3, 8, 16)]:
+        x = jnp.asarray(r.randn(1, S, S, ci), jnp.float32)
+        w = jnp.asarray(r.randn(k, k, ci, co) * 0.1, jnp.float32)
+        b = jnp.asarray(r.randn(co), jnp.float32)
+        xp = ops.reflect_pad(x, (k - 1) // 2)
+        ref = s._conv_i2s_direct(xp, w, 1, 0, lax.Precision.HIGHEST)
+        ref = s.instance_norm_act_s2d(ref + jnp.tile(b, 4), "relu")
+        got = s.head_fold4_reflect_in_act_s2d(
+            x, w, b, "relu", precision=lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
