@@ -516,6 +516,27 @@ def local_enhancer_apply(p: Params, x: jax.Array, cfg: GenConfig, *,
     return out
 
 
+def _head_fold4_rep(pc, x, cfg: GenConfig):
+    """When the fold-4 head gate applies (see _head_in_act_s2d), return
+    the head's normalized PRE-d2s fold-4 rep for a conv_fold4_to_s2d
+    consumer; else None (caller takes the s2d path)."""
+    from .s2d_space import head_fold4_reflect_in_act_s2d
+    from jax import lax
+    w = pc["w"]
+    out_img = x.shape[1]
+    mode = os.environ.get("IR2RGB_HEAD", "auto")
+    use_fold4 = (mode == "fold4"
+                 or (mode == "auto" and out_img >= 1024))
+    if not (jax.default_backend() == "tpu" and out_img % 4 == 0
+            and use_fold4):
+        return None
+    prec = (lax.Precision.DEFAULT if cfg.compute_dtype == jnp.bfloat16
+            else lax.Precision.HIGHEST)
+    return head_fold4_reflect_in_act_s2d(
+        x.astype(cfg.compute_dtype), w.astype(cfg.compute_dtype),
+        pc.get("b"), "relu", precision=prec, emit_d2s=False)
+
+
 def _use_fold4_tail(hs: jax.Array) -> bool:
     """Gate for the fold-4 tail fusion (final enhancer level): the
     deconv's pre-d2s rep feeds the tail directly, skipping the d2s
@@ -552,10 +573,25 @@ def _local_enhancer_apply_s2d(p: Params, pyramid, cfg: GenConfig, *,
     for n in range(1, n_local + 1):
         enh = p[f"enhancer{n}"]
         xi = pyramid[n_local - n]
-        hs = _head_in_act_s2d(enh["down0"]["conv"], xi, cfg)
-        # stride-2 down, staying in s2d (emits the half-res s2d rep)
-        hs = _conv_s2d_wrap(enh["down1"]["conv"], hs, cfg, k=3, pad=1,
-                            stride=2, out_s2d=True)
+        h4 = _head_fold4_rep(enh["down0"]["conv"], xi, cfg)
+        if h4 is not None:
+            # head stayed in its fold-4 rep: down1 reads it directly
+            # (conv_fold4_to_s2d) — no d2s between head and down1
+            from .s2d_space import conv_fold4_to_s2d
+            from jax import lax
+            prec = (lax.Precision.DEFAULT
+                    if cfg.compute_dtype == jnp.bfloat16
+                    else lax.Precision.HIGHEST)
+            d1 = enh["down1"]["conv"]
+            hs = conv_fold4_to_s2d(
+                h4, d1["w"].astype(cfg.compute_dtype), precision=prec)
+            if "b" in d1:
+                hs = hs + jnp.tile(d1["b"].astype(hs.dtype), 4)
+        else:
+            hs = _head_in_act_s2d(enh["down0"]["conv"], xi, cfg)
+            # stride-2 down, staying in s2d (emits the half-res s2d rep)
+            hs = _conv_s2d_wrap(enh["down1"]["conv"], hs, cfg, k=3,
+                                pad=1, stride=2, out_s2d=True)
         hs = instance_norm_act_s2d(hs, "relu")
         hs = hs + out_s2d  # junction, both s2d reps of the half-res map
         for i in range(cfg.n_blocks_local):

@@ -676,8 +676,8 @@ def _fold4_head_reflect_maps(k: int):
 
 def head_fold4_reflect_in_act_s2d(x: jax.Array, w: jax.Array, b=None,
                                   act: str = "relu",
-                                  precision=lax.Precision.HIGHEST
-                                  ) -> jax.Array:
+                                  precision=lax.Precision.HIGHEST,
+                                  emit_d2s: bool = True) -> jax.Array:
     """c7s1 head (reflect pad p=(k-1)//2) + IN + act via a fold-4 conv,
     WITHOUT materializing the reflect-padded image (at 2048p that pad
     copy alone cost ~836 us). Zero-pad body on the folded input + exact
@@ -742,7 +742,64 @@ def head_fold4_reflect_in_act_s2d(x: jax.Array, w: jax.Array, b=None,
     if b is not None:
         body = body + jnp.tile(b.astype(body.dtype), 16)
     body = instance_norm_act_s2d(body, act, phases=16)
+    if not emit_d2s:
+        return body  # fold-4 rep, deconv channel order — for
+        # conv_fold4_to_s2d consumers (the enhancer down1)
     return depth_to_space(body, 4 * co)
+
+
+@functools.lru_cache(maxsize=None)
+def _fold4_to_s2d_maps(k: int, pad: int):
+    """Maps for a stride-2 conv reading a fold-4 rep (deconv channel
+    order (e_h,e_w,d_h,d_w,ci)) and emitting the s2d rep of the
+    half-res result: out image m = 2j + d'; input i = 2m + r - pad =
+    4(j + o) + u -> o = (2d'+r-pad)//4. For k=3/pad=1: o in {-1,0} —
+    a 2-tap window with cell padding (1,0)."""
+    omin = min((2 * d + r - pad) // 4 for d in (0, 1) for r in range(k))
+    omax = max((2 * d + r - pad) // 4 for d in (0, 1) for r in range(k))
+    kk = omax - omin + 1
+    A = np.zeros((kk, kk, 16, 4), np.int32)   # (oh,ow, in-block, d'-phase)
+    B = np.zeros((kk, kk, 16, 4), np.int32)
+    M = np.zeros((kk, kk, 16, 4), bool)
+    for dh in (0, 1):
+        for rh in range(k):
+            th = 2 * dh + rh - pad
+            oh, uh = th // 4 - omin, th % 4
+            for dw in (0, 1):
+                for rw in range(k):
+                    tw = 2 * dw + rw - pad
+                    ow, uw = tw // 4 - omin, tw % 4
+                    bid = (((uh // 2) * 2 + uw // 2) * 2
+                           + uh % 2) * 2 + uw % 2
+                    pidx = dh * 2 + dw
+                    A[oh, ow, bid, pidx] = rh
+                    B[oh, ow, bid, pidx] = rw
+                    M[oh, ow, bid, pidx] = True
+    return A, B, M, kk, omin
+
+
+def conv_fold4_to_s2d(y4: jax.Array, w: jax.Array, pad: int = 1,
+                      precision=lax.Precision.HIGHEST) -> jax.Array:
+    """Stride-2 conv reading a fold-4 rep (deconv channel order) and
+    emitting the s2d rep of the half-res result — the enhancer's down1
+    without ever unfolding the head's output (the d2s between head and
+    down1 cost ~650-750 us at 2048p). Same cell grid in and out: a
+    2-tap-per-axis conv with K = 16ci on full lanes. Exact."""
+    k, _, ci, co = w.shape
+    A, B, M, kk, omin = _fold4_to_s2d_maps(k, pad)
+    wk = w[jnp.asarray(A), jnp.asarray(B)]       # (kk,kk,16,4,ci,co)
+    wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
+    wk = wk.transpose(0, 1, 2, 4, 3, 5)          # (kk,kk,16,ci,4,co)
+    wk = wk.reshape(kk, kk, 16 * ci, 4 * co).astype(y4.dtype)
+    lo = -omin
+    hi = max(kk - 1 + omin, 0)
+    return lax.conv_general_dilated(
+        y4, wk, window_strides=(1, 1), padding=[(lo, hi), (lo, hi)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+        preferred_element_type=jnp.float32 if y4.dtype == jnp.float32
+        else None,
+    )
 
 
 def max_pool_2x2_s2d(xs: jax.Array) -> jax.Array:
