@@ -563,11 +563,52 @@ def unfold4_dot(y: jax.Array, c: int, order: str = "v") -> jax.Array:
     return out.astype(y.dtype)                            # (n,4h4,4w4,c)
 
 
+@functools.lru_cache(maxsize=None)
+def _vmajor_to_bitsplit_perm(c: int):
+    """Channel permutation (v-major (vh, vw, c), vh = 2a+b) ->
+    (a_h, a_w, b_h, b_w, c): after it, one depth_to_space over (a_h,
+    a_w) yields the s2d rep (phase order (b_h, b_w, c)), and a second
+    over (b_h, b_w) yields the image — each a 2x interleave that the
+    selection-matmul d2s handles far cheaper than a direct 4x
+    interleave."""
+    perm = np.zeros(16 * c, np.int32)
+    i = 0
+    for ah in (0, 1):
+        for aw in (0, 1):
+            for bh in (0, 1):
+                for bw in (0, 1):
+                    vh, vw = 2 * ah + bh, 2 * aw + bw
+                    for cc in range(c):
+                        perm[i] = (vh * 4 + vw) * c + cc
+                        i += 1
+    return perm
+
+
+def unfold4_double_d2s(y: jax.Array, c: int) -> jax.Array:
+    """unfold4 as two 2x selection-matmul interleaves (outer phases
+    then inner) — the direct 4x interleave einsums cost ~1.6 ms for the
+    2048p tail output; two d2s-dot passes are ~2x cheaper (the channel
+    permute fuses into the producer)."""
+    yp = y[..., jnp.asarray(_vmajor_to_bitsplit_perm(c))]
+    mid = _d2s_dot_any(yp, 4 * c)        # (n, 2h4, 2w4, 4c) s2d rep
+    return _d2s_dot_any(mid, c)          # (n, 4h4, 4w4, c) image
+
+
+def _d2s_dot_any(y: jax.Array, co: int) -> jax.Array:
+    """depth_to_space via selection matmuls regardless of the co<=8
+    production gate (callers here know the matmul form wins)."""
+    from .s2d_conv import _d2s_dot
+    return _d2s_dot(y, co)
+
+
 def unfold4(y: jax.Array, c: int) -> jax.Array:
     """(n, h4, w4, 16c) v-major fold-4 rep -> (n, 4h4, 4w4, c) image."""
-    if jax.default_backend() == "tpu" and os.environ.get(
-            "IR2RGB_FOLD", "dot") == "dot":
-        return unfold4_dot(y, c, order="v")
+    if jax.default_backend() == "tpu":
+        mode = os.environ.get("IR2RGB_FOLD", "dot")
+        if mode == "dot":
+            return unfold4_double_d2s(y, c)
+        if mode == "dot4":
+            return unfold4_dot(y, c, order="v")
     n, h4, w4, _ = y.shape
     y = y.reshape(n, h4, w4, 4, 4, c)
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 4 * h4, 4 * w4, c)
