@@ -78,3 +78,29 @@ def test_s2d_path_gradients_flow():
     leaves = jax.tree.leaves(grads)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_local_enhancer_fold4_wiring_matches_plain(monkeypatch):
+    """Force the >=1024px fold-4 gates (head / down1 / tail) on a small
+    frame via IR2RGB_HEAD/TAIL=fold4 + a faked tpu backend: the whole
+    fold-4 enhancer wiring (head_fold4_reflect -> conv_fold4_to_s2d ->
+    ... -> tail_from_fold4) must match the plain path."""
+    cfg = GenConfig(net_g="local", ngf=8, n_downsample_global=2,
+                    n_blocks_global=2, n_blocks_local=1,
+                    n_local_enhancers=1)
+    from ir2rgb_tpu.nn.generators import local_enhancer_init
+    params = local_enhancer_init(jax.random.PRNGKey(1), cfg)
+    x = _x(256, seed=2)
+    from ir2rgb_tpu.nn import generators
+    orig = generators._S2D_MIN_RES
+    try:
+        generators._S2D_MIN_RES = 10 ** 9
+        y_plain = local_enhancer_apply(params, x, cfg)
+    finally:
+        generators._S2D_MIN_RES = orig
+    monkeypatch.setenv("IR2RGB_HEAD", "fold4")
+    monkeypatch.setenv("IR2RGB_TAIL", "fold4")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    y_f4 = local_enhancer_apply(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(y_f4), np.asarray(y_plain),
+                               atol=2e-5)

@@ -290,3 +290,53 @@ def test_head_fold4_reflect_matches_padded_head():
             x, w, b, "relu", precision=lax.Precision.HIGHEST)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_fold4_selection_matmul_forms_exact():
+    """The round-3 fold/unfold lowerings (selection matmuls and the
+    two-stage double-d2s interleave) must be bit-equal to the
+    reshape/transpose reference forms, both channel orders."""
+    from ir2rgb_tpu.nn import s2d_space as s
+
+    r = np.random.RandomState(7)
+    for H, W, c in [(16, 16, 3), (24, 16, 5), (32, 32, 1)]:
+        x = jnp.asarray(r.randn(1, H, W, c), jnp.float32)
+        ref4 = x.reshape(1, H // 4, 4, W // 4, 4, c)
+        ref4 = ref4.transpose(0, 1, 3, 2, 4, 5).reshape(
+            1, H // 4, W // 4, 16 * c)  # v-major fold, the reference
+        got4 = s.fold4_of_image_dot(x)
+        np.testing.assert_array_equal(np.asarray(got4), np.asarray(ref4))
+        # every unfold lowering inverts the fold exactly
+        np.testing.assert_array_equal(
+            np.asarray(s.unfold4_dot(ref4, c, order="v")), np.asarray(x))
+        np.testing.assert_array_equal(
+            np.asarray(s.unfold4_double_d2s(ref4, c)), np.asarray(x))
+        # deconv channel order: the dot form == the transpose form
+        y4 = jnp.asarray(r.randn(1, H // 4, W // 4, 16 * c), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(s.unfold4_dot(y4, c, order="deconv")),
+            np.asarray(s.unfold4_deconv(y4, c)))
+
+
+def test_conv_fold4_to_s2d_exact():
+    """The enhancer down1 reading the head's pre-d2s fold-4 rep
+    (deconv channel order) must equal [unfold -> zero-pad stride-2 conv
+    -> to_s2d] elementwise (round-3 2048p lowering)."""
+    from ir2rgb_tpu.nn import s2d_space as s
+
+    r = np.random.RandomState(8)
+    for k, pad, ci, co, S in [(3, 1, 4, 6, 32), (3, 1, 2, 3, 16)]:
+        y4 = jnp.asarray(
+            r.randint(-3, 4, (1, S // 4, S // 4, 16 * ci)).astype(
+                np.float32))
+        w = jnp.asarray(
+            r.randint(-3, 4, (k, k, ci, co)).astype(np.float32))
+        img = s.unfold4_deconv(y4, ci)
+        ref = lax.conv_general_dilated(
+            img, w, (2, 2), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST)
+        ref = to_s2d(ref)
+        got = s.conv_fold4_to_s2d(y4, w, pad=pad)
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
