@@ -223,6 +223,16 @@ PRESETS = {
         loss=LossConfig(lambda_l1=0.0),
         train=TrainConfig(niter_fix_global=10),
     ),
+    # temporal conditioning at the 1024p coarse-to-fine tier (high-res
+    # streaming video: pix2pixhd_1024 + prev-frame carry)
+    "temporal_1024": Config(
+        model=ModelConfig(model="temporal", net_g="local", net_d="multiscale",
+                          num_d=3, ngf=32, n_frames_g=2),
+        data=DataConfig(dataset_mode="temporal", n_frames_total=4,
+                        load_size=1124, crop_size=1024),
+        loss=LossConfig(lambda_l1=0.0),
+        train=TrainConfig(niter_fix_global=10),
+    ),
     # BASELINE.json:10 — temporal previous-frame conditioning
     "temporal_256": Config(
         model=ModelConfig(model="temporal", net_g="resnet_9blocks",

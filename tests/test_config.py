@@ -37,6 +37,9 @@ def test_presets_cover_baseline_configs():
     assert PRESETS["pix2pixhd_2048"].model.n_local_enhancers == 2
     assert PRESETS["temporal_512"].model.model == "temporal"
     assert PRESETS["temporal_512"].model.net_g == "local"
+    assert PRESETS["temporal_1024"].model.model == "temporal"
+    assert PRESETS["temporal_1024"].data.crop_size == 1024
+    assert PRESETS["temporal_1024"].model.num_d == 3
 
 
 def test_reference_flag_translation():

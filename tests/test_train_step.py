@@ -213,3 +213,19 @@ def test_temporal_per_frame_dropout_keys():
     # per-frame keys: dropout makes each frame's loss distinct
     assert not np.allclose(with_drop, with_drop[0], rtol=1e-6)
     assert len(np.unique(np.round(with_drop, 7))) == 3, with_drop
+
+
+def test_temporal_local_enhancer_3scale_d_train_step():
+    """The temporal_1024 preset's combination — temporal model x local
+    enhancer G x 3-scale multiscale D — builds and steps (shrunk)."""
+    cfg = tiny_cfg(model="temporal", net_g="local", net_d="multiscale",
+                   num_d=3, n_frames_g=2, n_downsample_global=2,
+                   n_blocks_global=1, n_blocks_local=1)
+    model = create_model(cfg, steps_per_epoch=10)
+    a = np.random.RandomState(0).rand(1, 3, 64, 64, 3).astype(np.float32)
+    b = np.random.RandomState(1).rand(1, 3, 64, 64, 3).astype(np.float32)
+    batch = {"a": jnp.asarray(a) * 2 - 1, "b": jnp.asarray(b) * 2 - 1}
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    state, metrics = jax.jit(model.train_step)(state, batch)
+    assert np.isfinite(float(metrics["G_GAN"]))
+    assert int(state.step) == 1
