@@ -1,0 +1,64 @@
+"""Export entry point: seal a trained generator into a ``.ir2rgb``
+serving artifact (StableHLO program + weights + geometry — see
+infer/export.py). The artifact serves via ``load_serving_artifact``
+with no model code, config system, or checkpoint machinery behind it.
+
+    python -m ir2rgb_tpu.cli.export --preset temporal_512 \
+        --train.name run1 --train.checkpoints_dir ckpts \
+        --out run1.ir2rgb [--batch 4] [--platforms tpu,cpu]
+
+``--torch_g model.pth`` exports straight from a reference torch
+checkpoint (importer parity mode, as in cli/infer.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    from ir2rgb_tpu.checkpoint import CheckpointManager, import_generator
+    from ir2rgb_tpu.config import parse_cli
+    from ir2rgb_tpu.infer import export_serving_artifact
+    from ir2rgb_tpu.train import create_model
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    def _pop(flag, default=None):
+        if flag in argv:
+            i = argv.index(flag)
+            val = argv[i + 1]
+            del argv[i:i + 2]
+            return val
+        return default
+
+    torch_g = _pop("--torch_g")
+    out = _pop("--out")
+    batch = int(_pop("--batch", "1"))
+    platforms = tuple(_pop("--platforms", "tpu,cpu").split(","))
+    cfg = parse_cli(argv)
+    if out is None:
+        out = os.path.join(cfg.run_dir(), f"{cfg.train.name}.ir2rgb")
+
+    model = create_model(cfg, steps_per_epoch=1)
+    if torch_g is not None:
+        g_params = import_generator(torch_g, model.gen_cfg)
+    else:
+        ckpt = CheckpointManager(os.path.join(cfg.run_dir(), "ckpt"))
+        step = ckpt.step_for_label(cfg.infer.which_epoch)
+        state = ckpt.restore(step)
+        g_params = state["g_params"] if isinstance(state, dict) else \
+            state.g_params
+
+    size = cfg.data.crop_size
+    export_serving_artifact(model, g_params, (size, size), out,
+                            batch=batch, platforms=platforms)
+    print(f"exported {out} ({os.path.getsize(out)} bytes, "
+          f"{size}x{size} batch {batch}, platforms {','.join(platforms)})",
+          flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

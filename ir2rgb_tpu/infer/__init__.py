@@ -1,4 +1,6 @@
+from .export import ExportedStream, export_serving_artifact, load_serving_artifact
 from .metrics import flicker, psnr, ssim
+from .multistream import MultiStreamServer
 from .stream import (
     StreamingGenerator,
     single_frame_infer,
@@ -6,5 +8,7 @@ from .stream import (
     translate_clip,
 )
 
-__all__ = ["StreamingGenerator", "single_frame_infer", "translate_clip",
-           "tensor2im", "psnr", "ssim", "flicker"]
+__all__ = ["StreamingGenerator", "MultiStreamServer", "single_frame_infer",
+           "translate_clip", "tensor2im", "psnr", "ssim", "flicker",
+           "export_serving_artifact", "load_serving_artifact",
+           "ExportedStream"]

@@ -1,0 +1,234 @@
+"""AOT serving artifacts: export the compiled serving step to one file.
+
+The reference deploys by shipping the research repo + a ``.pth`` file and
+re-running ``test.py`` (SURVEY.md §3.2) — serving requires the full model
+code and pays tracing + compile at every process start. TPU-native
+deployment wants a sealed artifact instead: this module exports the
+uint8-wire serving step (normalize -> G forward -> quantize, with the
+temporal carry threaded through) via ``jax.export`` to portable
+StableHLO, and packs it with the generator weights and geometry metadata
+into a single ``.ir2rgb`` zip.
+
+Properties:
+
+- **Self-contained**: ``load_serving_artifact`` needs only this module,
+  not the network zoo / config system — the program IS the lowered
+  generator. Model-code drift cannot change a deployed artifact.
+- **Multi-platform**: exported for TPU and CPU by default (one artifact
+  serves production chips and CPU CI).
+- **No tracing at serve time**: load deserializes StableHLO and hands it
+  straight to XLA — Python never re-traces the model (compile itself is
+  still per-topology, as it must be).
+- **Exact**: the packed step is the same jitted function
+  ``StreamingGenerator`` runs, so outputs match the live path
+  bit-for-bit on the same backend (tested).
+
+File layout (zip): ``program.bin`` (serialized jax.export artifact),
+``meta.json`` (wire geometry, carry spec, param tree paths/dtypes),
+``param_<i>.npy`` (weights, stored f32, cast back on load — bf16
+round-trips losslessly).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ir2rgb_tpu.infer.stream import _dev_normalize, _dev_quantize
+
+_FORMAT_VERSION = 1
+
+
+def _flatten_params(params):
+    """Nested-dict param tree -> (paths as str lists, leaves)."""
+    entries, _ = jax.tree_util.tree_flatten_with_path(params)
+    paths, leaves = [], []
+    for path, leaf in entries:
+        keys = []
+        for k in path:
+            if not hasattr(k, "key") or not isinstance(k.key, str):
+                raise TypeError(
+                    f"param tree has non-dict node {k!r}; the artifact "
+                    f"format stores string-keyed nested dicts only")
+            keys.append(k.key)
+        paths.append(keys)
+        leaves.append(leaf)
+    return paths, leaves
+
+
+def _empty_dict_paths(tree, prefix=()) -> List[List[str]]:
+    """Paths of empty-dict nodes (e.g. non-affine norms contribute
+    ``{'norm': {}}``) — flattening drops them, but the exported treedef
+    requires them, so they are recorded in meta explicitly."""
+    out: List[List[str]] = []
+    if isinstance(tree, dict):
+        if not tree:
+            out.append(list(prefix))
+        for k, v in tree.items():
+            out.extend(_empty_dict_paths(v, prefix + (k,)))
+    return out
+
+
+def _unflatten_params(paths: Sequence[Sequence[str]], leaves,
+                      empty_paths: Sequence[Sequence[str]] = ()):
+    root: dict = {}
+    for keys, leaf in zip(paths, leaves):
+        node = root
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = leaf
+    for keys in empty_paths:
+        node = root
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = {}
+    return root
+
+
+def _build_step(model, temporal: bool, carry_c: int):
+    """The uint8-wire serving step — identical math to
+    ``StreamingGenerator``'s ``step_u8`` (stream.py)."""
+    if temporal:
+        def step(params, a_u8, carry):
+            fake = model.generate(params, _dev_normalize(a_u8),
+                                  prev=carry, train=False)
+            fake32 = fake.astype(jnp.float32)
+            new_carry = jnp.concatenate([fake32, carry],
+                                        axis=-1)[..., :carry_c]
+            return _dev_quantize(fake), new_carry
+    else:
+        def step(params, a_u8):
+            return _dev_quantize(model.generate(params,
+                                                _dev_normalize(a_u8),
+                                                train=False))
+    return step
+
+
+def export_serving_artifact(model, g_params, frame_hw: Tuple[int, int],
+                            path: str, batch: int = 1,
+                            platforms: Optional[Sequence[str]] = None
+                            ) -> None:
+    """Export ``model``'s serving step + ``g_params`` to ``path``.
+
+    ``platforms`` defaults to ``('tpu', 'cpu')`` — one artifact for
+    production and CPU CI. ``batch`` fixes the slot count (use >1 for
+    multi-stream serving geometry; see infer/multistream.py).
+    """
+    cfgm = model.cfg.model
+    temporal = cfgm.model == "temporal"
+    n_prev = (cfgm.n_frames_g - 1) if temporal else 0
+    carry_c = cfgm.output_nc * n_prev
+    h, w = frame_hw
+    if platforms is None:
+        platforms = ("tpu", "cpu")
+
+    step = _build_step(model, temporal, carry_c)
+    paths, leaves = _flatten_params(g_params)
+    p_struct = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), g_params)
+    a_struct = jax.ShapeDtypeStruct((batch, h, w, cfgm.input_nc),
+                                    jnp.uint8)
+    args = (p_struct, a_struct)
+    if temporal:
+        args += (jax.ShapeDtypeStruct((batch, h, w, carry_c),
+                                      jnp.float32),)
+    exported = jax.export.export(jax.jit(step),
+                                 platforms=list(platforms))(*args)
+
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "temporal": temporal,
+        "frame_hw": [h, w],
+        "batch": batch,
+        "input_nc": cfgm.input_nc,
+        "output_nc": cfgm.output_nc,
+        "carry_c": carry_c,
+        "platforms": list(platforms),
+        "param_paths": paths,
+        "param_dtypes": [str(l.dtype) for l in leaves],
+        "empty_param_paths": _empty_dict_paths(g_params),
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("program.bin", bytes(exported.serialize()))
+        zf.writestr("meta.json", json.dumps(meta))
+        for i, leaf in enumerate(leaves):
+            buf = io.BytesIO()
+            np.save(buf, np.asarray(leaf).astype(np.float32))
+            zf.writestr(f"param_{i}.npy", buf.getvalue())
+
+
+class ExportedStream:
+    """Serve from an artifact — the ``StreamingGenerator`` surface
+    (push / stream / reset) without any model code behind it."""
+
+    def __init__(self, exported, params, meta: dict):
+        self._fn = jax.jit(exported.call)
+        self._params = params
+        self.meta = meta
+        self.temporal = meta["temporal"]
+        self.batch = meta["batch"]
+        h, w = meta["frame_hw"]
+        self._carry = (jnp.zeros((self.batch, h, w, meta["carry_c"]),
+                                 jnp.float32) if self.temporal else None)
+
+    def reset(self) -> None:
+        if self._carry is not None:
+            self._carry = jnp.zeros_like(self._carry)
+
+    def _dispatch(self, a_host: np.ndarray) -> jax.Array:
+        a = np.asarray(a_host)
+        if a.ndim == 3:
+            a = a[None]
+        if a.dtype != np.uint8:  # accept [-1,1] floats on the wire too
+            a = ((np.clip(a.astype(np.float32), -1, 1) + 1.0)
+                 * 127.5).astype(np.uint8)
+        a_dev = jnp.asarray(a)
+        if self.temporal:
+            out, self._carry = self._fn(self._params, a_dev, self._carry)
+            return out
+        return self._fn(self._params, a_dev)
+
+    @staticmethod
+    def _fetch(out: jax.Array) -> np.ndarray:
+        arr = np.asarray(jax.device_get(out))
+        return arr[0] if arr.shape[0] == 1 else arr
+
+    def push(self, a_host: np.ndarray) -> np.ndarray:
+        """uint8 (or [-1,1] float) IR frame in, uint8 RGB out."""
+        return self._fetch(self._dispatch(a_host))
+
+    def stream(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
+        """Depth-1 pipelined loop (see StreamingGenerator.stream)."""
+        pending = None
+        for a_host in frames:
+            out = self._dispatch(a_host)
+            if pending is not None:
+                yield self._fetch(pending)
+            pending = out
+        if pending is not None:
+            yield self._fetch(pending)
+
+
+def load_serving_artifact(path: str) -> ExportedStream:
+    """Load an ``.ir2rgb`` artifact written by
+    :func:`export_serving_artifact` and return a ready serving stream."""
+    with zipfile.ZipFile(path, "r") as zf:
+        meta = json.loads(zf.read("meta.json"))
+        if meta["format_version"] != _FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format v{meta['format_version']} != "
+                f"v{_FORMAT_VERSION} supported by this loader")
+        exported = jax.export.deserialize(bytearray(zf.read("program.bin")))
+        leaves: List[jax.Array] = []
+        for i, dt in enumerate(meta["param_dtypes"]):
+            arr = np.load(io.BytesIO(zf.read(f"param_{i}.npy")))
+            leaves.append(jnp.asarray(arr, dtype=jnp.dtype(dt)))
+    params = _unflatten_params(meta["param_paths"], leaves,
+                               meta.get("empty_param_paths", ()))
+    return ExportedStream(exported, params, meta)

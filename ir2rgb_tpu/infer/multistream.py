@@ -1,0 +1,216 @@
+"""Multi-stream batched video serving.
+
+The reference's serving story is strictly one stream at a time
+(``test.py`` walks one frame folder serially — SURVEY.md §3.2). On TPU
+the batch-1 generator leaves most of the MXU idle: the measured 512p
+frame runs 2.1x more frames/sec/chip at batch 8 than 8 separate batch-1
+loops would (DESIGN.md bench table: 283 fps b1 vs ~417 fps/chip b8).
+This module turns that into a serving capability the reference never
+had: N **independent** video streams share ONE compiled batched step,
+each with its own previous-frame carry living in HBM.
+
+Design (TPU-first):
+
+- The step is compiled ONCE for a fixed slot count S; streams attach to
+  and detach from slots at tick boundaries without retracing. All
+  per-slot state transitions (fresh-stream carry reset, missed-tick
+  carry hold) are mask selects INSIDE the jitted step — host code only
+  builds the (S,) masks.
+- Carry semantics per slot and tick:
+    reset[i]          -> carry zeroed before compute (stream start)
+    valid[i]          -> carry advances with the new generated frame
+    not valid[i]      -> carry held (stream skipped this tick; it
+                         resumes later without losing temporal context)
+- Frames cross H2D as uint8 (4x thinner than f32) and outputs come back
+  uint8; normalize/quantize run on device (see ``stream._dev_normalize``).
+- ``ticks()`` software-pipelines host IO under device compute exactly
+  like ``StreamingGenerator.stream`` (depth-1: fetch of tick t-1 happens
+  after dispatch of tick t).
+
+Slot-count choice: throughput rises with S until HBM or latency caps it
+(scripts/bench_stream.py --slots measures the ladder); at 512p S=8 is
+near the knee, at 1024p S=4.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ir2rgb_tpu.infer.stream import _dev_normalize, _dev_quantize
+from ir2rgb_tpu.train.model import GanModel
+
+
+class MultiStreamServer:
+    """Serve up to ``n_slots`` independent streams with one batched step.
+
+    Usage::
+
+        srv = MultiStreamServer(model, g_params, (512, 512), n_slots=8)
+        a = srv.open(); b = srv.open()          # attach two streams
+        outs = srv.step({a: ir_a, b: ir_b})     # {a: rgb_a, b: rgb_b}
+        outs = srv.step({a: ir_a2})             # b skips, carry held
+        srv.close(b)                            # slot b free for reuse
+
+    Works for temporal models (per-slot carry) and single-frame models
+    (pure batched apply). Frames are uint8 HWC (or float [-1,1]).
+    """
+
+    def __init__(self, model: GanModel, g_params,
+                 frame_hw: Tuple[int, int], n_slots: int = 8,
+                 mesh=None):
+        """``mesh``: optional Mesh with a 'data' axis — the slot axis
+        shards across chips (each chip serves S/n_dev streams; params
+        replicated). See ``parallel.dp_mesh``."""
+        cfgm = model.cfg.model
+        self.model = model
+        self.n_slots = int(n_slots)
+        self.temporal = cfgm.model == "temporal"
+        n_prev = (cfgm.n_frames_g - 1) if self.temporal else 0
+        self.carry_c = cfgm.output_nc * n_prev
+        h, w = frame_hw
+        self.frame_hw = (h, w)
+        self.in_nc = cfgm.input_nc
+        self._free = list(range(self.n_slots))
+        self._attached: set = set()
+        self._pending_reset = np.zeros(self.n_slots, np.bool_)
+        self._carry = (jnp.zeros((self.n_slots, h, w, self.carry_c),
+                                 jnp.float32) if self.temporal else None)
+
+        self._sharding = None
+        if mesh is not None:
+            from ir2rgb_tpu.parallel import batch_sharding, replicate
+            rep, shard = replicate(mesh), batch_sharding(mesh)
+            g_params = jax.device_put(g_params, rep)
+            if self._carry is not None:
+                self._carry = jax.device_put(self._carry, shard)
+            self._sharding = shard
+        self.g_params = g_params
+
+        if self.temporal:
+            def tick(params, frames_u8, carry, reset, valid):
+                x = _dev_normalize(frames_u8)
+                keep = ~reset[:, None, None, None]
+                carry_in = jnp.where(keep, carry, 0.0)
+                fake = model.generate(params, x, prev=carry_in,
+                                      train=False)
+                fake32 = fake.astype(jnp.float32)
+                adv = jnp.concatenate([fake32, carry_in],
+                                      axis=-1)[..., :self.carry_c]
+                new_carry = jnp.where(valid[:, None, None, None],
+                                      adv, carry_in)
+                return _dev_quantize(fake), new_carry
+
+            # donate frames + carry: HBM recycled for out + new carry
+            self._tick = jax.jit(tick, donate_argnums=(1, 2))
+        else:
+            def tick(params, frames_u8, reset, valid):
+                del reset, valid  # stateless model: masks are no-ops
+                x = _dev_normalize(frames_u8)
+                return _dev_quantize(model.generate(params, x,
+                                                    train=False))
+
+            self._tick = jax.jit(tick, donate_argnums=(1,))
+
+    # -- slot lifecycle -------------------------------------------------
+
+    @property
+    def active_slots(self) -> Tuple[int, ...]:
+        return tuple(sorted(self._attached))
+
+    def open(self) -> int:
+        """Attach a new stream; returns its slot id. The slot's carry is
+        zeroed on its first tick (fresh temporal context)."""
+        if not self._free:
+            raise RuntimeError(
+                f"all {self.n_slots} slots busy — close() one or build "
+                f"the server with more slots")
+        sid = self._free.pop(0)
+        self._attached.add(sid)
+        self._pending_reset[sid] = True
+        return sid
+
+    def close(self, sid: int) -> None:
+        """Detach a stream; the slot becomes reusable."""
+        self._attached.remove(sid)
+        self._pending_reset[sid] = False
+        self._free.append(sid)
+
+    # -- serving --------------------------------------------------------
+
+    def _dispatch(self, frames: Dict[int, np.ndarray]):
+        """H2D + compute dispatch for one tick; returns (out_dev, sids).
+        Does not block — pair with :meth:`_fetch`."""
+        unknown = set(frames) - self._attached
+        if unknown:
+            raise KeyError(f"frames for unattached slots {sorted(unknown)}")
+        h, w = self.frame_hw
+        batch = np.zeros((self.n_slots, h, w, self.in_nc), np.uint8)
+        valid = np.zeros(self.n_slots, np.bool_)
+        for sid, a in frames.items():
+            a = np.asarray(a)
+            if a.dtype != np.uint8:  # [-1,1] float -> uint8 wire format
+                a = ((np.clip(a.astype(np.float32), -1, 1) + 1.0)
+                     * 127.5).astype(np.uint8)
+            batch[sid] = a
+            valid[sid] = True
+        reset = self._pending_reset & valid
+        frames_dev = jnp.asarray(batch)
+        if self._sharding is not None:
+            frames_dev = jax.device_put(frames_dev, self._sharding)
+        if self.temporal:
+            out, self._carry = self._tick(self.g_params, frames_dev,
+                                          self._carry, jnp.asarray(reset),
+                                          jnp.asarray(valid))
+        else:
+            out = self._tick(self.g_params, frames_dev,
+                             jnp.asarray(reset), jnp.asarray(valid))
+        self._pending_reset &= ~valid  # reset consumed for served slots
+        return out, sorted(frames)
+
+    @staticmethod
+    def _fetch(out: jax.Array, sids) -> Dict[int, np.ndarray]:
+        arr = np.asarray(jax.device_get(out))
+        return {sid: arr[sid] for sid in sids}
+
+    def step(self, frames: Dict[int, np.ndarray]) -> Dict[int, np.ndarray]:
+        """One synchronous tick: {slot: IR frame} -> {slot: uint8 RGB}.
+        Slots without a frame this tick hold their carry (stream
+        resumes seamlessly)."""
+        return self._fetch(*self._dispatch(frames))
+
+    def ticks(self, feed: Iterable[Dict[int, np.ndarray]]
+              ) -> Iterator[Dict[int, np.ndarray]]:
+        """Pipelined serving loop over an iterable of per-tick frame
+        dicts; yields output dicts with one tick of latency. Host prep +
+        H2D of tick t overlap device compute of tick t-1 (same depth-1
+        pipeline as ``StreamingGenerator.stream``; same outputs as
+        sequential :meth:`step` calls — tested)."""
+        pending = None
+        for frames in feed:
+            out = self._dispatch(frames)
+            if pending is not None:
+                yield self._fetch(*pending)
+            pending = out
+        if pending is not None:
+            yield self._fetch(*pending)
+
+    def step_device(self, frames_dev: jax.Array,
+                    reset: Optional[jax.Array] = None,
+                    valid: Optional[jax.Array] = None) -> jax.Array:
+        """Device-in device-out full-batch tick (no host sync) — the
+        benchmark path; all slots served."""
+        if reset is None:
+            reset = jnp.zeros(self.n_slots, bool)
+        if valid is None:
+            valid = jnp.ones(self.n_slots, bool)
+        if self._sharding is not None:
+            frames_dev = jax.device_put(frames_dev, self._sharding)
+        if self.temporal:
+            out, self._carry = self._tick(self.g_params, frames_dev,
+                                          self._carry, reset, valid)
+            return out
+        return self._tick(self.g_params, frames_dev, reset, valid)

@@ -1,0 +1,141 @@
+"""Multi-stream batched serving tests: N independent streams through one
+compiled step must behave exactly like N separate StreamingGenerators —
+including carry holds across skipped ticks, slot reuse with fresh
+temporal context, and the pipelined ticks() loop."""
+
+import jax
+import numpy as np
+import pytest
+
+from ir2rgb_tpu.config import Config, DataConfig, LossConfig, ModelConfig, TrainConfig
+from ir2rgb_tpu.infer import MultiStreamServer, StreamingGenerator
+from ir2rgb_tpu.train import create_model
+
+
+def _model(temporal=True):
+    cfg = Config(
+        model=ModelConfig(model="temporal" if temporal else "pix2pix",
+                          net_g="resnet_6blocks", net_d="n_layers",
+                          ngf=8, ndf=8, n_frames_g=2),
+        data=DataConfig(crop_size=32),
+        loss=LossConfig(no_vgg_loss=True),
+        train=TrainConfig(),
+    )
+    model = create_model(cfg, steps_per_epoch=10)
+    g_params = model.g_init(jax.random.PRNGKey(0))
+    return model, g_params
+
+
+def _frames(seed, n):
+    rng = np.random.RandomState(seed)
+    return [(rng.rand(32, 32, 3) * 255).astype(np.uint8) for _ in range(n)]
+
+
+def _assert_lsb(a, b):
+    """uint8 results equal within 1 LSB (batched vs batch-1 compute may
+    round the final f32->uint8 cast differently)."""
+    assert a.dtype == np.uint8 and b.dtype == np.uint8
+    assert np.max(np.abs(a.astype(np.int16) - b.astype(np.int16))) <= 1
+
+
+def test_multistream_matches_independent_streams():
+    model, g_params = _model()
+    seqs = {0: _frames(1, 3), 1: _frames(2, 3), 2: _frames(3, 3)}
+
+    ref = {}
+    for k, frames in seqs.items():
+        s = StreamingGenerator(model, g_params, (32, 32))
+        ref[k] = [s.push(f) for f in frames]
+
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=4)
+    sids = {k: srv.open() for k in seqs}
+    for t in range(3):
+        outs = srv.step({sids[k]: seqs[k][t] for k in seqs})
+        for k in seqs:
+            _assert_lsb(outs[sids[k]], ref[k][t])
+
+
+def test_skip_tick_holds_carry():
+    """A stream that misses a tick resumes with its temporal context
+    intact: serving B's frames at ticks 0 and 2 equals serving them
+    back-to-back on a dedicated stream."""
+    model, g_params = _model()
+    fa, fb = _frames(10, 3), _frames(11, 2)
+
+    s = StreamingGenerator(model, g_params, (32, 32))
+    ref_b = [s.push(f) for f in fb]
+
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=2)
+    a, b = srv.open(), srv.open()
+    o0 = srv.step({a: fa[0], b: fb[0]})
+    srv.step({a: fa[1]})                      # b skips this tick
+    o2 = srv.step({a: fa[2], b: fb[1]})
+    _assert_lsb(o0[b], ref_b[0])
+    _assert_lsb(o2[b], ref_b[1])
+
+
+def test_slot_reuse_resets_carry():
+    """close() + open() hands the slot to a new stream with zeroed
+    carry — its first frame must match a fresh stream's first frame."""
+    model, g_params = _model()
+    f = _frames(20, 2)
+
+    s = StreamingGenerator(model, g_params, (32, 32))
+    fresh_first = s.push(f[0])
+
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=1)
+    sid = srv.open()
+    srv.step({sid: f[0]})
+    srv.step({sid: f[1]})                     # carry now non-zero
+    srv.close(sid)
+    sid2 = srv.open()
+    assert sid2 == sid                        # same physical slot
+    out = srv.step({sid2: f[0]})
+    _assert_lsb(out[sid2], fresh_first)
+
+
+def test_ticks_pipelined_matches_step():
+    model, g_params = _model()
+    seq_a, seq_b = _frames(30, 4), _frames(31, 4)
+
+    srv1 = MultiStreamServer(model, g_params, (32, 32), n_slots=2)
+    a1, b1 = srv1.open(), srv1.open()
+    seq_out = [srv1.step({a1: seq_a[t], b1: seq_b[t]}) for t in range(4)]
+
+    srv2 = MultiStreamServer(model, g_params, (32, 32), n_slots=2)
+    a2, b2 = srv2.open(), srv2.open()
+    feed = [{a2: seq_a[t], b2: seq_b[t]} for t in range(4)]
+    piped = list(srv2.ticks(feed))
+
+    assert len(piped) == 4
+    for got, want in zip(piped, seq_out):
+        np.testing.assert_array_equal(got[a2], want[a1])
+        np.testing.assert_array_equal(got[b2], want[b1])
+
+
+def test_slot_exhaustion_and_unknown_slot():
+    model, g_params = _model()
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=1)
+    sid = srv.open()
+    with pytest.raises(RuntimeError, match="slots busy"):
+        srv.open()
+    with pytest.raises(KeyError, match="unattached"):
+        srv.step({sid + 1: _frames(0, 1)[0]})
+    srv.close(sid)
+    assert srv.open() == sid
+
+
+def test_non_temporal_batched_serving():
+    """Single-frame models serve through the same API (pure batched
+    apply, no carry) and match the batch-1 streaming path."""
+    model, g_params = _model(temporal=False)
+    frames = _frames(40, 3)
+
+    s = StreamingGenerator(model, g_params, (32, 32))
+    ref = [s.push(f) for f in frames]
+
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=3)
+    sids = [srv.open() for _ in range(3)]
+    outs = srv.step({sids[i]: frames[i] for i in range(3)})
+    for i in range(3):
+        _assert_lsb(outs[sids[i]], ref[i])
