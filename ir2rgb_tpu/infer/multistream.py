@@ -27,9 +27,19 @@ Design (TPU-first):
   like ``StreamingGenerator.stream`` (depth-1: fetch of tick t-1 happens
   after dispatch of tick t).
 
-Slot-count choice: throughput rises with S until HBM or latency caps it
-(scripts/bench_stream.py --slots measures the ladder); at 512p S=8 is
-near the knee, at 1024p S=4.
+Slot-count choice (scripts/bench_multistream.py measures the ladder,
+slope method, one v5e chip): batch 8 is the throughput knee at both
+512p (18.5 ms/tick, 433 aggregate fps vs 291 at batch 1) and 1024p
+(81 ms/tick, 99 aggregate fps vs 76). Batches 3-7 sit in a measured
+XLA cliff: the compiler rewrites the convolutions into a
+spatially-split form whose layouts conflict with the fp32 instance-norm
+elementwise math, materializing ~0.4 ms layout copies per conv (batch-4
+at 512p costs 25.4 ms/tick — MORE than batch 8; 6 costs 42 ms). The
+server therefore pads its physical batch to the nearest good size
+{1, 2, 8, 16, 24, ...} on TPU by default — masked pad slots cost less
+than the cliff. IR2RGB_IN_ELT=input additionally trims the cliff
+itself (~14% at batch 4) by keeping the normalize multiply in bf16
+(stats stay fp32); see nn/s2d_space.instance_norm_act_s2d.
 """
 
 from __future__ import annotations
@@ -42,6 +52,14 @@ import numpy as np
 
 from ir2rgb_tpu.infer.stream import _dev_normalize, _dev_quantize
 from ir2rgb_tpu.train.model import GanModel
+
+
+def _good_physical_slots(n: int) -> int:
+    """Nearest measured-good batch size >= n (see module docstring):
+    1 and 2 are fine natively; 3..7 pad to 8; beyond 8, multiples of 8."""
+    if n <= 2:
+        return n
+    return ((n + 7) // 8) * 8
 
 
 class MultiStreamServer:
@@ -61,13 +79,26 @@ class MultiStreamServer:
 
     def __init__(self, model: GanModel, g_params,
                  frame_hw: Tuple[int, int], n_slots: int = 8,
-                 mesh=None):
+                 mesh=None, physical_slots: Optional[int] = None):
         """``mesh``: optional Mesh with a 'data' axis — the slot axis
         shards across chips (each chip serves S/n_dev streams; params
-        replicated). See ``parallel.dp_mesh``."""
+        replicated). See ``parallel.dp_mesh``.
+
+        ``physical_slots``: compiled batch size; defaults to the nearest
+        measured-good size >= n_slots on TPU (see module docstring — a
+        batch-5 step is SLOWER than a masked batch-8 step) and to
+        n_slots elsewhere. Must be >= n_slots."""
         cfgm = model.cfg.model
         self.model = model
         self.n_slots = int(n_slots)
+        if physical_slots is None:
+            physical_slots = (_good_physical_slots(self.n_slots)
+                              if jax.default_backend() == "tpu"
+                              else self.n_slots)
+        if physical_slots < self.n_slots:
+            raise ValueError(f"physical_slots={physical_slots} < "
+                             f"n_slots={self.n_slots}")
+        self.physical_slots = int(physical_slots)
         self.temporal = cfgm.model == "temporal"
         n_prev = (cfgm.n_frames_g - 1) if self.temporal else 0
         self.carry_c = cfgm.output_nc * n_prev
@@ -76,8 +107,8 @@ class MultiStreamServer:
         self.in_nc = cfgm.input_nc
         self._free = list(range(self.n_slots))
         self._attached: set = set()
-        self._pending_reset = np.zeros(self.n_slots, np.bool_)
-        self._carry = (jnp.zeros((self.n_slots, h, w, self.carry_c),
+        self._pending_reset = np.zeros(self.physical_slots, np.bool_)
+        self._carry = (jnp.zeros((self.physical_slots, h, w, self.carry_c),
                                  jnp.float32) if self.temporal else None)
 
         self._sharding = None
@@ -148,8 +179,8 @@ class MultiStreamServer:
         if unknown:
             raise KeyError(f"frames for unattached slots {sorted(unknown)}")
         h, w = self.frame_hw
-        batch = np.zeros((self.n_slots, h, w, self.in_nc), np.uint8)
-        valid = np.zeros(self.n_slots, np.bool_)
+        batch = np.zeros((self.physical_slots, h, w, self.in_nc), np.uint8)
+        valid = np.zeros(self.physical_slots, np.bool_)
         for sid, a in frames.items():
             a = np.asarray(a)
             if a.dtype != np.uint8:  # [-1,1] float -> uint8 wire format
@@ -201,12 +232,12 @@ class MultiStreamServer:
     def step_device(self, frames_dev: jax.Array,
                     reset: Optional[jax.Array] = None,
                     valid: Optional[jax.Array] = None) -> jax.Array:
-        """Device-in device-out full-batch tick (no host sync) — the
-        benchmark path; all slots served."""
+        """Device-in device-out full-physical-batch tick (no host sync) —
+        the benchmark path; frames_dev carries ``physical_slots`` rows."""
         if reset is None:
-            reset = jnp.zeros(self.n_slots, bool)
+            reset = jnp.zeros(self.physical_slots, bool)
         if valid is None:
-            valid = jnp.ones(self.n_slots, bool)
+            valid = jnp.ones(self.physical_slots, bool)
         if self._sharding is not None:
             frames_dev = jax.device_put(frames_dev, self._sharding)
         if self.temporal:

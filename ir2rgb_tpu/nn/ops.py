@@ -249,10 +249,19 @@ def norm_init(key: jax.Array, norm: str, c: int, dtype=jnp.float32) -> Params:
 
 
 def instance_norm(x: jax.Array, eps: float = INSTANCE_NORM_EPS) -> jax.Array:
-    """Per-(N, C) normalization over (H, W). fp32 statistics always."""
+    """Per-(N, C) normalization over (H, W). fp32 statistics always.
+
+    IR2RGB_IN_ELT=input keeps the normalize multiply in the input dtype
+    (stats still fp32) — see s2d_space.instance_norm_act_s2d for the
+    batch-2..7 spatially-split-conv layout-copy rationale."""
+    import os
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
     var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    if x.dtype != jnp.float32 and \
+            os.environ.get("IR2RGB_IN_ELT", "f32") == "input":
+        return (x - mean.astype(x.dtype)) * \
+            lax.rsqrt(var + eps).astype(x.dtype)
     y = (x32 - mean) * lax.rsqrt(var + eps)
     return y.astype(x.dtype)
 

@@ -1254,6 +1254,24 @@ def instance_norm_act_s2d(xs: jax.Array, act: str = "relu",
     var_c = jnp.maximum(ex2_c - mean_c * mean_c, 0.0)
     mean = jnp.tile(mean_c, (1, phases))[:, None, None, :]
     rstd = jnp.tile(lax.rsqrt(var_c + eps), (1, phases))[:, None, None, :]
+    if xs.dtype != jnp.float32 and \
+            os.environ.get("IR2RGB_IN_ELT", "f32") == "input":
+        # Experimental: stats stay fp32 (above) but the normalize
+        # multiply runs in the input dtype. At batch 2-4 XLA rewrites
+        # the convs spatially-split and the fp32 normalize forces
+        # ~0.4 ms/conv layout copies of the split fp32 tensors
+        # (profiled, round 3); bf16 elementwise avoids materializing
+        # them. Off by default pending a measured win at batch 1.
+        y = (xs - mean.astype(xs.dtype)) * rstd.astype(xs.dtype)
+        zero = jnp.zeros((), xs.dtype)
+        if act == "relu":
+            y = jnp.maximum(y, zero)
+        elif act == "leaky_relu":
+            y = jnp.where(y >= zero, y, y * jnp.asarray(negative_slope,
+                                                        xs.dtype))
+        elif act == "tanh":
+            y = jnp.tanh(y)
+        return y
     y = (x32 - mean) * rstd
     if act == "relu":
         y = jnp.maximum(y, 0.0)

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 
 def run_trace(preset: str, trace_dir: str, size: int = 0,
-              k: int = 12, train: bool = False) -> None:
+              k: int = 12, train: bool = False,
+              batch: int = 1) -> None:
     from ir2rgb_tpu.config import PRESETS
     from ir2rgb_tpu.train import create_model
 
@@ -43,9 +44,9 @@ def run_trace(preset: str, trace_dir: str, size: int = 0,
         import numpy as np
         rng = np.random.RandomState(0)
         batch = {
-            "a": jnp.asarray(rng.rand(1, size, size, 3) * 2 - 1,
+            "a": jnp.asarray(rng.rand(batch, size, size, 3) * 2 - 1,
                              jnp.float32),
-            "b": jnp.asarray(rng.rand(1, size, size, 3) * 2 - 1,
+            "b": jnp.asarray(rng.rand(batch, size, size, 3) * 2 - 1,
                              jnp.float32),
         }
         state = model.init_state(jax.random.PRNGKey(0), batch)
@@ -78,7 +79,7 @@ def run_trace(preset: str, trace_dir: str, size: int = 0,
         return jnp.sum(xk.astype(jnp.float32))
 
     x0 = jax.random.normal(jax.random.PRNGKey(1),
-                           (1, size, size, 3)).astype(dtype)
+                           (batch, size, size, 3)).astype(dtype)
     float(loop(g, x0, k))  # compile
     jax.profiler.start_trace(trace_dir)
     float(loop(g, x0, k))
@@ -161,5 +162,8 @@ if __name__ == "__main__":
     k = 6 if train else 12
     if "--k" in sys.argv:
         k = int(sys.argv[sys.argv.index("--k") + 1])
-    run_trace(preset, trace_dir, size=size, k=k, train=train)
+    batch = 1
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    run_trace(preset, trace_dir, size=size, k=k, train=train, batch=batch)
     parse_trace(trace_dir, k)

@@ -125,6 +125,39 @@ def test_slot_exhaustion_and_unknown_slot():
     assert srv.open() == sid
 
 
+def test_physical_slot_padding_exact():
+    """physical_slots > n_slots (the TPU batch-cliff workaround: a
+    masked batch-8 step beats a native batch-5 step) must not change
+    outputs — pad slots are never-valid and never surface."""
+    model, g_params = _model()
+    seqs = {0: _frames(50, 2), 1: _frames(51, 2), 2: _frames(52, 2)}
+
+    ref = {}
+    for k, frames in seqs.items():
+        s = StreamingGenerator(model, g_params, (32, 32))
+        ref[k] = [s.push(f) for f in frames]
+
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=3,
+                            physical_slots=8)
+    assert srv.physical_slots == 8
+    sids = {k: srv.open() for k in seqs}
+    with pytest.raises(RuntimeError):
+        srv.open()  # logical capacity is still 3
+    for t in range(2):
+        outs = srv.step({sids[k]: seqs[k][t] for k in seqs})
+        assert set(outs) == set(sids.values())
+        for k in seqs:
+            _assert_lsb(outs[sids[k]], ref[k][t])
+
+    with pytest.raises(ValueError, match="physical_slots"):
+        MultiStreamServer(model, g_params, (32, 32), n_slots=4,
+                          physical_slots=2)
+
+    from ir2rgb_tpu.infer.multistream import _good_physical_slots
+    assert [_good_physical_slots(n) for n in (1, 2, 3, 7, 8, 9, 16, 17)] \
+        == [1, 2, 8, 8, 8, 16, 16, 24]
+
+
 def test_non_temporal_batched_serving():
     """Single-frame models serve through the same API (pure batched
     apply, no carry) and match the batch-1 streaming path."""

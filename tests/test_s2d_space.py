@@ -65,6 +65,31 @@ def test_instance_norm_act_s2d_exact(act):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_instance_norm_input_dtype_elementwise(monkeypatch):
+    """IR2RGB_IN_ELT=input: stats stay fp32 but the normalize multiply
+    runs in the input dtype (the batch-2..7 split-conv layout fix).
+    bf16 output must agree with the fp32 path within bf16 rounding, and
+    the fp32 path must be bit-identical to the default."""
+    x = (_x(16, 8, seed=3) * 2 + 1)
+    ref = from_s2d(instance_norm_act_s2d(to_s2d(x), "relu"), 8)
+    monkeypatch.setenv("IR2RGB_IN_ELT", "input")
+    # f32 input: flag is inert, identical math
+    got32 = from_s2d(instance_norm_act_s2d(to_s2d(x), "relu"), 8)
+    np.testing.assert_array_equal(np.asarray(got32), np.asarray(ref))
+    # bf16 input: same values within bf16 rounding of O(1) activations
+    xb = x.astype(jnp.bfloat16)
+    got16 = from_s2d(instance_norm_act_s2d(to_s2d(xb), "relu"), 8)
+    assert got16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got16, dtype=np.float32),
+                               np.asarray(ref), atol=0.05)
+    # ops.instance_norm honors the same flag
+    refo = ops.instance_norm(x)
+    goto16 = ops.instance_norm(xb)
+    assert goto16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(goto16, dtype=np.float32),
+                               np.asarray(refo), atol=0.05)
+
+
 def test_deconv_to_s2d_matches_deconv():
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.randn(1, 8, 8, 6).astype(np.float32))
