@@ -20,8 +20,13 @@ Properties:
   straight to XLA — Python never re-traces the model (compile itself is
   still per-topology, as it must be).
 - **Exact**: the packed step is the same jitted function
-  ``StreamingGenerator`` runs, so outputs match the live path
-  bit-for-bit on the same backend (tested).
+  ``StreamingGenerator`` runs — outputs match the live path bit-for-bit
+  on CPU (tested); on TPU the multi-platform lowering compiles
+  marginally differently (measured max 3/255 LSB at 512p).
+- **Fast cold start**: measured on a v5e chip, artifact
+  load+compile+first-frame is 7.2x faster than the live path's
+  trace+compile+first-frame (42 s vs 307 s through the dev relay) —
+  StableHLO skips tracing and most of the HLO pipeline.
 
 File layout (zip): ``program.bin`` (serialized jax.export artifact),
 ``meta.json`` (wire geometry, carry spec, param tree paths/dtypes),

@@ -314,6 +314,21 @@ def resnet_generator_init(key, cfg: GenConfig,
     return p
 
 
+def _check_divisible(x: jax.Array, downs: int, net: str) -> None:
+    """Stride-2 stacks need H/W divisible by 2**downs — a 24px input
+    through 4 downs bottoms out at 3 -> 2 and comes back 32px, failing
+    at the skip junction with a shape error that names no cause. Raise
+    the cause instead (the reference family has the same constraint,
+    surfaced as fineSize 'must be a multiple of' guidance)."""
+    d = 1 << downs
+    h, w = x.shape[1], x.shape[2]
+    if h % d or w % d:
+        raise ValueError(
+            f"net_g={net}: input {h}x{w} must be divisible by {d} "
+            f"(2^{downs} stride-2 stages); resize/crop the frames or "
+            f"lower n_downsample_global/n_local_enhancers")
+
+
 def resnet_generator_apply(p: Params, x: jax.Array, cfg: GenConfig, *,
                            n_blocks: Optional[int] = None,
                            n_downsampling: int = 2,
@@ -322,6 +337,7 @@ def resnet_generator_apply(p: Params, x: jax.Array, cfg: GenConfig, *,
                            return_s2d: bool = False) -> jax.Array:
     if n_blocks is None:
         n_blocks = 9 if cfg.net_g.endswith("9blocks") else 6
+    _check_divisible(x, n_downsampling, cfg.net_g)
     x = x.astype(cfg.compute_dtype)
     if _gen_use_s2d(cfg, x):
         return _resnet_generator_apply_s2d(
@@ -481,6 +497,7 @@ def local_enhancer_apply(p: Params, x: jax.Array, cfg: GenConfig, *,
                          train: bool = False,
                          rng: Optional[jax.Array] = None) -> jax.Array:
     n_local = cfg.n_local_enhancers
+    _check_divisible(x, n_local + cfg.n_downsample_global, cfg.net_g)
     x = x.astype(cfg.compute_dtype)
     # input pyramid: x at full res, then avg-pool halvings
     pyramid = [x]

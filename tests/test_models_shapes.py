@@ -92,3 +92,22 @@ def test_bf16_compute_dtype():
     init, apply = define_g(cfg)
     y = apply(init(KEY), jnp.zeros((1, 32, 32, 3)))
     assert y.dtype == jnp.bfloat16
+
+
+def test_indivisible_input_raises_clear_error():
+    """A 48px frame through net_g=local (1 enhancer + 4 global downs
+    needs /32) must fail with the divisibility message, not an opaque
+    broadcast error deep in the trunk (round-3 UX guard)."""
+    cfg = GenConfig(net_g="local", ngf=4, n_local_enhancers=1,
+                    n_downsample_global=4)
+    init, apply = define_g(cfg)
+    params = init(KEY)
+    with pytest.raises(ValueError, match="divisible by 32"):
+        apply(params, jnp.zeros((1, 48, 48, 3)))
+    # resnet path: 30px with 2 downs needs /4
+    cfg2 = GenConfig(net_g="resnet_6blocks", ngf=4)
+    init2, apply2 = define_g(cfg2)
+    with pytest.raises(ValueError, match="divisible by 4"):
+        apply2(init2(KEY), jnp.zeros((1, 30, 30, 3)))
+    # compatible sizes still pass
+    assert apply(params, jnp.zeros((1, 64, 64, 3))).shape == (1, 64, 64, 3)
