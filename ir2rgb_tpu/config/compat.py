@@ -39,6 +39,12 @@ REFERENCE_FLAG_TABLE: Dict[str, Tuple[str, str, Any]] = {
     "loadSize": ("data", "load_size", int),
     "fineSize": ("data", "crop_size", int),
     "resize_or_crop": ("data", "preprocess", None),
+    "no_dropout": ("model", "use_dropout", lambda v: not v),
+    # pix2pixHD feature-encoder netE (instance-wise style features)
+    "instance_feat": ("model", "use_instance_feat", bool),
+    "feat_num": ("model", "feat_num", int),
+    "nef": ("model", "nef", int),
+    "n_downsample_E": ("model", "n_downsample_e", int),
     "serial_batches": ("data", "serial_batches", bool),
     "no_flip": ("data", "no_flip", bool),
     "nThreads": ("data", "num_workers", int),

@@ -59,6 +59,23 @@ def test_reference_flag_translation():
     assert cfg.infer.which_epoch == "latest"
 
 
+def test_reference_netE_and_dropout_flags():
+    """netE (instance_feat/feat_num/nef/n_downsample_E) and the inverted
+    no_dropout flag translate onto ModelConfig (round-3 gap: these were
+    config-reachable but absent from the opt.txt migration table)."""
+    cfg = from_reference_flags({
+        "instance_feat": True, "feat_num": 4, "nef": 32,
+        "n_downsample_E": 3, "no_dropout": False,
+    })
+    assert cfg.model.use_instance_feat is True
+    assert cfg.model.feat_num == 4
+    assert cfg.model.nef == 32
+    assert cfg.model.n_downsample_e == 3
+    assert cfg.model.use_dropout is True  # no_dropout=False -> dropout on
+    cfg2 = from_reference_flags({"no_dropout": True})
+    assert cfg2.model.use_dropout is False
+
+
 def test_opt_txt_parse(tmp_path):
     opt = tmp_path / "opt.txt"
     opt.write_text(
@@ -95,3 +112,33 @@ def test_reference_style_shim_translation():
         ["--dataroot", "/d", "--batchSize", "4", "--preset", "resnet9_256"])
     assert "--data.dataroot" in out and "--data.batch_size" in out
     assert "--preset" in out
+
+
+def test_shim_handles_full_reference_launch_line():
+    """A realistic reference launch line — store_true booleans, inverted
+    flags, no-analog flags, label_nc 0 / no_instance — must translate
+    without crashing parse_cli (round-3 fix: these previously fell
+    through as unrecognized arguments)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from train import _translate_reference_flags
+    from ir2rgb_tpu.config.config import parse_cli
+    argv = ["--name", "exp1", "--dataroot", "/d", "--gpu_ids", "0,1",
+            "--no_flip", "--no_lsgan", "--continue_train",
+            "--label_nc", "0", "--no_instance", "--instance_feat",
+            "--how_many", "inf", "--max_dataset_size=200",
+            "--batchSize=8", "--tf_log", "--fp16", "--verbose"]
+    out = _translate_reference_flags(argv)
+    cfg = parse_cli(out)
+    assert cfg.train.name == "exp1"
+    assert cfg.data.dataroot == "/d"
+    assert cfg.data.no_flip is True
+    assert cfg.loss.gan_mode == "vanilla"          # --no_lsgan
+    assert cfg.train.continue_train is True
+    assert cfg.model.use_instance_feat is True
+    assert cfg.infer.how_many is None              # inf -> unlimited
+    assert cfg.data.max_dataset_size == 200        # --flag=value form
+    assert cfg.data.batch_size == 8
+    # one-hot label-map input is a semantic difference, not a no-op
+    with pytest.raises(SystemExit, match="label_nc"):
+        _translate_reference_flags(["--label_nc", "35"])

@@ -9,28 +9,93 @@ them through the compat table (ir2rgb_tpu/config/compat.py).
 import sys
 
 
+# Reference flags with no analog here, accepted and dropped with a note
+# (docs/MIGRATION.md): the device mesh is automatic (--gpu_ids), dtype
+# policy is --model.compute_dtype (--data_type/--fp16), TensorBoard is
+# always on (--tf_log), HTML galleries are always on (--no_html), and
+# jax.distributed discovers the process rank (--local_rank).
+# Value = number of CLI tokens the flag consumes after itself
+# (reference store_true flags take none).
+_IGNORED_REFERENCE_FLAGS = {
+    "gpu_ids": 1, "display_winsize": 1, "display_id": 1,
+    "display_port": 1, "data_type": 1, "local_rank": 1,
+    "load_pretrain": 1, "tf_log": 0, "verbose": 0, "fp16": 0,
+    "no_html": 0, "debug": 0,
+    # ir2rgb conditions on real IR frames, not segmentation label maps:
+    # --label_nc 0 --no_instance (the common launch spelling in the
+    # pix2pixHD family for real-image input) IS this framework's default
+    # input semantics, so both are accepted no-ops. A nonzero label_nc
+    # (one-hot label-map input) is rejected in _translate, not dropped.
+    "no_instance": 0, "label_nc": 1,
+}
+
+
 def _translate_reference_flags(argv):
-    """Map reference-style flags to --section.field form where possible."""
+    """Map reference-style flags to --section.field form.
+
+    Handles the full compat-table surface (ir2rgb_tpu/config/compat.py):
+    value flags are renamed, reference store_true booleans become
+    ``--section.field true``, inverted/sentinel flags (--no_lsgan,
+    --no_dropout, inf-valued --how_many/--max_dataset_size) are
+    rewritten, and no-analog flags are dropped with a stderr note.
+    """
     from ir2rgb_tpu.config.compat import REFERENCE_FLAG_TABLE
     out = []
     i = 0
     while i < len(argv):
         tok = argv[i]
-        if tok.startswith("--"):
-            name = tok[2:].split("=")[0]
-            entry = REFERENCE_FLAG_TABLE.get(name)
-            if entry is not None and entry[2] in (None, int, float):
-                section, field, _ = entry
-                if "=" in tok:
-                    out.append(f"--{section}.{field}=" + tok.split("=", 1)[1])
-                else:
-                    out.append(f"--{section}.{field}")
-            else:
-                out.append(tok)
-        else:
-            out.append(tok)
         i += 1
-    return out
+        if not tok.startswith("--"):
+            out.append(tok)
+            continue
+        name, eq, inline_val = tok[2:].partition("=")
+
+        def take_value(arity=1):
+            nonlocal i
+            if eq:
+                return inline_val
+            if arity == 0:
+                return None
+            i += 1
+            return argv[i - 1] if i - 1 < len(argv) else None
+
+        if name in _IGNORED_REFERENCE_FLAGS:
+            val = take_value(_IGNORED_REFERENCE_FLAGS[name])
+            if name == "label_nc" and val not in (None, "0"):
+                raise SystemExit(
+                    f"--label_nc {val}: one-hot label-map input is not "
+                    "supported; this framework (like ir2rgb) conditions "
+                    "on real IR frames (--label_nc 0). See docs/MIGRATION.md.")
+            print(f"note: reference flag --{name} has no analog here; "
+                  "ignored (docs/MIGRATION.md)", file=sys.stderr)
+            continue
+        entry = REFERENCE_FLAG_TABLE.get(name)
+        if entry is None:
+            out.append(tok)  # already --section.field form (or a typo
+            continue         # parse_cli will report)
+        section, field, conv = entry
+        if conv in (None, int, float):
+            out.append(f"--{section}.{field}")
+            out.append(take_value())
+        elif conv is bool:  # reference store_true -> explicit true
+            take_value(0)
+            out.append(f"--{section}.{field}")
+            out.append("true")
+        elif name == "no_lsgan":
+            take_value(0)
+            out.extend(["--loss.gan_mode", "vanilla"])
+        elif name == "no_dropout":
+            take_value(0)
+            out.extend(["--model.use_dropout", "false"])
+        elif name in ("how_many", "max_dataset_size"):
+            val = take_value()
+            if val not in (None, "inf"):  # inf == our None default
+                out.append(f"--{section}.{field}")
+                out.append(val)
+        else:  # future lambda entries: pass the raw value through
+            out.append(f"--{section}.{field}")
+            out.append(take_value())
+    return [t for t in out if t is not None]
 
 
 if __name__ == "__main__":
