@@ -686,6 +686,7 @@ def unet_generator_apply(p: Params, x: jax.Array, cfg: GenConfig, *,
                          train: bool = False,
                          rng: Optional[jax.Array] = None) -> jax.Array:
     num_downs = 8 if cfg.net_g == "unet_256" else 7
+    _check_divisible(x, num_downs, cfg.net_g)
     x = x.astype(cfg.compute_dtype)
     skips: List[jax.Array] = []
     h = x

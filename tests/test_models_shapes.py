@@ -109,5 +109,10 @@ def test_indivisible_input_raises_clear_error():
     init2, apply2 = define_g(cfg2)
     with pytest.raises(ValueError, match="divisible by 4"):
         apply2(init2(KEY), jnp.zeros((1, 30, 30, 3)))
+    # unet_128: 7 downs need /128
+    cfg3 = GenConfig(net_g="unet_128", ngf=4)
+    init3, apply3 = define_g(cfg3)
+    with pytest.raises(ValueError, match="divisible by 128"):
+        apply3(init3(KEY), jnp.zeros((1, 96, 96, 3)))
     # compatible sizes still pass
     assert apply(params, jnp.zeros((1, 64, 64, 3))).shape == (1, 64, 64, 3)
