@@ -41,14 +41,14 @@ def main() -> int:
 
     from ir2rgb_tpu.data.folder import make_dataset
 
-    def load_feeds(size=None):
+    def load_feeds(hw=None):
         feeds = []
         for d in args.streams:
             frames = []
             for f in make_dataset(d):
                 img = Image.open(f).convert("RGB")
-                if size is not None and img.size != (size, size):
-                    img = img.resize((size, size), Image.BICUBIC)
+                if hw is not None and img.size != (hw[1], hw[0]):
+                    img = img.resize((hw[1], hw[0]), Image.BICUBIC)  # PIL size is (w, h)
                 frames.append(np.asarray(img))
             feeds.append(frames)
         return feeds
@@ -56,16 +56,37 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
 
     if args.artifact:
-        # artifact path: one stream per process-level loop (export with
-        # --batch N for a multi-stream artifact)
+        # artifact path: the exported program has a FIXED batch shape.
+        # batch == 1 serves streams one-by-one; batch > 1 (exported with
+        # --batch N) serves one stream per slot, stacked each tick.
         from ir2rgb_tpu.infer import load_serving_artifact
         art = load_serving_artifact(args.artifact)
-        feeds = load_feeds(art.meta["frame_hw"][0])
-        for si, frames in enumerate(feeds):
-            art.reset()
-            for t, rgb in enumerate(art.stream(iter(frames))):
-                Image.fromarray(rgb).save(
-                    os.path.join(args.out, f"s{si}_f{t:05d}.png"))
+        feeds = load_feeds(tuple(art.meta["frame_hw"]))
+        if art.batch == 1:
+            for si, frames in enumerate(feeds):
+                art.reset()
+                for t, rgb in enumerate(art.stream(iter(frames))):
+                    Image.fromarray(rgb).save(
+                        os.path.join(args.out, f"s{si}_f{t:05d}.png"))
+            return 0
+        if len(feeds) > art.batch:
+            print(f"artifact has {art.batch} slots < {len(feeds)} "
+                  "streams; re-export with --batch", file=sys.stderr)
+            return 1
+        art.reset()
+        n_ticks = max(len(f) for f in feeds)
+        for t in range(n_ticks):
+            # pad finished/short streams by repeating their last frame
+            # (the fixed-shape program has no skip mask; extra outputs
+            # are simply not saved)
+            tile = np.stack(
+                [feeds[i % len(feeds)][min(t, len(feeds[i % len(feeds)]) - 1)]
+                 for i in range(art.batch)])
+            outs = art.push(tile)
+            for i in range(len(feeds)):
+                if t < len(feeds[i]):
+                    Image.fromarray(outs[i]).save(
+                        os.path.join(args.out, f"s{i}_f{t:05d}.png"))
         return 0
 
     import jax
@@ -84,7 +105,7 @@ def main() -> int:
     # serve at the run's trained geometry (the generators need H/W
     # divisible by their stride-2 stacks — see nn/generators.py)
     h = w = cfg.data.crop_size
-    feeds = load_feeds(h)
+    feeds = load_feeds((h, w))
     srv = MultiStreamServer(model, g, (h, w),
                             n_slots=max(len(feeds), 1))
     sids = [srv.open() for _ in feeds]

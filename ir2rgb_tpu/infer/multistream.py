@@ -135,8 +135,11 @@ class MultiStreamServer:
                                       adv, carry_in)
                 return _dev_quantize(fake), new_carry
 
-            # donate frames + carry: HBM recycled for out + new carry
-            self._tick = jax.jit(tick, donate_argnums=(1, 2))
+            # donate ONLY the server-owned carry (HBM recycled for the
+            # new carry). The frames buffer is caller-visible through
+            # step_device — donating it would delete a device array the
+            # caller may reuse next tick, for a few MB of uint8 savings.
+            self._tick = jax.jit(tick, donate_argnums=(2,))
         else:
             def tick(params, frames_u8, reset, valid):
                 del reset, valid  # stateless model: masks are no-ops
@@ -144,7 +147,7 @@ class MultiStreamServer:
                 return _dev_quantize(model.generate(params, x,
                                                     train=False))
 
-            self._tick = jax.jit(tick, donate_argnums=(1,))
+            self._tick = jax.jit(tick)
 
     # -- slot lifecycle -------------------------------------------------
 

@@ -176,10 +176,8 @@ def _s2d_tail_output(pc, hs, cfg: GenConfig, train: bool) -> jax.Array:
         b = pc.get("b", jnp.zeros((w.shape[3],), jnp.float32))
         return tail_fused(hs.astype(cfg.compute_dtype),
                           w.astype(cfg.compute_dtype), b)
-    from .s2d_space import conv_reflect_s2d
-    from jax import lax
-    prec = (lax.Precision.DEFAULT if cfg.compute_dtype == jnp.bfloat16
-            else lax.Precision.HIGHEST)
+    from .s2d_space import _fold_prec, conv_reflect_s2d
+    prec = _fold_prec(cfg.compute_dtype)
     y = conv_reflect_s2d(hs.astype(cfg.compute_dtype),
                          w.astype(cfg.compute_dtype), precision=prec)
     if "b" in pc:
@@ -216,26 +214,32 @@ def _head_in_act_s2d(pc, x, cfg: GenConfig):
     gate reflects the measured in-context crossover, not the standalone
     one. IR2RGB_HEAD=direct|fold4 overrides."""
     from .s2d_space import (
+        _fold_prec,
         head_fold4_reflect_in_act_s2d,
         instance_norm_act_s2d,
     )
-    from jax import lax
-    w = pc["w"]
+    if _fold4_head_gate(x):
+        # reflect variant: no materialized padded image (the pad copy
+        # alone cost ~836 us at 2048p) — zero-pad body + exact strips
+        return head_fold4_reflect_in_act_s2d(
+            x.astype(cfg.compute_dtype), pc["w"].astype(cfg.compute_dtype),
+            pc.get("b"), "relu", precision=_fold_prec(cfg.compute_dtype))
+    return instance_norm_act_s2d(_head_conv_s2d(pc, x, cfg), "relu")
+
+
+def _fold4_head_gate(x: jax.Array) -> bool:
+    """ONE source of truth for the fold-4 c7s1-head dispatch — both
+    _head_in_act_s2d (trunk heads) and _head_fold4_rep (enhancer down0,
+    feeding conv_fold4_to_s2d) must take the same branch or the enhancer
+    junction sees mismatched reps. Gate: TPU backend, H%4==0, and
+    IR2RGB_HEAD=fold4 or auto at >=1024px output (the measured
+    in-context crossover — see _head_in_act_s2d's docstring)."""
     out_img = x.shape[1]  # c7s1: reflect pad (k-1)//2 preserves size
     mode = os.environ.get("IR2RGB_HEAD", "auto")
     use_fold4 = (mode == "fold4"
                  or (mode == "auto" and out_img >= 1024))
-    if (jax.default_backend() == "tpu" and out_img % 4 == 0
-            and use_fold4):
-        prec = (lax.Precision.DEFAULT
-                if cfg.compute_dtype == jnp.bfloat16
-                else lax.Precision.HIGHEST)
-        # reflect variant: no materialized padded image (the pad copy
-        # alone cost ~836 us at 2048p) — zero-pad body + exact strips
-        return head_fold4_reflect_in_act_s2d(
-            x.astype(cfg.compute_dtype), w.astype(cfg.compute_dtype),
-            pc.get("b"), "relu", precision=prec)
-    return instance_norm_act_s2d(_head_conv_s2d(pc, x, cfg), "relu")
+    return (jax.default_backend() == "tpu" and out_img % 4 == 0
+            and use_fold4)
 
 
 # Above this many s2d rows, a res block's reflect pads go through the
@@ -251,13 +255,12 @@ _BORDER_FIXUP_MIN_ROWS = 384
 def _resnet_block_apply_s2d(p, hs, cfg: GenConfig, *, train=False, rng=None):
     from .s2d_space import (
         conv_reflect_s2d,
+        _fold_prec,
         instance_norm_act_s2d,
         reflect_pad_s2d,
     )
-    from jax import lax
     big = hs.shape[1] >= _BORDER_FIXUP_MIN_ROWS
-    prec = (lax.Precision.DEFAULT if cfg.compute_dtype == jnp.bfloat16
-            else lax.Precision.HIGHEST)
+    prec = _fold_prec(cfg.compute_dtype)
 
     def conv_pad1(pc, x):
         if big:
@@ -537,21 +540,13 @@ def _head_fold4_rep(pc, x, cfg: GenConfig):
     """When the fold-4 head gate applies (see _head_in_act_s2d), return
     the head's normalized PRE-d2s fold-4 rep for a conv_fold4_to_s2d
     consumer; else None (caller takes the s2d path)."""
-    from .s2d_space import head_fold4_reflect_in_act_s2d
-    from jax import lax
-    w = pc["w"]
-    out_img = x.shape[1]
-    mode = os.environ.get("IR2RGB_HEAD", "auto")
-    use_fold4 = (mode == "fold4"
-                 or (mode == "auto" and out_img >= 1024))
-    if not (jax.default_backend() == "tpu" and out_img % 4 == 0
-            and use_fold4):
+    from .s2d_space import _fold_prec, head_fold4_reflect_in_act_s2d
+    if not _fold4_head_gate(x):
         return None
-    prec = (lax.Precision.DEFAULT if cfg.compute_dtype == jnp.bfloat16
-            else lax.Precision.HIGHEST)
     return head_fold4_reflect_in_act_s2d(
-        x.astype(cfg.compute_dtype), w.astype(cfg.compute_dtype),
-        pc.get("b"), "relu", precision=prec, emit_d2s=False)
+        x.astype(cfg.compute_dtype), pc["w"].astype(cfg.compute_dtype),
+        pc.get("b"), "relu", precision=_fold_prec(cfg.compute_dtype),
+        emit_d2s=False)
 
 
 def _use_fold4_tail(hs: jax.Array) -> bool:
@@ -594,11 +589,8 @@ def _local_enhancer_apply_s2d(p: Params, pyramid, cfg: GenConfig, *,
         if h4 is not None:
             # head stayed in its fold-4 rep: down1 reads it directly
             # (conv_fold4_to_s2d) — no d2s between head and down1
-            from .s2d_space import conv_fold4_to_s2d
-            from jax import lax
-            prec = (lax.Precision.DEFAULT
-                    if cfg.compute_dtype == jnp.bfloat16
-                    else lax.Precision.HIGHEST)
+            from .s2d_space import _fold_prec, conv_fold4_to_s2d
+            prec = _fold_prec(cfg.compute_dtype)
             d1 = enh["down1"]["conv"]
             hs = conv_fold4_to_s2d(
                 h4, d1["w"].astype(cfg.compute_dtype), precision=prec)

@@ -314,9 +314,12 @@ def conv_image_to_s2d_im2col(x: jax.Array, w: jax.Array, pad: int = 0,
     25% at 512px/ngf64 (629 -> 475 us — the global-512 trunk head and
     every tier's trunk head); LOSES at >=1024px full-res enhancer heads
     (1983 -> 2974 us at 1024/ngf32) where the patch buffer's lane-padded
-    slice reads dominate — the dispatch gate in conv_image_to_s2d keeps
-    those on the direct form. Exact same math (0/1 gather of w, fp32
-    MXU accumulation); stride-1 odd-k only."""
+    slice reads dominate. NOTE: IR2RGB_HEAD=im2col is all-or-nothing —
+    the conv_image_to_s2d gate checks only stride/k/backend, so the knob
+    routes EVERY stride-1 odd-k head through here, including the
+    >=1024px enhancer heads where it loses; it is a standalone-
+    measurement opt-in, not a tuned default. Exact same math (0/1
+    gather of w, fp32 MXU accumulation); stride-1 odd-k only."""
     k, _, ci, co = w.shape
     assert k % 2 == 1, "im2col head path requires odd k"
     if pad:
@@ -394,7 +397,7 @@ def head_fold4_in_act_s2d(x: jax.Array, w: jax.Array, b=None,
     ``x`` must already carry the conv's padding (the generators
     reflect-pad); output image size must be divisible by 4."""
     k, _, ci, co = w.shape
-    n, h, wd, _ = x.shape
+    _, h, wd, _ = x.shape
     out_img = h - k + 1
     assert out_img % 4 == 0, "fold-4 head needs output divisible by 4"
     A, B, M, kk = _fold4_head_maps(k)
@@ -405,7 +408,6 @@ def head_fold4_in_act_s2d(x: jax.Array, w: jax.Array, b=None,
     wp = -wd % 4
     if hp or wp:
         x = jnp.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)))
-    h4, w4 = (h + hp) // 4, (wd + wp) // 4
     xs4 = fold4_of_image(x)
 
     wk = w[jnp.asarray(A), jnp.asarray(B)]  # (kk,kk,4,4,2,2,2,2,ci,co)
@@ -974,7 +976,13 @@ def deconv_in_act_s2d(xs: jax.Array, w: jax.Array, b=None,
     the stats fold is the same ``reshape(n, phases, co)`` with
     phases=16."""
     co = w.shape[3]
-    if os.environ.get("IR2RGB_DECONV_NORM", "pre") == "post":
+    if (os.environ.get("IR2RGB_DECONV_NORM", "pre") == "post"
+            and emit_d2s):
+        # A/B knob: norm after the d2s interleave (the round-2 lowering).
+        # Only honored when the caller wants the post-d2s rep — with
+        # emit_d2s=False the consumer (tail_from_fold4) structurally
+        # needs the 16co-phase rep, so the pre-norm form (same math,
+        # stats are phase-invariant) is used regardless of the knob.
         return instance_norm_act_s2d(
             deconv_s2d_to_s2d(xs, w, b, k, pad, precision), act)
     y = _deconv_conv(xs, _deconv_wk(w, k, pad), k, pad, precision)

@@ -63,6 +63,10 @@ def _masked_crc(data: bytes) -> int:
 # ---------------------------------------------------------------------------
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # protobuf encodes negative int64 as 10-byte two's complement;
+        # Python's sign-preserving >> would otherwise never terminate
+        n &= 0xFFFFFFFFFFFFFFFF
     out = bytearray()
     while True:
         b = n & 0x7F

@@ -85,7 +85,8 @@ def global_batch(local_batch: Any, mesh, temporal: bool = False) -> Any:
     on one host — the train step is identical in both settings.
     """
     def put(x):
-        sh = batch_sharding(mesh, temporal=getattr(x, "ndim", 0) == 5)
+        nd = getattr(x, "ndim", 0)
+        sh = batch_sharding(mesh, temporal=nd == 5, ndim=nd)
         return jax.make_array_from_process_local_data(sh, x)
 
     return jax.tree.map(put, local_batch)

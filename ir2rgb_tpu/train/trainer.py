@@ -58,16 +58,14 @@ class Trainer:
             self.ckpt.clear()
         self._last_saved: Optional[int] = None
 
-        rep = replicate(self.mesh)
-        shard = batch_sharding(self.mesh,
-                               temporal=cfg.model.model == "temporal")
-        donate = (0,) if cfg.train.donate else ()
-        self._train_step = jax.jit(
-            model.train_step,
-            in_shardings=(rep, shard),
-            out_shardings=(rep, rep),
-            donate_argnums=donate,
-        )
+        self._donate = (0,) if cfg.train.donate else ()
+        # the jitted step is built on the first batch: in_shardings must
+        # be per-leaf (rank-3 instance maps / rank-1 labels shard the
+        # batch axis only — see batch_sharding), and the batch structure
+        # isn't known until then. A single rank-4 spec here used to force
+        # a reshard copy of every non-image leaf per step on a spatial
+        # mesh.
+        self._train_step_jit = None
         # display-path forward, compiled once (an unjitted generate on a
         # sharded batch recompiles + runs the slow path every display)
         self._jit_generate = jax.jit(
@@ -110,19 +108,46 @@ class Trainer:
         resumable."""
         try:
             return self.ckpt.restore(step, template=state)
-        except Exception:
+        except Exception as e:
+            # Only the dtype-mismatch case is retryable; a corrupt
+            # checkpoint or genuine tree mismatch must surface its own
+            # error, not a misleading second failure from the retry.
+            if "dtype" not in str(e).lower():
+                raise
             f32_pool = jax.tree.map(
                 lambda x: x.astype(jnp.float32)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x,
                 state.pool)
-            loaded = self.ckpt.restore(
-                step, template=state._replace(pool=f32_pool))
+            try:
+                loaded = self.ckpt.restore(
+                    step, template=state._replace(pool=f32_pool))
+            except Exception:
+                raise e  # the retry didn't apply; report the real cause
             pool = jax.tree.map(lambda x, t: x.astype(t.dtype),
                                 loaded.pool, state.pool)
             return loaded._replace(pool=pool)
 
     def shard(self, batch):
         return shard_batch(batch, self.mesh)
+
+    def _train_step(self, state: TrainState, batch):
+        """Jitted fused G+D step, built lazily so in_shardings mirrors
+        shard_batch per leaf (images shard rows on 'spatial', lower-rank
+        leaves shard the batch axis only)."""
+        if self._train_step_jit is None:
+            rep = replicate(self.mesh)
+
+            def leaf_sh(x):
+                nd = getattr(x, "ndim", 0)
+                return batch_sharding(self.mesh, temporal=nd == 5, ndim=nd)
+
+            self._train_step_jit = jax.jit(
+                self.model.train_step,
+                in_shardings=(rep, jax.tree.map(leaf_sh, batch)),
+                out_shardings=(rep, rep),
+                donate_argnums=self._donate,
+            )
+        return self._train_step_jit(state, batch)
 
     # ------------------------------------------------------------------
 

@@ -172,3 +172,19 @@ def test_non_temporal_batched_serving():
     outs = srv.step({sids[i]: frames[i] for i in range(3)})
     for i in range(3):
         _assert_lsb(outs[sids[i]], ref[i])
+
+
+def test_step_device_does_not_donate_caller_frames():
+    """step_device must leave the caller's device-resident frames buffer
+    alive — a serving/benchmark loop reuses one buffer across ticks
+    (review fix: frames were in donate_argnums and the second call hit a
+    deleted-buffer error)."""
+    import jax.numpy as jnp
+
+    model, g_params = _model(temporal=True)
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=2)
+    frames_dev = jnp.asarray(
+        np.stack(_frames(50, srv.physical_slots)))
+    out1 = np.asarray(jax.device_get(srv.step_device(frames_dev)))
+    out2 = np.asarray(jax.device_get(srv.step_device(frames_dev)))
+    assert out1.shape == out2.shape  # second call must not raise

@@ -227,6 +227,28 @@ def test_deconv_in_act_s2d_matches_post_d2s_norm():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_deconv_in_act_s2d_post_knob_honors_emit_d2s(monkeypatch):
+    """IR2RGB_DECONV_NORM=post must not leak the post-d2s rep to an
+    emit_d2s=False caller (tail_from_fold4 needs the 16co-phase rep;
+    the knob is only honored on the d2s-emitting path — review fix)."""
+    from ir2rgb_tpu.nn.s2d_space import deconv_in_act_s2d
+
+    r = np.random.RandomState(5)
+    xs = jnp.asarray(r.randn(1, 8, 8, 4 * 6), jnp.float32)
+    w = jnp.asarray(r.randn(3, 3, 6, 5) * 0.2, jnp.float32)
+    b = jnp.asarray(r.randn(5), jnp.float32)
+    ref_fold = deconv_in_act_s2d(xs, w, b, "relu", emit_d2s=False)
+    ref_d2s = deconv_in_act_s2d(xs, w, b, "relu")
+    monkeypatch.setenv("IR2RGB_DECONV_NORM", "post")
+    got_fold = deconv_in_act_s2d(xs, w, b, "relu", emit_d2s=False)
+    got_d2s = deconv_in_act_s2d(xs, w, b, "relu")
+    assert got_fold.shape == ref_fold.shape  # pre-d2s (n,h,w,16co)
+    np.testing.assert_allclose(np.asarray(got_fold), np.asarray(ref_fold),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_d2s), np.asarray(ref_d2s),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_resnet_block_border_fixup_matches_materialized_pad(monkeypatch):
     """The high-res gate routing res-block pads through the border-fixup
     conv must be exact vs the materialized reflect pad (forced on small

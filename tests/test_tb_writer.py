@@ -24,6 +24,20 @@ def test_crc32c_known_vectors():
     assert crc32c(bytes(32)) == 0x8A9136AA
 
 
+def test_negative_step_varint_terminates(tmp_path):
+    """A negative step (e.g. a -1 sentinel) must encode as protobuf's
+    10-byte two's-complement varint, not hang — Python's sign-preserving
+    >> made the raw loop infinite (review fix)."""
+    from ir2rgb_tpu.obs.tb import _varint
+    assert _varint(-1) == b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01"
+    w = TBEventWriter(str(tmp_path))
+    w.add_scalar("x", 1.0, -1)  # must not hang
+    w.close()
+    acc = tb_ea.EventAccumulator(str(tmp_path))
+    acc.Reload()
+    assert acc.Scalars("x")[0].step == -1
+
+
 def test_scalars_roundtrip_through_real_tensorboard(tmp_path):
     w = TBEventWriter(str(tmp_path))
     for step in range(5):
