@@ -50,13 +50,26 @@ def main(argv=None) -> int:
         ssims.append(float(ssim(gi, ti)))
         gen_frames.append(gi)
 
+    if not psnrs:
+        # np.mean([]) would print NaN (invalid strict JSON) and exit 0
+        # as if evaluation succeeded
+        print("no comparable pairs (every pair skipped for shape "
+              "mismatch)", file=sys.stderr)
+        return 1
+
+    # flicker needs one stackable (T, H, W, C) clip; mixed result sizes
+    # (e.g. several videos at different resolutions) can't be scored
+    same_shape = all(f.shape == gen_frames[0].shape for f in gen_frames)
+    if not same_shape:
+        print("mixed generated-frame sizes: skipping flicker metric",
+              file=sys.stderr)
     result = {
         "frames": len(psnrs),
         "psnr_mean": float(np.mean(psnrs)),
         "psnr_std": float(np.std(psnrs)),
         "ssim_mean": float(np.mean(ssims)),
         "flicker": float(flicker(np.stack(gen_frames)))
-        if len(gen_frames) > 1 else None,
+        if len(gen_frames) > 1 and same_shape else None,
     }
     print(json.dumps(result, indent=2))
     if args.json_out:

@@ -37,6 +37,7 @@ def main(argv=None) -> int:
     out = _pop("--out")
     batch = int(_pop("--batch", "1"))
     platforms = tuple(_pop("--platforms", "tpu,cpu").split(","))
+    size_flag = _pop("--size")
     cfg = parse_cli(argv)
     if out is None:
         out = os.path.join(cfg.run_dir(), f"{cfg.train.name}.ir2rgb")
@@ -51,11 +52,27 @@ def main(argv=None) -> int:
         g_params = state["g_params"] if isinstance(state, dict) else \
             state.g_params
 
-    size = cfg.data.crop_size
-    export_serving_artifact(model, g_params, (size, size), out,
+    # The artifact is sealed at ONE static geometry. Crop-style training
+    # serves at crop_size x crop_size; scale_width/none runs run at the
+    # dataset's native geometry, which export can't probe (no dataroot
+    # needed here) — require --size HxW for those, or accept it as an
+    # override anywhere (e.g. exporting a 720x1280 serving program).
+    if size_flag is not None:
+        parts = size_flag.lower().split("x")
+        size_hw = ((int(parts[0]), int(parts[1])) if len(parts) == 2
+                   else (int(parts[0]), int(parts[0])))
+    elif "crop" in cfg.data.preprocess:
+        size_hw = (cfg.data.crop_size, cfg.data.crop_size)
+    else:
+        raise SystemExit(
+            f"--data.preprocess {cfg.data.preprocess} serves at the "
+            f"dataset's native geometry, which export cannot infer; "
+            f"pass --size HxW (the frame size the artifact will serve)")
+    export_serving_artifact(model, g_params, size_hw, out,
                             batch=batch, platforms=platforms)
     print(f"exported {out} ({os.path.getsize(out)} bytes, "
-          f"{size}x{size} batch {batch}, platforms {','.join(platforms)})",
+          f"{size_hw[0]}x{size_hw[1]} batch {batch}, "
+          f"platforms {','.join(platforms)})",
           flush=True)
     return 0
 

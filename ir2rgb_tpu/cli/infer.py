@@ -84,9 +84,19 @@ def main(argv=None) -> int:
     psnrs, ssims = [], []
     how_many = cfg.infer.how_many or float("inf")
     count = 0
+    prev_video = None
     for host_batch in loader.epoch():
         if count >= how_many:
             break
+        # Temporal models carry generated frames across push() calls;
+        # a multi-video dataroot (A/vid000, A/vid001, ...) must restart
+        # the carry at each video boundary or vid001's first frames are
+        # conditioned on vid000's last outputs (reference test.py
+        # processes sequences independently).
+        video = os.path.dirname(host_batch["paths"][0][0])
+        if prev_video is not None and video != prev_video:
+            stream.reset()
+        prev_video = video
         batch = preprocess_pair_batch(
             jnp.asarray(host_batch["a"]), jnp.asarray(host_batch["b"]),
             jax.random.PRNGKey(0), crop_size=crop, train=False)
@@ -103,6 +113,10 @@ def main(argv=None) -> int:
                 return img
             from PIL import Image
             h, w = img.shape[:2]
+            # PIL rejects (H, W, 1) — squeeze gray to (H, W) (the PNG
+            # encoder accepts both layouts)
+            if img.ndim == 3 and img.shape[2] == 1:
+                img = img[..., 0]
             return np.asarray(Image.fromarray(img).resize(
                 (int(w * cfg.infer.aspect_ratio), h), Image.BICUBIC))
 

@@ -74,7 +74,7 @@ def main(argv=None) -> int:
     sample = first["a"] if not temporal else first["a"][:, 0]
     fake = model.generate(state.g_params, sample, train=False)
     vis.display_current_results(
-        {"input": tensor2im(sample), "generated": tensor2im(fake)},
+        {"input": tensor2im(sample[:1]), "generated": tensor2im(fake[:1])},
         epoch=cfg.train.niter + cfg.train.niter_decay,
         step=int(jax.device_get(state.step)))
     return 0

@@ -51,6 +51,29 @@ def _resolve_ab_dirs(root: str, phase: str) -> Tuple[str, str]:
         f"tried {[c for c in candidates]}")
 
 
+def _check_counts_match(a_paths: List[str], b_paths: List[str],
+                        a_dir: str, b_dir: str) -> None:
+    """A/B pairing is by sorted index, so a count mismatch means a file
+    is missing somewhere — truncating would silently misalign every pair
+    after a mid-sequence gap (wrong RGB target for ~half the dataset).
+    Fail loudly with the first divergent basename instead."""
+    if len(a_paths) == len(b_paths):
+        return
+    hint = ""
+    a_names = [os.path.splitext(os.path.basename(p))[0] for p in a_paths]
+    b_names = [os.path.splitext(os.path.basename(p))[0] for p in b_paths]
+    for i, (an, bn) in enumerate(zip(a_names, b_names)):
+        if an != bn:
+            hint = (f"; first basename divergence at sorted index {i}: "
+                    f"A={an!r} vs B={bn!r}")
+            break
+    raise ValueError(
+        f"A/B frame count mismatch: {len(a_paths)} files under {a_dir} "
+        f"vs {len(b_paths)} under {b_dir}{hint}. Pairing is by sorted "
+        f"index, so a missing file would silently misalign every later "
+        f"pair — fix the dataset (or remove the unpaired frames).")
+
+
 def find_aligned_pairs(root: str, phase: str = "train",
                        max_size: Optional[int] = None
                        ) -> List[Tuple[str, str]]:
@@ -58,9 +81,7 @@ def find_aligned_pairs(root: str, phase: str = "train",
     a_dir, b_dir = _resolve_ab_dirs(root, phase)
     a_paths = make_dataset(a_dir)
     b_paths = make_dataset(b_dir)
-    if len(a_paths) != len(b_paths):
-        n = min(len(a_paths), len(b_paths))
-        a_paths, b_paths = a_paths[:n], b_paths[:n]
+    _check_counts_match(a_paths, b_paths, a_dir, b_dir)
     pairs = list(zip(a_paths, b_paths))
     if max_size is not None:
         pairs = pairs[:max_size]
@@ -85,13 +106,15 @@ def find_temporal_sequences(root: str, phase: str = "train",
         for d in subdirs:
             a_paths = make_dataset(os.path.join(a_dir, d))
             b_paths = make_dataset(os.path.join(b_dir, d))
-            n = min(len(a_paths), len(b_paths))
-            videos.append(list(zip(a_paths[:n], b_paths[:n])))
+            _check_counts_match(a_paths, b_paths,
+                                os.path.join(a_dir, d),
+                                os.path.join(b_dir, d))
+            videos.append(list(zip(a_paths, b_paths)))
     else:
         a_paths = make_dataset(a_dir)
         b_paths = make_dataset(b_dir)
-        n = min(len(a_paths), len(b_paths))
-        videos.append(list(zip(a_paths[:n], b_paths[:n])))
+        _check_counts_match(a_paths, b_paths, a_dir, b_dir)
+        videos.append(list(zip(a_paths, b_paths)))
     windows: List[List[Tuple[str, str]]] = []
     for frames in videos:
         for start in range(0, len(frames) - n_frames + 1, stride):

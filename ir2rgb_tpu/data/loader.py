@@ -129,6 +129,16 @@ class DataLoader:
         if not self.items:
             raise FileNotFoundError(
                 f"no data under {d.dataroot} (phase {self.phase})")
+        if len(self.items) < self.batch_size:
+            # epoch() drops the final partial batch (static shapes for
+            # jit), so fewer items than one batch would make __iter__
+            # spin forever yielding nothing — fail at construction.
+            raise ValueError(
+                f"dataset has {len(self.items)} item(s) under "
+                f"{d.dataroot} (phase {self.phase}) but batch_size is "
+                f"{self.batch_size}; partial batches are dropped, so no "
+                f"batch could ever be produced. Lower --data.batch_size "
+                f"or add data.")
         self.shuffle = (not d.serial_batches if shuffle is None else shuffle)
         self._rng = np.random.RandomState(cfg.train.seed)
         first = (self.items[0][0][0] if self.temporal else self.items[0][0])

@@ -192,9 +192,10 @@ class MultiStreamServer:
             batch[sid] = a
             valid[sid] = True
         reset = self._pending_reset & valid
-        frames_dev = jnp.asarray(batch)
-        if self._sharding is not None:
-            frames_dev = jax.device_put(frames_dev, self._sharding)
+        # one sharded H2D straight from host memory — asarray-then-
+        # reshard would transfer the batch twice on the serving hot path
+        frames_dev = (jnp.asarray(batch) if self._sharding is None
+                      else jax.device_put(batch, self._sharding))
         if self.temporal:
             out, self._carry = self._tick(self.g_params, frames_dev,
                                           self._carry, jnp.asarray(reset),

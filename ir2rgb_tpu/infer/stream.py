@@ -142,9 +142,10 @@ class StreamingGenerator:
         if a.ndim == 3:
             a = a[None]
         if a.dtype == np.uint8:
-            a_dev = jnp.asarray(a)
-            if self._frame_sharding is not None:
-                a_dev = jax.device_put(a_dev, self._frame_sharding)
+            # one sharded H2D straight from host memory — asarray-then-
+            # reshard would transfer twice (default device, then mesh)
+            a_dev = (jnp.asarray(a) if self._frame_sharding is None
+                     else jax.device_put(a, self._frame_sharding))
             if self.temporal:
                 out, self._carry = self._step_u8(self.g_params, a_dev,
                                                  self._carry)
@@ -157,7 +158,9 @@ class StreamingGenerator:
     def _fetch(out: jax.Array, is_u8: bool) -> np.ndarray:
         if is_u8:
             arr = np.asarray(jax.device_get(out))
-            return arr[0] if arr.ndim == 4 else arr
+            # squeeze only the singleton batch dim — a pushed stack of
+            # B frames must come back as all B, not silently frame 0
+            return arr[0] if arr.ndim == 4 and arr.shape[0] == 1 else arr
         return tensor2im(out)
 
     def push(self, a_host: np.ndarray) -> np.ndarray:
@@ -217,9 +220,10 @@ def translate_clip(model: GanModel, g_params, a_seq: jax.Array) -> jax.Array:
 
 def tensor2im(t: jax.Array) -> np.ndarray:
     """[-1,1] NHWC device tensor -> uint8 HWC (reference util.tensor2im);
-    the single device->host boundary of the serve path."""
+    the single device->host boundary of the serve path. A batch of B>1
+    frames stays NHWC uint8 (batch-1 squeezes to HWC as the reference)."""
     arr = np.asarray(jax.device_get(t))
-    if arr.ndim == 4:
+    if arr.ndim == 4 and arr.shape[0] == 1:
         arr = arr[0]
     arr = (np.clip(arr.astype(np.float32), -1, 1) + 1.0) * 127.5
     return arr.astype(np.uint8)

@@ -20,15 +20,16 @@ class HTMLPage:
         os.makedirs(self.img_dir, exist_ok=True)
         self.title = title
         self.refresh = refresh
-        self._rows: List[Tuple[str, List[Tuple[str, str]]]] = []
+        # each row carries its own display width — a page-global width
+        # would retroactively resize earlier rows on save()
+        self._rows: List[Tuple[str, List[Tuple[str, str]], int]] = []
 
     def add_header(self, text: str) -> None:
-        self._rows.append(("header", [(text, "")]))
+        self._rows.append(("header", [(text, "")], 0))
 
     def add_images(self, images: Sequence[str], captions: Sequence[str],
                    width: int = 256) -> None:
-        self._rows.append(("images", list(zip(images, captions))))
-        self._width = width
+        self._rows.append(("images", list(zip(images, captions)), width))
 
     def save(self) -> str:
         parts = ["<!DOCTYPE html><html><head>",
@@ -39,12 +40,11 @@ class HTMLPage:
         parts.append(
             "<style>table{border-collapse:collapse}td{padding:4px;"
             "text-align:center;vertical-align:top}</style></head><body>")
-        for kind, content in self._rows:
+        for kind, content, width in self._rows:
             if kind == "header":
                 parts.append(f"<h3>{_html.escape(content[0][0])}</h3>")
             else:
                 parts.append("<table><tr>")
-                width = getattr(self, "_width", 256)
                 for img, cap in content:
                     parts.append(
                         f'<td><a href="images/{img}">'

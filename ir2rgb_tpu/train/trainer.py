@@ -213,6 +213,7 @@ class Trainer:
             a, b = a[:, 0], b[:, 0]
         fake = self._jit_generate(state.g_params, a)
         epoch = (step - 1) // self.model.steps_per_epoch + 1
+        # display the batch's first sample (tensor2im keeps B>1 batched)
         self.visualizer.display_current_results(
-            {"input": tensor2im(a), "generated": tensor2im(fake),
-             "target": tensor2im(b)}, epoch, step)
+            {"input": tensor2im(a[:1]), "generated": tensor2im(fake[:1]),
+             "target": tensor2im(b[:1])}, epoch, step)

@@ -126,3 +126,19 @@ def test_train_cli_instance_features(env, tmp_path):
     log = os.path.join(ckpts, "feat_run", "loss_log.txt")
     assert os.path.exists(log)
     assert "G_GAN" in open(log).read()
+
+
+def test_evaluate_cli_all_pairs_skipped_fails(tmp_path):
+    """Every pair shape-mismatched -> exit 1 with a message, not NaN
+    JSON with exit 0."""
+    from PIL import Image
+
+    from ir2rgb_tpu.cli.evaluate import main as eval_main
+
+    gen, tgt = tmp_path / "gen", tmp_path / "tgt"
+    gen.mkdir(); tgt.mkdir()
+    for i in range(3):
+        Image.new("RGB", (16, 16)).save(gen / f"{i}.png")
+        Image.new("RGB", (24, 24)).save(tgt / f"{i}.png")
+    rc = eval_main(["--generated", str(gen), "--target", str(tgt)])
+    assert rc == 1

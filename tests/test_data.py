@@ -289,3 +289,50 @@ def test_prefetch_propagates_exceptions():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="decode exploded"):
         list(it)
+
+
+def test_ab_count_mismatch_raises(tmp_path):
+    """A missing mid-sequence file must fail loudly, not silently
+    misalign every later pair (truncate-and-zip supervision corruption)."""
+    from PIL import Image
+
+    root = tmp_path / "mismatch"
+    for sub in ("trainA", "trainB"):
+        (root / sub).mkdir(parents=True)
+    for i in range(5):
+        Image.new("RGB", (16, 16)).save(root / "trainA" / f"{i:03d}.png")
+        if i != 2:  # B is missing frame 2
+            Image.new("RGB", (16, 16)).save(root / "trainB" / f"{i:03d}.png")
+    with pytest.raises(ValueError, match="count mismatch"):
+        find_aligned_pairs(str(root))
+    # the error should name the first divergent basename (002)
+    try:
+        find_aligned_pairs(str(root))
+    except ValueError as e:
+        assert "002" in str(e)
+
+
+def test_temporal_count_mismatch_raises(tmp_path):
+    from PIL import Image
+
+    root = tmp_path / "vidmismatch"
+    for sub in ("A", "B"):
+        (root / sub / "vid000").mkdir(parents=True)
+    for i in range(4):
+        Image.new("RGB", (16, 16)).save(
+            root / "A" / "vid000" / f"{i:03d}.png")
+        if i != 1:
+            Image.new("RGB", (16, 16)).save(
+                root / "B" / "vid000" / f"{i:03d}.png")
+    with pytest.raises(ValueError, match="count mismatch"):
+        find_temporal_sequences(str(root), n_frames=2)
+
+
+def test_loader_rejects_dataset_smaller_than_batch(dataset_dir):
+    """Fewer items than one batch would make __iter__ spin forever
+    (partial batches are dropped for static jit shapes)."""
+    cfg = Config(data=DataConfig(dataroot=str(dataset_dir / "pairs"),
+                                 load_size=48, crop_size=32,
+                                 batch_size=64))
+    with pytest.raises(ValueError, match="batch_size"):
+        DataLoader(cfg)

@@ -148,3 +148,36 @@ def test_export_cli_from_checkpoint(tmp_path):
     live = StreamingGenerator(model, g, (32, 32))
     f = _frames(1, seed=3)[0]
     np.testing.assert_array_equal(art.push(f), live.push(f))
+
+
+def test_export_cli_size_flag_and_noncrop_guard(tmp_path):
+    """Non-crop preprocess has no static geometry export can infer:
+    it must demand --size, and --size HxW must seal that geometry."""
+    from ir2rgb_tpu.checkpoint import CheckpointManager
+    from ir2rgb_tpu.cli.export import main as export_main
+
+    model, g = _model()
+    ckpt_dir = tmp_path / "ckpts" / "runsz"
+    mgr = CheckpointManager(str(ckpt_dir / "ckpt"))
+    mgr.save(0, {"g_params": jax.device_get(g)}, force=True)
+    mgr.close()
+
+    common = [
+        "--model.model", "temporal", "--model.net_g", "resnet_6blocks",
+        "--model.net_d", "n_layers", "--model.ngf", "8",
+        "--model.ndf", "8", "--model.n_frames_g", "2",
+        "--data.preprocess", "none", "--loss.no_vgg_loss", "true",
+        "--train.name", "runsz",
+        "--train.checkpoints_dir", str(tmp_path / "ckpts"),
+        "--platforms", "cpu",
+    ]
+    with pytest.raises(SystemExit, match="--size"):
+        export_main(common + ["--out", str(tmp_path / "x.ir2rgb")])
+
+    out = str(tmp_path / "sized.ir2rgb")
+    rc = export_main(common + ["--out", out, "--size", "32x64"])
+    assert rc == 0
+    art = load_serving_artifact(out)
+    frame = (np.random.RandomState(0).rand(32, 64, 3) * 255
+             ).astype(np.uint8)
+    assert art.push(frame).shape == (32, 64, 3)

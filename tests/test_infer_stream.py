@@ -149,3 +149,13 @@ def test_uint8_wire_path_matches_host_conversion():
     s2 = StreamingGenerator(model, g_params, (32, 32))
     for a, b in zip(out_u8, s2.stream(frames_u8)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_tensor2im_keeps_multiframe_batch():
+    """B>1 batches must come back whole — squeezing to frame 0 silently
+    drops the other streams' outputs (multi-stream serving)."""
+    x = jnp.zeros((3, 8, 8, 3), jnp.float32)
+    img = tensor2im(x)
+    assert img.shape == (3, 8, 8, 3) and img.dtype == np.uint8
+    # batch-1 still squeezes to HWC (reference util.tensor2im contract)
+    assert tensor2im(x[:1]).shape == (8, 8, 3)

@@ -66,3 +66,15 @@ def test_visualizer_display_uses_async_writer(tmp_path):
                        "epoch001_step0000005_fake.png")
     assert os.path.exists(out)
     np.testing.assert_array_equal(decode_batch([out], 8, 8)[0], img)
+
+
+def test_html_page_per_row_width(tmp_path):
+    """Each add_images row keeps its own display width — a later call
+    must not retroactively resize earlier rows."""
+    from ir2rgb_tpu.obs.html import HTMLPage
+
+    page = HTMLPage(str(tmp_path / "web"), "t")
+    page.add_images(["a.png"], ["a"], width=512)
+    page.add_images(["b.png"], ["b"], width=128)
+    html = open(page.save()).read()
+    assert 'width="512"' in html and 'width="128"' in html
