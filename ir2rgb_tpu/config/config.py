@@ -283,6 +283,13 @@ def parse_cli(argv=None, default: Optional[Config] = None) -> Config:
         _add_dataclass_args(parser, cls, f"{section}.")
     args = parser.parse_args(argv)
     cfg = default or Config()
+    if args.config and args.preset:
+        # loading the file and then replacing the whole Config with the
+        # preset would silently discard every file setting (dataroot,
+        # name, checkpoints_dir, ...) — refuse the ambiguity instead
+        parser.error("--config and --preset both set a complete base "
+                     "config; pass one (then override fields with "
+                     "--section.field flags)")
     if args.config:
         cfg = load_config(args.config)
     if args.preset:

@@ -57,13 +57,9 @@ def gan_loss_d(disc_out_real: DiscOut, disc_out_fake: DiscOut,
                mode: str = "lsgan") -> jax.Array:
     """Discriminator loss: 0.5 * (loss(real->1) + loss(fake->0)),
     matching the reference's per-step D objective."""
-    loss_real = jnp.float32(0.0)
-    loss_fake = jnp.float32(0.0)
-    for scale in disc_out_real:
-        loss_real = loss_real + _per_scale(scale[-1], True, mode, True)
-    for scale in disc_out_fake:
-        loss_fake = loss_fake + _per_scale(scale[-1], False, mode, True)
-    return 0.5 * (loss_real + loss_fake)
+    loss_real, loss_fake = gan_loss_d_parts(disc_out_real, disc_out_fake,
+                                            mode)
+    return loss_real + loss_fake
 
 
 def gan_loss_d_parts(disc_out_real: DiscOut, disc_out_fake: DiscOut,

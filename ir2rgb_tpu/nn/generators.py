@@ -234,11 +234,12 @@ def _fold4_head_gate(x: jax.Array) -> bool:
     junction sees mismatched reps. Gate: TPU backend, H%4==0, and
     IR2RGB_HEAD=fold4 or auto at >=1024px output (the measured
     in-context crossover — see _head_in_act_s2d's docstring)."""
-    out_img = x.shape[1]  # c7s1: reflect pad (k-1)//2 preserves size
+    out_h, out_w = x.shape[1], x.shape[2]  # c7s1: reflect pad keeps size
     mode = os.environ.get("IR2RGB_HEAD", "auto")
     use_fold4 = (mode == "fold4"
-                 or (mode == "auto" and out_img >= 1024))
-    return (jax.default_backend() == "tpu" and out_img % 4 == 0
+                 or (mode == "auto" and out_h >= 1024))
+    return (jax.default_backend() == "tpu"
+            and out_h % 4 == 0 and out_w % 4 == 0
             and use_fold4)
 
 

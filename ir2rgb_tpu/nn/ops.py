@@ -24,7 +24,7 @@ conv/deconv weights ~ N(0, 0.02), norm gamma ~ N(1, 0.02), beta = 0.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -174,7 +174,12 @@ def deconv_apply(p: Params, x: jax.Array, stride: int = 2, k: int = 3,
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     pref = jnp.float32 if x.dtype == jnp.float32 else None
-    if lowering == "subpixel" and stride == 2 and output_padding in (0, 1):
+    # The subpixel form emits exactly (2h, 2w) and can only trim down,
+    # never extend — geometries whose torch output exceeds 2*dim (e.g.
+    # k=4, pad=1, output_padding=1 -> 2h+1) must take the dilated path.
+    if (lowering == "subpixel" and stride == 2
+            and output_padding in (0, 1)
+            and k + output_padding - 2 * pad <= 2):
         n, h, wd, ci = x.shape
         co = w.shape[3]
         wk, kk, omin = _subpixel_kernel(w, k, pad)
@@ -187,10 +192,12 @@ def deconv_apply(p: Params, x: jax.Array, stride: int = 2, k: int = 3,
         )
         y = y.reshape(n, h, wd, 2, 2, co)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * wd, co)
-        # torch output size: (h-1)*2 - 2*pad + k + op; trim when below 2h
-        out_size = (h - 1) * 2 - 2 * pad + k + output_padding
-        if out_size != 2 * h:
-            y = y[:, :out_size, :out_size, :]
+        # torch output size per dim: (dim-1)*2 - 2*pad + k + op; trim
+        # each spatial dim independently (non-square inputs)
+        out_h = (h - 1) * 2 - 2 * pad + k + output_padding
+        out_w = (wd - 1) * 2 - 2 * pad + k + output_padding
+        if out_h != 2 * h or out_w != 2 * wd:
+            y = y[:, :out_h, :out_w, :]
     else:
         lo = k - 1 - pad
         hi = k - 1 - pad + output_padding

@@ -189,36 +189,38 @@ def conv_s2d(x: jax.Array, w: jax.Array, stride: int, pad: int
     n, h, wd, ci = x.shape
     k, co = w.shape[0], w.shape[3]
     h_out = (h + 2 * pad - k) // stride + 1
+    w_out = (wd + 2 * pad - k) // stride + 1
     wk, kk, omin = _rearrange_kernel(w, k, pad, stride)
 
     # xpad phases live on xpad's grid: prepad with p, then s2d. Odd
-    # padded size: extend with zeros to even (extra taps hit zeros or are
-    # trimmed below).
+    # padded size: extend with zeros to even PER DIM (extra taps hit
+    # zeros or are trimmed below).
     xp = x
     if pad:
         xp = jnp.pad(xp, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    hp = xp.shape[1]
-    if hp % 2:
-        xp = jnp.pad(xp, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    xp = jnp.pad(xp, ((0, 0), (0, xp.shape[1] % 2),
+                      (0, xp.shape[2] % 2), (0, 0)))
     xs = space_to_depth(xp)
 
-    # s2d-space output length: stride 1 -> ceil(h_out/2) positions per
-    # phase; stride 2 -> h_out positions (phase 0 only)
-    j_out = (h_out + 1) // 2 if stride == 1 else h_out
+    # s2d-space output length: stride 1 -> ceil(out/2) positions per
+    # phase; stride 2 -> out positions (phase 0 only) — per spatial dim
+    # (non-square inputs have different H/W extents)
+    jh = (h_out + 1) // 2 if stride == 1 else h_out
+    jw = (w_out + 1) // 2 if stride == 1 else w_out
     # conv over xs: position j uses taps j+o for o in [omin, omax]
     lo = -omin
-    hi = (j_out - 1) + (kk - 1 + omin) - (xs.shape[1] - 1)
-    hi = max(hi, 0)
+    hi_h = max((jh - 1) + (kk - 1 + omin) - (xs.shape[1] - 1), 0)
+    hi_w = max((jw - 1) + (kk - 1 + omin) - (xs.shape[2] - 1), 0)
     y = lax.conv_general_dilated(
         xs, wk, window_strides=(1, 1),
-        padding=[(lo, hi), (lo, hi)],
+        padding=[(lo, hi_h), (lo, hi_w)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32 if x.dtype == jnp.float32
         else None,
     )
-    y = y[:, :j_out, :j_out, :]
+    y = y[:, :jh, :jw, :]
     if stride == 1:
         y = depth_to_space(y, co)
-        y = y[:, :h_out, :h_out, :]
+        y = y[:, :h_out, :w_out, :]
     return y

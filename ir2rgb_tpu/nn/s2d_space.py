@@ -114,6 +114,11 @@ def conv_on_s2d(xs: jax.Array, w: jax.Array, stride: int = 1, pad: int = 0,
     """Convolve the image underlying ``xs`` (s2d rep) with zero padding
     ``pad``. Output: s2d rep of the conv result (out_s2d=True) or the
     plain rep (only stride=2, which lands on the half-res grid)."""
+    if not out_s2d and stride != 2:
+        raise ValueError(
+            "conv_on_s2d: plain-rep output (out_s2d=False) is only "
+            "implemented for stride=2; a stride-1 plain rep would need "
+            "an explicit depth_to_space on the s2d result")
     n, hs, ws, c4 = xs.shape
     ci = c4 // 4
     k, co = w.shape[0], w.shape[3]
@@ -218,26 +223,29 @@ def conv_image_to_s2d(x: jax.Array, w: jax.Array, stride: int = 1,
 def _conv_i2s_direct(x: jax.Array, w: jax.Array, stride: int, pad: int,
                      precision) -> jax.Array:
     k, _, ci, co = w.shape
-    h = x.shape[1]
+    h, wd = x.shape[1], x.shape[2]
     h_out = (h + 2 * pad - k) // stride + 1
-    assert h_out % 2 == 0, "s2d output requires even conv output size"
+    w_out = (wd + 2 * pad - k) // stride + 1
+    assert h_out % 2 == 0 and w_out % 2 == 0, \
+        "s2d output requires even conv output size"
     A, B, M, kk = _image_to_s2d_maps(k, stride)
     wk = w[jnp.asarray(A), jnp.asarray(B)]              # (kk,kk,4,ci,co)
     wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
     wk = wk.transpose(0, 1, 3, 2, 4).reshape(kk, kk, ci, 4 * co)
     # taps x[2s*j + u - pad] for u in [0, kk): conv padding lo = pad;
-    # hi covers the final window
+    # hi covers the final window — per spatial dim (non-square inputs)
     lo = pad
-    hi = max((h_out // 2 - 1) * 2 * stride + kk - 1 - pad - (h - 1), 0)
+    hi_h = max((h_out // 2 - 1) * 2 * stride + kk - 1 - pad - (h - 1), 0)
+    hi_w = max((w_out // 2 - 1) * 2 * stride + kk - 1 - pad - (wd - 1), 0)
     y = lax.conv_general_dilated(
         x, wk, window_strides=(2 * stride, 2 * stride),
-        padding=[(lo, hi), (lo, hi)],
+        padding=[(lo, hi_h), (lo, hi_w)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
         preferred_element_type=jnp.float32 if x.dtype == jnp.float32
         else None,
     )
-    return y[:, :h_out // 2, :h_out // 2, :]
+    return y[:, :h_out // 2, :w_out // 2, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -324,14 +332,15 @@ def conv_image_to_s2d_im2col(x: jax.Array, w: jax.Array, pad: int = 0,
     assert k % 2 == 1, "im2col head path requires odd k"
     if pad:
         x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    h = x.shape[1]
-    out_img = h - k + 1
-    assert out_img % 2 == 0, "s2d output requires even conv output size"
+    h, wd = x.shape[1], x.shape[2]
+    out_h, out_w = h - k + 1, wd - k + 1
+    assert out_h % 2 == 0 and out_w % 2 == 0, \
+        "s2d output requires even conv output size"
     xs = space_to_depth(x)                      # (n, h/2, w/2, 4ci)
     A, B, M, kk2 = _im2col_maps(k)
-    out_s = out_img // 2
+    out_sh, out_sw = out_h // 2, out_w // 2
     patches = jnp.concatenate(
-        [xs[:, sh:sh + out_s, sw:sw + out_s, :]
+        [xs[:, sh:sh + out_sh, sw:sw + out_sw, :]
          for sh in range(kk2) for sw in range(kk2)], axis=-1)
     wk = w[jnp.asarray(A), jnp.asarray(B)]      # (...,2,2, ci, co)
     wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
@@ -398,8 +407,9 @@ def head_fold4_in_act_s2d(x: jax.Array, w: jax.Array, b=None,
     reflect-pad); output image size must be divisible by 4."""
     k, _, ci, co = w.shape
     _, h, wd, _ = x.shape
-    out_img = h - k + 1
-    assert out_img % 4 == 0, "fold-4 head needs output divisible by 4"
+    out_h, out_w = h - k + 1, wd - k + 1
+    assert out_h % 4 == 0 and out_w % 4 == 0, \
+        "fold-4 head needs output divisible by 4"
     A, B, M, kk = _fold4_head_maps(k)
     # pad H/W up to a multiple of 4: the extra rows/cols sit beyond every
     # valid tap (the kernel map zeroes any (o, u) pair whose r falls
@@ -423,7 +433,7 @@ def head_fold4_in_act_s2d(x: jax.Array, w: jax.Array, b=None,
         preferred_element_type=jnp.float32 if x.dtype == jnp.float32
         else None,
     )
-    y = y[:, :out_img // 4, :out_img // 4, :]
+    y = y[:, :out_h // 4, :out_w // 4, :]
     if b is not None:
         y = y + jnp.tile(b.astype(y.dtype), 16)
     y = instance_norm_act_s2d(y, act, phases=16)

@@ -65,8 +65,20 @@ bool decode_png(FILE* f, Image* im) {
   if (color_type == PNG_COLOR_TYPE_GRAY ||
       color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
-  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  // tRNS_to_alpha (and PNG_EXPAND on palettes with a tRNS chunk) emits a
+  // 4th channel even when the ORIGINAL color_type had no alpha mask — the
+  // strip must cover that case too, or png_read_image writes w*4-byte
+  // rows into the w*3-sized buffer below (heap overflow).
+  if ((color_type & PNG_COLOR_MASK_ALPHA) ||
+      png_get_valid(png, info, PNG_INFO_tRNS))
+    png_set_strip_alpha(png);
   png_read_update_info(png, info);
+  if (png_get_channels(png, info) != 3 ||
+      png_get_rowbytes(png, info) != size_t(w) * 3) {
+    // defensive: never read rows wider than the buffer we size
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
 
   im->h = static_cast<int>(h);
   im->w = static_cast<int>(w);

@@ -142,3 +142,16 @@ def test_shim_handles_full_reference_launch_line():
     # one-hot label-map input is a semantic difference, not a no-op
     with pytest.raises(SystemExit, match="label_nc"):
         _translate_reference_flags(["--label_nc", "35"])
+
+
+def test_config_and_preset_together_rejected(tmp_path):
+    """--config then --preset used to silently replace the whole file
+    config with the preset (wrong dataroot/run_dir); now it's an error."""
+    import pytest
+
+    from ir2rgb_tpu.config import Config, save_config
+
+    path = str(tmp_path / "run.json")
+    save_config(Config(), path)
+    with pytest.raises(SystemExit):
+        parse_cli(["--config", path, "--preset", "pix2pix_unet256"])

@@ -109,3 +109,74 @@ def test_head_im2col_exact_and_grads(k, pad, h, ci, co):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k,pad,stride,h,w_,ci,co", [
+    (7, 0, 1, 70, 86, 3, 8),    # head after manual reflect pad
+    (3, 1, 2, 64, 80, 8, 16),   # stride-2 downsampler
+    (4, 2, 2, 36, 44, 6, 8),    # patchgan 4x4 s2 (512x640-style frame)
+    (4, 2, 1, 33, 41, 8, 1),    # patchgan stride-1 tail, odd both dims
+    (3, 0, 1, 34, 42, 8, 8),    # res-block conv after manual pad
+    (3, 1, 2, 33, 40, 8, 8),    # odd H only (per-dim odd extension)
+])
+def test_s2d_conv_exact_nonsquare(k, pad, stride, h, w_, ci, co):
+    """conv_s2d on H != W: every output extent, padding amount, and trim
+    is per-dim (a discriminator on 512x640 frames must not silently
+    drop the extra output columns)."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randint(-3, 4, (1, h, w_, ci)).astype(np.float32))
+    w = jnp.asarray(rng.randint(-3, 4, (k, k, ci, co)).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, w, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST)
+    got = conv_s2d(x, w, stride, pad)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_conv_apply_s2d_gate_nonsquare():
+    """The production gate admits non-square frames — the routed result
+    must match the direct conv (width included)."""
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(1, 128, 160, 6).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randn(4, 4, 6, 8).astype(np.float32) * 0.1)}
+    assert ops._use_s2d(x, p["w"], 2, 2)
+    y = ops.conv_apply(p, x, stride=2, padding=2)
+    ref = lax.conv_general_dilated(
+        x, p["w"], (2, 2), [(2, 2), (2, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST)
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("k,pad,op", [(3, 1, 1), (4, 1, 0), (3, 1, 0)])
+def test_subpixel_deconv_nonsquare(k, pad, op):
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randint(-3, 4, (1, 8, 10, 5)).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randint(-3, 4, (k, k, 5, 7))
+                          .astype(np.float32))}
+    ref = ops.deconv_apply(p, x, stride=2, k=k, pad=pad, output_padding=op,
+                           lowering="dilated")
+    got = ops.deconv_apply(p, x, stride=2, k=k, pad=pad, output_padding=op,
+                           lowering="subpixel")
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_deconv_output_padding_extends_beyond_2h():
+    """k=4, pad=1, op=1 -> torch output 2h+1: the subpixel form can only
+    trim, never extend, so this geometry must fall through to the
+    dilated path and produce the full-size output (it used to silently
+    return 2h — one row/col short of torch)."""
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.randint(-3, 4, (1, 6, 9, 4)).astype(np.float32))
+    p = {"w": jnp.asarray(rng.randint(-3, 4, (4, 4, 4, 5))
+                          .astype(np.float32))}
+    got = ops.deconv_apply(p, x, stride=2, k=4, pad=1, output_padding=1,
+                           lowering="subpixel")
+    assert got.shape == (1, 13, 19, 5)  # (h-1)*2 - 2 + 4 + 1
+    ref = ops.deconv_apply(p, x, stride=2, k=4, pad=1, output_padding=1,
+                           lowering="dilated")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -104,3 +104,46 @@ def test_local_enhancer_fold4_wiring_matches_plain(monkeypatch):
     y_f4 = local_enhancer_apply(params, x, cfg)
     np.testing.assert_allclose(np.asarray(y_f4), np.asarray(y_plain),
                                atol=2e-5)
+
+
+def test_resnet_s2d_nonsquare_matches_plain():
+    """Non-square frames through the full s2d generator path (head,
+    res blocks, down/up, tail) must match the plain path — every
+    lowering's geometry is per-dim."""
+    cfg = GenConfig(net_g="resnet_6blocks", ngf=8)
+    params = resnet_generator_init_small(cfg)
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.rand(1, 256, 320, 3).astype(np.float32) * 2 - 1)
+    assert _gen_use_s2d(cfg, x)
+    y_s2d = resnet_generator_apply(params, x, cfg, n_blocks=2)
+    assert y_s2d.shape == (1, 256, 320, 3)
+    from ir2rgb_tpu.nn import generators
+    orig = generators._S2D_MIN_RES
+    try:
+        generators._S2D_MIN_RES = 10 ** 9
+        y_plain = resnet_generator_apply(params, x, cfg, n_blocks=2)
+    finally:
+        generators._S2D_MIN_RES = orig
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_plain),
+                               atol=2e-5)
+
+
+def test_local_enhancer_s2d_nonsquare_matches_plain():
+    cfg = GenConfig(net_g="local", ngf=8, n_downsample_global=2,
+                    n_blocks_global=2, n_blocks_local=1,
+                    n_local_enhancers=1)
+    from ir2rgb_tpu.nn.generators import local_enhancer_init
+    params = local_enhancer_init(jax.random.PRNGKey(4), cfg)
+    rng = np.random.RandomState(22)
+    x = jnp.asarray(rng.rand(1, 256, 320, 3).astype(np.float32) * 2 - 1)
+    y_s2d = local_enhancer_apply(params, x, cfg)
+    assert y_s2d.shape == (1, 256, 320, 3)
+    from ir2rgb_tpu.nn import generators
+    orig = generators._S2D_MIN_RES
+    try:
+        generators._S2D_MIN_RES = 10 ** 9
+        y_plain = local_enhancer_apply(params, x, cfg)
+    finally:
+        generators._S2D_MIN_RES = orig
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_plain),
+                               atol=2e-5)

@@ -112,3 +112,36 @@ def test_loader_rejects_mixed_native_sizes(tmp_path):
                                   load_size=32, crop_size=16))
     loader = DataLoader(cfg2, phase="train")
     assert loader.target_hw == (32, 32)
+
+
+@needs_native
+def test_native_palette_trns_png(tmp_path):
+    """A palette PNG with a tRNS chunk: libpng's EXPAND emits RGBA even
+    though the original color_type has no alpha mask — the decoder must
+    strip it (not overflow the RGB row buffer) and match PIL's RGB."""
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 8, (40, 40)).astype(np.uint8)
+    im = Image.fromarray(idx, mode="P")
+    im.putpalette([v for i in range(256) for v in
+                   ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)])
+    path = str(tmp_path / "pal_trns.png")
+    im.save(path, transparency=0)  # index 0 transparent -> tRNS chunk
+    n = decode_batch([path], 40, 40)
+    p = _decode_batch_pil([path], 40, 40, False)
+    assert n.shape == (1, 40, 40, 3)
+    np.testing.assert_array_equal(n, p)
+
+
+@needs_native
+def test_native_rgba_png(tmp_path):
+    """True RGBA input: alpha stripped, RGB bytes preserved."""
+    from PIL import Image
+
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 255, (32, 32, 4)).astype(np.uint8)
+    path = str(tmp_path / "rgba.png")
+    Image.fromarray(arr, mode="RGBA").save(path)
+    n = decode_batch([path], 32, 32)
+    np.testing.assert_array_equal(n[0], arr[..., :3])

@@ -387,3 +387,89 @@ def test_conv_fold4_to_s2d_exact():
         got = s.conv_fold4_to_s2d(y4, w, pad=pad)
         assert got.shape == ref.shape
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_conv_i2s_direct_nonsquare():
+    """The fused image->s2d head on H != W inputs: per-dim output
+    extents and trims (a 1024x1280 frame must not lose 64 columns)."""
+    from ir2rgb_tpu.nn import s2d_space as s
+    from ir2rgb_tpu.nn.s2d_conv import space_to_depth
+
+    r = np.random.RandomState(11)
+    for k, stride, h, w_, ci, co in [(7, 1, 22, 30, 3, 8),
+                                     (3, 1, 18, 26, 3, 12),
+                                     (3, 2, 37, 45, 6, 8),
+                                     (4, 2, 38, 46, 6, 8)]:
+        x = jnp.asarray(r.randn(1, h, w_, ci), jnp.float32)
+        w = jnp.asarray(r.randn(k, k, ci, co) * 0.1, jnp.float32)
+        ref = lax.conv_general_dilated(
+            x, w, (stride, stride), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST)
+        ref = space_to_depth(ref)
+        got = s._conv_i2s_direct(x, w, stride, 0, lax.Precision.HIGHEST)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_im2col_head_nonsquare():
+    from ir2rgb_tpu.nn import s2d_space as s
+
+    r = np.random.RandomState(12)
+    for k, pad, h, w_, ci, co in [(7, 0, 22, 30, 3, 8),
+                                  (3, 1, 18, 26, 3, 12)]:
+        x = jnp.asarray(r.randn(1, h, w_, ci), jnp.float32)
+        w = jnp.asarray(r.randn(k, k, ci, co) * 0.1, jnp.float32)
+        ref = s._conv_i2s_direct(
+            jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            if pad else x, w, 1, 0, lax.Precision.HIGHEST)
+        got = s.conv_image_to_s2d_im2col(x, w, pad=pad,
+                                         precision=lax.Precision.HIGHEST)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_head_fold4_nonsquare():
+    from ir2rgb_tpu.nn import s2d_space as s
+
+    r = np.random.RandomState(13)
+    k, ci, co, oh, ow = 7, 3, 8, 16, 32
+    x = jnp.asarray(r.randn(1, oh + k - 1, ow + k - 1, ci), jnp.float32)
+    w = jnp.asarray(r.randn(k, k, ci, co) * 0.1, jnp.float32)
+    b = jnp.asarray(r.randn(co), jnp.float32)
+    ref = s._conv_i2s_direct(x, w, 1, 0, lax.Precision.HIGHEST)
+    ref = s.instance_norm_act_s2d(ref + jnp.tile(b, 4), "relu")
+    got = s.head_fold4_in_act_s2d(x, w, b, "relu",
+                                  precision=lax.Precision.HIGHEST)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_head_fold4_reflect_nonsquare():
+    from ir2rgb_tpu.nn import s2d_space as s
+
+    r = np.random.RandomState(14)
+    k, ci, co, H, W = 7, 3, 8, 16, 24
+    x = jnp.asarray(r.randn(1, H, W, ci), jnp.float32)
+    w = jnp.asarray(r.randn(k, k, ci, co) * 0.1, jnp.float32)
+    b = jnp.asarray(r.randn(co), jnp.float32)
+    xp = ops.reflect_pad(x, (k - 1) // 2)
+    ref = s._conv_i2s_direct(xp, w, 1, 0, lax.Precision.HIGHEST)
+    ref = s.instance_norm_act_s2d(ref + jnp.tile(b, 4), "relu")
+    got = s.head_fold4_reflect_in_act_s2d(
+        x, w, b, "relu", precision=lax.Precision.HIGHEST)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_conv_on_s2d_plain_rep_stride1_rejected():
+    """out_s2d=False is only implemented for stride=2 — a stride-1 call
+    must fail loudly, not silently return the s2d rep."""
+    xs = to_s2d(_x(16, 4))
+    w = jnp.zeros((3, 3, 4, 8), jnp.float32)
+    with pytest.raises(ValueError, match="out_s2d"):
+        conv_on_s2d(xs, w, stride=1, pad=1, out_s2d=False)
