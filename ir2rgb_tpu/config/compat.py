@@ -59,6 +59,7 @@ REFERENCE_FLAG_TABLE: Dict[str, Tuple[str, str, Any]] = {
     "beta1": ("train", "beta1", float),
     "continue_train": ("train", "continue_train", bool),
     "which_epoch": ("train", "which_epoch", None),
+    "load_pretrain": ("train", "load_pretrain", None),
     "save_latest_freq": ("train", "save_latest_freq", int),
     "save_epoch_freq": ("train", "save_epoch_freq", int),
     "print_freq": ("train", "print_freq", int),

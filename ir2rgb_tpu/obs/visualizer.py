@@ -35,6 +35,7 @@ class Visualizer:
         self.writer = AsyncImageWriter()
         self.log_path = os.path.join(run_dir, "loss_log.txt")
         self.jsonl_path = os.path.join(run_dir, "metrics.jsonl")
+        self._display_history = []  # (epoch, step, [(fname, label)])
         # TensorBoard event files (SURVEY.md §5 metrics row) — native
         # dependency-free writer; `tensorboard --logdir <run_dir>` works
         from .tb import TBEventWriter
@@ -76,9 +77,13 @@ class Visualizer:
         # them — otherwise the live dashboard transiently references
         # images not yet on disk (cheap at display_freq cadence)
         self.writer.flush()
+        # the reference dashboard keeps ALL epochs on the page, newest
+        # first — rebuild from the accumulated history, not just this row
+        self._display_history.insert(0, (epoch, step, names))
         page = HTMLPage(self.web_dir, f"Experiment: {self.name}")
-        page.add_header(f"epoch {epoch}, step {step}")
-        page.add_images([n for n, _ in names], [l for _, l in names])
+        for ep, st, row in self._display_history:
+            page.add_header(f"epoch {ep}, step {st}")
+            page.add_images([n for n, _ in row], [l for _, l in row])
         page.save()
 
     def save_images(self, page: HTMLPage, visuals: Mapping[str, np.ndarray],

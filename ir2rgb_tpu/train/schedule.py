@@ -24,13 +24,16 @@ def linear_decay_schedule(lr: float, niter: int, niter_decay: int,
                                                             jax.Array]:
     """Per-step lr: constant for niter epochs, then linear to 0.
 
-    Matches the reference's per-epoch staircase (lr updates at epoch
-    boundaries, not continuously)."""
+    Matches the reference's per-epoch staircase exactly: the reference
+    decrements lr by ``lr/niter_decay`` at the END of every epoch past
+    ``niter``, so the first decay epoch still trains at ``lr`` and the
+    final (niter+niter_decay-th) epoch trains at ``lr/niter_decay``.
+    With 0-based epoch e: ``lr * (1 - max(0, e - niter)/niter_decay)``."""
 
     def schedule(step):
         epoch = step // steps_per_epoch  # 0-based
-        decay_epochs = jnp.maximum(epoch - (niter - 1), 0)
-        frac = 1.0 - decay_epochs / (niter_decay + 1)
+        decay_epochs = jnp.maximum(epoch - niter, 0)
+        frac = 1.0 - decay_epochs / max(niter_decay, 1)
         return lr * jnp.clip(frac, 0.0, 1.0)
 
     return schedule

@@ -171,9 +171,12 @@ class Trainer:
             if step % tcfg.print_freq == 0:
                 jax.block_until_ready(metrics)
                 dt = (time.time() - t0) / max(len(window), 1)
-                avg = {k: float(np.mean([jax.device_get(m[k])
-                                         for m in window]))
-                       for k in window[0]}
+                # ONE batched transfer for the whole window (print_freq x
+                # n_metrics individual device_gets = that many host
+                # round-trips, a real stall through a remote runtime)
+                host_window = jax.device_get(window)
+                avg = {k: float(np.mean([m[k] for m in host_window]))
+                       for k in host_window[0]}
                 epoch = (step - 1) // steps_per_epoch + 1
                 if self.visualizer is not None:
                     self.visualizer.print_current_errors(epoch, step, avg, dt)

@@ -19,7 +19,6 @@ compute measurement (see bench_stream.py for the wire story).
     python scripts/bench_multistream.py [preset] [slot,slot,...]
 """
 
-import dataclasses
 import functools
 import json
 import os
@@ -37,24 +36,15 @@ from ir2rgb_tpu.infer.stream import _dev_normalize, _dev_quantize
 
 
 def main() -> None:
-    from ir2rgb_tpu.config import PRESETS
-    from ir2rgb_tpu.train import create_model
+    from bench import build  # the shared preset->bf16-model setup
 
     preset = sys.argv[1] if len(sys.argv) > 1 else "temporal_512"
     on_tpu = jax.default_backend() == "tpu"
     slots = ([int(s) for s in sys.argv[2].split(",")]
              if len(sys.argv) > 2 else ([1, 2, 4, 8] if on_tpu else [1, 2]))
 
-    cfg = PRESETS[preset]
-    cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, compute_dtype="bf16" if on_tpu else "float32"))
-    size = cfg.data.crop_size if on_tpu else 64
-    model = create_model(cfg, steps_per_epoch=1000)
-    g = model.g_init(jax.random.PRNGKey(0))
-    if on_tpu:
-        g = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
-            else x, g)
+    model, g = build(preset, on_tpu)
+    size = model.cfg.data.crop_size if on_tpu else 64
 
     cfgm = model.cfg.model
     temporal = cfgm.model == "temporal"

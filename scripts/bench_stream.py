@@ -20,7 +20,6 @@ block_until_ready does not await; device_get does).
     python scripts/bench_stream.py [preset] [n_frames]
 """
 
-import dataclasses
 import json
 import os
 import sys
@@ -35,24 +34,16 @@ import numpy as np
 
 
 def main() -> None:
-    from ir2rgb_tpu.config import PRESETS
+    from bench import build  # the shared preset->bf16-model setup
     from ir2rgb_tpu.infer import StreamingGenerator
-    from ir2rgb_tpu.train import create_model
 
     preset = sys.argv[1] if len(sys.argv) > 1 else "pix2pixhd_512"
     on_tpu = jax.default_backend() == "tpu"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else (64 if on_tpu else 4)
 
-    cfg = PRESETS[preset]
-    cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, compute_dtype="bf16" if on_tpu else "float32"))
+    model, g = build(preset, on_tpu)
+    cfg = model.cfg
     size = cfg.data.crop_size if on_tpu else 64
-    model = create_model(cfg, steps_per_epoch=1000)
-    g = model.g_init(jax.random.PRNGKey(0))
-    if on_tpu:
-        g = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
-            else x, g)
 
     rng = np.random.RandomState(0)
     frames = [(rng.rand(size, size, cfg.model.input_nc) * 255)
@@ -107,15 +98,21 @@ def main() -> None:
     _ = jax.device_get(out)
     device_ms = (time.perf_counter() - t0) / n * 1e3
 
+    # block_until_ready does NOT await execution through the dev-harness
+    # relay (see module docstring), so each sync below is a 1-element
+    # device_get of a scalar gather — it awaits completion with a
+    # negligible transfer, keeping compute time out of the transfer rows.
     t0 = time.perf_counter()
     put = [jax.device_put(jnp.asarray(f[None])) for f in frames]
-    jax.block_until_ready(put)
+    for x in put:
+        jax.device_get(x[0, 0, 0, 0])  # await the H2D (tiny D2H rider)
     h2d_ms = (time.perf_counter() - t0) / n * 1e3
 
     outs = []
     for f in put[: max(1, n // 4)]:
         outs.append(stream._step_u8(stream.g_params, f))
-    jax.block_until_ready(outs)
+    for o in outs:
+        jax.device_get(o[0, 0, 0, 0])  # await compute BEFORE timing D2H
     t0 = time.perf_counter()
     for o in outs:
         jax.device_get(o)

@@ -11,7 +11,6 @@ one JSON line per preset for perf-regression tracking across rounds.
     python scripts/bench_train.py [preset ...]
 """
 
-import dataclasses
 import functools
 import json
 import os
@@ -27,18 +26,14 @@ import numpy as np
 
 
 def bench(preset: str, batch: int = 0) -> dict:
-    from ir2rgb_tpu.config import PRESETS
-    from ir2rgb_tpu.train import create_model
+    from bench import build  # the shared preset->bf16-model setup
 
-    cfg = PRESETS[preset]
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        cfg = cfg.replace(model=dataclasses.replace(
-            cfg.model, compute_dtype="bf16"))
+    model, _ = build(preset, on_tpu)
+    cfg = model.cfg
     size = cfg.data.crop_size if on_tpu else 64
     batch_size = batch or max(cfg.data.batch_size, 1)
     k1, k2 = (2, 8) if on_tpu else (1, 3)
-    model = create_model(cfg, steps_per_epoch=1000)
     rng = np.random.RandomState(0)
     batch_np = {
         "a": (rng.rand(batch_size, size, size, cfg.model.input_nc)

@@ -6,7 +6,6 @@ mapped back to framework source ops.
 Usage: python scripts/dump_hlo.py [preset] [out.txt]
 """
 
-import dataclasses
 import os
 import sys
 
@@ -21,20 +20,11 @@ def main():
     preset = sys.argv[1] if len(sys.argv) > 1 else "pix2pixhd_2048"
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/hlo_{preset}.txt"
 
-    from ir2rgb_tpu.config import PRESETS
-    from ir2rgb_tpu.train import create_model
+    from bench import build  # the shared preset->bf16-model setup
 
     on_tpu = jax.default_backend() == "tpu"
-    cfg = PRESETS[preset]
-    cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, compute_dtype="bf16" if on_tpu else "float32"))
-    model = create_model(cfg, steps_per_epoch=1000)
-    g = model.g_init(jax.random.PRNGKey(0))
-    if on_tpu:
-        g = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
-            else x, g)
-    size = cfg.data.crop_size
+    model, g = build(preset, on_tpu)
+    size = model.cfg.data.crop_size
     x = jnp.zeros((1, size, size, 3),
                   jnp.bfloat16 if on_tpu else jnp.float32)
     fwd = jax.jit(lambda p, a: model.generate(p, a, train=False))

@@ -9,7 +9,6 @@ Writes the parsed summary as JSON to stdout and the raw trace under
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import glob
 import gzip
@@ -28,16 +27,12 @@ import jax.numpy as jnp
 def run_trace(preset: str, trace_dir: str, size: int = 0,
               k: int = 12, train: bool = False,
               batch: int = 1) -> None:
-    from ir2rgb_tpu.config import PRESETS
-    from ir2rgb_tpu.train import create_model
+    from bench import build  # the shared preset->bf16-model setup
 
     on_tpu = jax.default_backend() == "tpu"
-    cfg = PRESETS[preset]
+    model, g = build(preset, on_tpu)
     if not size:  # default: the preset's own frame size (1024/2048 tiers)
-        size = cfg.data.crop_size
-    cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, compute_dtype="bf16" if on_tpu else "float32"))
-    model = create_model(cfg, steps_per_epoch=1000)
+        size = model.cfg.data.crop_size
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     if train:
@@ -64,12 +59,6 @@ def run_trace(preset: str, trace_dir: str, size: int = 0,
         float(loop(state, batch, k))
         jax.profiler.stop_trace()
         return
-
-    g = model.g_init(jax.random.PRNGKey(0))
-    if on_tpu:
-        g = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
-            else x, g)
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(params, x0, n):

@@ -133,9 +133,12 @@ def test_lr_schedule_linear_decay():
                                   steps_per_epoch=10)
     assert float(sched(0)) == pytest.approx(2e-4)
     assert float(sched(19)) == pytest.approx(2e-4)   # last const epoch
-    # decay epochs: epoch 2..5 -> frac 4/5, 3/5, 2/5, 1/5
-    assert float(sched(20)) == pytest.approx(2e-4 * 4 / 5)
-    assert float(sched(59)) == pytest.approx(2e-4 * 1 / 5, rel=1e-5)
+    # reference staircase: lr -= lr0/niter_decay at the END of each epoch
+    # past niter, so epoch 2 (first decay epoch) still trains at lr0 and
+    # epochs 3..5 at 3/4, 2/4, 1/4 of lr0.
+    assert float(sched(20)) == pytest.approx(2e-4)
+    assert float(sched(30)) == pytest.approx(2e-4 * 3 / 4)
+    assert float(sched(59)) == pytest.approx(2e-4 * 1 / 4, rel=1e-5)
 
 
 def test_image_pool_semantics():

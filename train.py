@@ -19,7 +19,7 @@ import sys
 _IGNORED_REFERENCE_FLAGS = {
     "gpu_ids": 1, "display_winsize": 1, "display_id": 1,
     "display_port": 1, "data_type": 1, "local_rank": 1,
-    "load_pretrain": 1, "tf_log": 0, "verbose": 0, "fp16": 0,
+    "tf_log": 0, "verbose": 0, "fp16": 0,
     "no_html": 0, "debug": 0,
     # ir2rgb conditions on real IR frames, not segmentation label maps:
     # --label_nc 0 --no_instance (the common launch spelling in the
@@ -74,7 +74,13 @@ def _translate_reference_flags(argv):
             out.append(tok)  # already --section.field form (or a typo
             continue         # parse_cli will report)
         section, field, conv = entry
-        if conv in (None, int, float):
+        if name == "which_epoch":
+            # appears in both the reference's train and test options;
+            # route to both sections so `python test.py --which_epoch N`
+            # restores the requested epoch (infer reads infer.which_epoch)
+            val = take_value()
+            out.extend([f"--train.{field}", val, f"--infer.{field}", val])
+        elif conv in (None, int, float):
             out.append(f"--{section}.{field}")
             out.append(take_value())
         elif conv is bool:  # reference store_true -> explicit true
