@@ -144,6 +144,23 @@ def test_shim_handles_full_reference_launch_line():
         _translate_reference_flags(["--label_nc", "35"])
 
 
+def test_shim_routes_which_epoch_to_both_sections():
+    """--which_epoch appears in both the reference's train and test
+    options; the shim must set train.which_epoch (resume) AND
+    infer.which_epoch (restore for test.py) from the one flag. Also:
+    --load_pretrain is a real warm-start path, not an ignored flag."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from train import _translate_reference_flags
+    from ir2rgb_tpu.config.config import parse_cli
+    out = _translate_reference_flags(
+        ["--which_epoch", "30", "--load_pretrain", "/runs/prev"])
+    cfg = parse_cli(out)
+    assert cfg.train.which_epoch == "30"
+    assert cfg.infer.which_epoch == "30"
+    assert cfg.train.load_pretrain == "/runs/prev"
+
+
 def test_config_and_preset_together_rejected(tmp_path):
     """--config then --preset used to silently replace the whole file
     config with the preset (wrong dataroot/run_dir); now it's an error."""

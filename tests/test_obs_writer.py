@@ -78,3 +78,18 @@ def test_html_page_per_row_width(tmp_path):
     page.add_images(["b.png"], ["b"], width=128)
     html = open(page.save()).read()
     assert 'width="512"' in html and 'width="128"' in html
+
+
+def test_visualizer_dashboard_keeps_all_epochs(tmp_path):
+    """The reference training dashboard accumulates every displayed
+    epoch on one page, newest first — a later display must not drop
+    earlier rows (round-3 fix)."""
+    vis = Visualizer(str(tmp_path), "t")
+    img = np.full((8, 8, 3), 7, np.uint8)
+    vis.display_current_results({"fake": img}, epoch=1, step=5)
+    vis.display_current_results({"fake": img}, epoch=2, step=10)
+    vis.flush()
+    html = open(os.path.join(str(tmp_path), "web", "index.html")).read()
+    assert "epoch 1, step 5" in html and "epoch 2, step 10" in html
+    # newest first
+    assert html.index("epoch 2") < html.index("epoch 1")
