@@ -5,6 +5,11 @@ from .torch_import import (
     import_generator,
     load_state_dict,
 )
+from .torch_export import (
+    export_discriminator,
+    export_generator,
+    save_torch_state_dict,
+)
 
 __all__ = [
     "CheckpointManager",
@@ -14,4 +19,7 @@ __all__ = [
     "import_discriminator",
     "load_state_dict",
     "convert_vgg19_pth",
+    "export_generator",
+    "export_discriminator",
+    "save_torch_state_dict",
 ]

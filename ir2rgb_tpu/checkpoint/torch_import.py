@@ -148,18 +148,20 @@ def _iter_layers(sd: "OrderedDict[str, np.ndarray]"):
         name, arr = items[i]
         base = name.rsplit(".", 1)[0]
         if name.endswith(".weight") and arr.ndim == 4:
-            layer = {"weight": arr}
+            layer = {"weight": arr, "names": {"weight": name}}
             if i + 1 < len(items) and items[i + 1][0] == base + ".bias":
                 layer["bias"] = items[i + 1][1]
+                layer["names"]["bias"] = items[i + 1][0]
                 i += 1
             yield "conv4d", layer
         elif _is_norm_weight(name, arr, sd):
-            layer = {"weight": arr}
+            layer = {"weight": arr, "names": {"weight": name}}
             j = i + 1
             while j < len(items) and items[j][0].startswith(base + "."):
                 suffix = items[j][0][len(base) + 1:]
                 if suffix in ("bias", "running_mean", "running_var"):
                     layer[suffix] = items[j][1]
+                    layer["names"][suffix] = items[j][0]
                     j += 1
                 else:
                     break

@@ -142,3 +142,45 @@ def test_evaluate_cli_all_pairs_skipped_fails(tmp_path):
         Image.new("RGB", (24, 24)).save(tgt / f"{i}.png")
     rc = eval_main(["--generated", str(gen), "--target", str(tgt)])
     assert rc == 1
+
+
+def test_convert_cli_export_g_deploys_to_torch(env, dataset, tmp_path):
+    """Close the migration loop e2e: train a tiny run, export its G with
+    `convert export-g` (architecture from the run's config.json), load
+    the .pth strict into the reference-family torch module."""
+    ckpts = str(tmp_path / "ckpts")
+    out = subprocess.run(
+        [sys.executable, "train.py", "--preset", "pix2pix_unet256",
+         "--model.net_g", "resnet_6blocks",
+         "--data.dataroot", dataset, "--data.load_size", "48",
+         "--data.crop_size", "32", "--data.batch_size", "2",
+         "--model.ngf", "8", "--model.ndf", "8",
+         "--train.name", "exp_export", "--train.checkpoints_dir", ckpts,
+         "--train.num_devices", "2",
+         "--train.niter", "1", "--train.niter_decay", "0"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    t = torch_refs.ResnetGenerator(ngf=8, n_blocks=6, norm="instance")
+    template = str(tmp_path / "template_net_G.pth")
+    torch.save(t.state_dict(), template)
+
+    exported = str(tmp_path / "trained_net_G.pth")
+    out = subprocess.run(
+        [sys.executable, "-m", "ir2rgb_tpu.cli.convert", "export-g",
+         "--run", os.path.join(ckpts, "exp_export"),
+         "--template", template, "--out", exported],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "exported" in out.stdout
+
+    sd = torch.load(exported, map_location="cpu", weights_only=True)
+    t.load_state_dict(sd, strict=True)  # raises on any name/shape drift
+    # trained weights, not the template's initialization
+    assert not np.allclose(
+        sd["model.1.weight"].numpy(),
+        torch_refs.ResnetGenerator(ngf=8, n_blocks=6,
+                                   norm="instance").state_dict()
+        ["model.1.weight"].numpy())
