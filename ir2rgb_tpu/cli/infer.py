@@ -81,6 +81,11 @@ def main(argv=None) -> int:
     page = HTMLPage(results_dir, f"Results: {cfg.train.name}")
     vis = Visualizer(results_dir, cfg.train.name)
 
+    cluster_centers = None
+    if cfg.infer.cluster_path:
+        from ir2rgb_tpu.infer.features import load_clusters
+        cluster_centers = jnp.asarray(load_clusters(cfg.infer.cluster_path))
+
     psnrs, ssims = [], []
     how_many = cfg.infer.how_many or float("inf")
     count = 0
@@ -99,11 +104,28 @@ def main(argv=None) -> int:
         prev_video = video
         batch = preprocess_pair_batch(
             jnp.asarray(host_batch["a"]), jnp.asarray(host_batch["b"]),
-            jax.random.PRNGKey(0), crop_size=crop, train=False)
+            jax.random.PRNGKey(0), crop_size=crop, train=False,
+            inst=(jnp.asarray(host_batch["inst"])
+                  if "inst" in host_batch else None))
+        # pix2pixHD test-time feature control (use_instance_feat models):
+        # --use_encoded_image encodes the REAL target's style through
+        # netE; --cluster_path samples precomputed style centroids per
+        # instance; default feeds zeros (train-time prior).
+        feat = None
+        if model.enc_cfg is not None and "inst" in batch:
+            if cfg.infer.use_encoded_image:
+                feat = model.encode_features(g_params, batch["b"],
+                                             batch["inst"])
+            elif cluster_centers is not None:
+                from ir2rgb_tpu.infer.features import sample_feature_map
+                feat = sample_feature_map(
+                    batch["inst"], cluster_centers,
+                    jax.random.PRNGKey(count),
+                    model.enc_cfg.num_instances)
         # push_device donates its input buffer — snapshot the input image
         # for the gallery before handing the array over
         input_img = tensor2im(batch["a"])
-        fake = stream.push_device(batch["a"])
+        fake = stream.push_device(batch["a"], feat=feat)
         psnrs.append(float(psnr(fake, batch["b"])))
         ssims.append(float(ssim(fake, batch["b"])))
 

@@ -77,6 +77,9 @@ REFERENCE_FLAG_TABLE: Dict[str, Tuple[str, str, Any]] = {
     "how_many": ("infer", "how_many",
                  lambda v: None if v in (None, "inf") else int(v)),
     "aspect_ratio": ("infer", "aspect_ratio", float),
+    "use_encoded_image": ("infer", "use_encoded_image", bool),
+    "cluster_path": ("infer", "cluster_path", None),
+    "n_clusters": ("infer", "n_clusters", int),
 }
 
 # reference netG names -> ours (identity for most)

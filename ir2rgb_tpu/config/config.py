@@ -156,6 +156,14 @@ class InferConfig:
     which_epoch: str = "latest"
     how_many: Optional[int] = None
     aspect_ratio: float = 1.0
+    # pix2pixHD test-time feature control (use_instance_feat models):
+    # encode the REAL target image's style through netE at test time
+    # (reference --use_encoded_image) ...
+    use_encoded_image: bool = False
+    # ... or sample precomputed style clusters per instance (reference
+    # --cluster_path; produce the file with cli/precompute_feats.py)
+    cluster_path: str = ""
+    n_clusters: int = 10  # reference --n_clusters (precompute CLI)
 
 
 @dataclass(frozen=True)

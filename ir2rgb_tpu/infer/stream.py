@@ -113,6 +113,13 @@ class StreamingGenerator:
 
             self._step = jax.jit(step, donate_argnums=(1,))
 
+            # pix2pixHD test-time feature control: a separate jitted
+            # step so the common no-feat path keeps its trace
+            def step_feat(params, a, feat):
+                return model.generate(params, a, train=False, feat=feat)
+
+            self._step_feat = jax.jit(step_feat, donate_argnums=(1, 2))
+
             def step_u8(params, a_u8):
                 return _dev_quantize(step(params, _dev_normalize(a_u8)))
 
@@ -122,10 +129,20 @@ class StreamingGenerator:
         if self._carry is not None:
             self._carry = jnp.zeros_like(self._carry)
 
-    def push_device(self, a: jax.Array) -> jax.Array:
-        """Device-in device-out step (no host sync — benchmark path)."""
+    def push_device(self, a: jax.Array,
+                    feat: Optional[jax.Array] = None) -> jax.Array:
+        """Device-in device-out step (no host sync — benchmark path).
+
+        ``feat``: optional netE style map (B, H, W, feat_num) — the
+        pix2pixHD --use_encoded_image / --cluster_path test paths."""
         if self._frame_sharding is not None:
             a = jax.device_put(a, self._frame_sharding)
+        if feat is not None:
+            if self.temporal:
+                raise ValueError(
+                    "feature maps are a pix2pixHD (single-frame) test "
+                    "surface; temporal streaming has no feat input")
+            return self._step_feat(self.g_params, a, feat)
         if self.temporal:
             fake, self._carry = self._step(self.g_params, a, self._carry)
             return fake

@@ -96,15 +96,14 @@ def encoder_apply(p: Params, x: jax.Array, inst: Optional[jax.Array],
         feat, inst, cfg.num_instances).astype(cfg.compute_dtype)
 
 
-def instance_wise_avg_pool(feat: jax.Array, inst: jax.Array,
-                           num_instances: int = 1024) -> jax.Array:
-    """Replace each pixel's feature with the mean over its instance mask.
-
-    feat: (B, H, W, C) float; inst: (B, H, W) integer instance ids
-    (arbitrary values; reduced mod ``num_instances`` into a static id
-    space). Exact multiset semantics of the reference's per-instance
-    mean, fully on-device.
-    """
+def instance_feature_table(feat: jax.Array, inst: jax.Array,
+                           num_instances: int = 1024
+                           ) -> tuple[jax.Array, jax.Array]:
+    """Per-segment pooled features: (B, num_instances, C) means and
+    (B, num_instances) pixel counts (0 for empty segments). The table
+    form backs both the pooled broadcast (instance_wise_avg_pool) and
+    the dataset-wide feature precompute (infer/features.py — the
+    reference's encode_features pass)."""
     b, h, w, c = feat.shape
     raw = inst.reshape(b, h * w)
     ids = hash_instance_ids(raw, num_instances)
@@ -115,10 +114,25 @@ def instance_wise_avg_pool(feat: jax.Array, inst: jax.Array,
         cnts = jax.ops.segment_sum(
             jnp.ones((fi.shape[0],), jnp.float32), idi,
             num_segments=num_instances)
-        means = sums / jnp.maximum(cnts, 1.0)[:, None]
-        return means[idi]
+        return sums / jnp.maximum(cnts, 1.0)[:, None], cnts
 
-    out = jax.vmap(per_image)(flat, ids)
+    means, cnts = jax.vmap(per_image)(flat, ids)
+    return means, cnts
+
+
+def instance_wise_avg_pool(feat: jax.Array, inst: jax.Array,
+                           num_instances: int = 1024) -> jax.Array:
+    """Replace each pixel's feature with the mean over its instance mask.
+
+    feat: (B, H, W, C) float; inst: (B, H, W) integer instance ids
+    (arbitrary values; reduced mod ``num_instances`` into a static id
+    space). Exact multiset semantics of the reference's per-instance
+    mean, fully on-device.
+    """
+    b, h, w, c = feat.shape
+    ids = hash_instance_ids(inst.reshape(b, h * w), num_instances)
+    means, _ = instance_feature_table(feat, inst, num_instances)
+    out = jax.vmap(lambda m, i: m[i])(means, ids)
     return out.reshape(b, h, w, c)
 
 

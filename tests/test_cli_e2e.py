@@ -184,3 +184,64 @@ def test_convert_cli_export_g_deploys_to_torch(env, dataset, tmp_path):
         torch_refs.ResnetGenerator(ngf=8, n_blocks=6,
                                    norm="instance").state_dict()
         ["model.1.weight"].numpy())
+
+
+def test_feature_workflow_e2e(env, tmp_path):
+    """The pix2pixHD feature workflow end-to-end: train a tiny
+    use_instance_feat run, precompute + cluster its instance styles,
+    then infer with --cluster_path (sampled styles) and
+    --use_encoded_image (real-image styles)."""
+    from PIL import Image
+
+    root = tmp_path / "featds"
+    rng = np.random.RandomState(0)
+    for phase in ("train", "test"):
+        for sub in (f"{phase}A", f"{phase}B", f"{phase}Inst"):
+            (root / sub).mkdir(parents=True)
+        for i in range(4):
+            for sub in (f"{phase}A", f"{phase}B"):
+                Image.fromarray((rng.rand(48, 48, 3) * 255).astype(
+                    np.uint8)).save(root / sub / f"{i:03d}.png")
+            Image.fromarray((np.arange(48 * 48).reshape(48, 48) // 600
+                             ).astype(np.uint8)).save(
+                root / f"{phase}Inst" / f"{i:03d}.png")
+
+    ckpts = str(tmp_path / "ckpts")
+    common = ["--preset", "pix2pixhd_512",
+              "--model.ngf", "4", "--model.ndf", "8",
+              "--model.n_downsample_global", "2",
+              "--model.n_blocks_global", "1", "--model.n_blocks_local", "1",
+              "--model.use_instance_feat", "true", "--model.nef", "4",
+              "--model.n_downsample_e", "2",
+              "--loss.no_vgg_loss", "true",
+              "--data.dataroot", str(root), "--data.load_size", "48",
+              "--data.crop_size", "32",
+              "--train.name", "featflow", "--train.checkpoints_dir", ckpts]
+    rc = subprocess.run(
+        [sys.executable, "train.py", *common,
+         "--data.batch_size", "2", "--train.num_devices", "2",
+         "--train.niter", "1", "--train.niter_decay", "0",
+         "--train.niter_fix_global", "0"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=600)
+    assert rc.returncode == 0, rc.stderr[-2000:]
+
+    clusters = str(tmp_path / "feats.npz")
+    rc = subprocess.run(
+        [sys.executable, "-m", "ir2rgb_tpu.cli.precompute_feats", *common,
+         "--infer.n_clusters", "4", "--out", clusters],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=600)
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    assert "centers" in rc.stdout and os.path.exists(clusters)
+
+    for extra in (["--infer.cluster_path", clusters],
+                  ["--infer.use_encoded_image", "true"]):
+        rc = subprocess.run(
+            [sys.executable, "test.py", *common,
+             "--infer.results_dir", str(tmp_path / "results"),
+             "--infer.how_many", "2", *extra],
+            cwd="/root/repo", env=env, capture_output=True, text=True,
+            timeout=600)
+        assert rc.returncode == 0, (extra, rc.stderr[-2000:])
+        assert "PSNR" in rc.stdout
