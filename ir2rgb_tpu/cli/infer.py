@@ -112,6 +112,7 @@ def main(argv=None) -> int:
         # netE; --cluster_path samples precomputed style centroids per
         # instance; default feeds zeros (train-time prior).
         feat = None
+        edges = None
         if model.enc_cfg is not None and "inst" in batch:
             if cfg.infer.use_encoded_image:
                 feat = model.encode_features(g_params, batch["b"],
@@ -122,10 +123,13 @@ def main(argv=None) -> int:
                     batch["inst"], cluster_centers,
                     jax.random.PRNGKey(count),
                     model.enc_cfg.num_instances)
+        if cfg.model.use_instance_edges and "inst" in batch:
+            from ir2rgb_tpu.nn.encoders import instance_edges
+            edges = instance_edges(batch["inst"])
         # push_device donates its input buffer — snapshot the input image
         # for the gallery before handing the array over
         input_img = tensor2im(batch["a"])
-        fake = stream.push_device(batch["a"], feat=feat)
+        fake = stream.push_device(batch["a"], feat=feat, edges=edges)
         psnrs.append(float(psnr(fake, batch["b"])))
         ssims.append(float(ssim(fake, batch["b"])))
 

@@ -61,6 +61,11 @@ class ModelConfig:
     feat_num: int = 3
     nef: int = 16
     n_downsample_e: int = 4
+    # concatenate the instance boundary map to the G/D input — the
+    # reference's default-on edge channel (off under --no_instance;
+    # ir2rgb's real-IR launches pass --no_instance, so off by default
+    # here; enable for datasets that carry instance maps)
+    use_instance_edges: bool = False
     # static segment-space size for the on-device instance-wise pooling
     # (raw ids are hashed into this many slots; distinct ids that collide
     # share a style vector — raise this for datasets with many instances

@@ -109,13 +109,15 @@ class DataLoader:
             self.items = find_aligned_pairs(d.dataroot, self.phase,
                                             max_size=d.max_dataset_size)
         self.inst_paths = None
-        if cfg.model.use_instance_feat and not self.temporal:
+        if ((cfg.model.use_instance_feat or cfg.model.use_instance_edges)
+                and not self.temporal):
             from .folder import find_inst_maps
             self.inst_paths = find_inst_maps(d.dataroot, self.phase,
                                              max_size=d.max_dataset_size)
             if self.inst_paths is None:
                 raise FileNotFoundError(
-                    f"use_instance_feat is on but no instance-map folder "
+                    f"use_instance_feat/use_instance_edges is on but no "
+                    f"instance-map folder "
                     f"({self.phase}Inst / Inst/{self.phase} / Inst) exists "
                     f"under {d.dataroot}")
             if len(self.inst_paths) != len(self.items):

@@ -113,12 +113,16 @@ class StreamingGenerator:
 
             self._step = jax.jit(step, donate_argnums=(1,))
 
-            # pix2pixHD test-time feature control: a separate jitted
-            # step so the common no-feat path keeps its trace
-            def step_feat(params, a, feat):
-                return model.generate(params, a, train=False, feat=feat)
+            # pix2pixHD test-time conditioning (style feat map and/or
+            # instance edge channel): a separate jitted step so the
+            # common unconditioned path keeps its trace; None arguments
+            # are empty pytree leaves, so feat-only / edges-only /
+            # both each get their own cached trace
+            def step_extra(params, a, feat, edges):
+                return model.generate(params, a, train=False, feat=feat,
+                                      edges=edges)
 
-            self._step_feat = jax.jit(step_feat, donate_argnums=(1, 2))
+            self._step_extra = jax.jit(step_extra, donate_argnums=(1,))
 
             def step_u8(params, a_u8):
                 return _dev_quantize(step(params, _dev_normalize(a_u8)))
@@ -130,19 +134,22 @@ class StreamingGenerator:
             self._carry = jnp.zeros_like(self._carry)
 
     def push_device(self, a: jax.Array,
-                    feat: Optional[jax.Array] = None) -> jax.Array:
+                    feat: Optional[jax.Array] = None,
+                    edges: Optional[jax.Array] = None) -> jax.Array:
         """Device-in device-out step (no host sync — benchmark path).
 
         ``feat``: optional netE style map (B, H, W, feat_num) — the
-        pix2pixHD --use_encoded_image / --cluster_path test paths."""
+        pix2pixHD --use_encoded_image / --cluster_path test paths.
+        ``edges``: optional (B, H, W, 1) instance boundary channel
+        (use_instance_edges models)."""
         if self._frame_sharding is not None:
             a = jax.device_put(a, self._frame_sharding)
-        if feat is not None:
+        if feat is not None or edges is not None:
             if self.temporal:
                 raise ValueError(
-                    "feature maps are a pix2pixHD (single-frame) test "
-                    "surface; temporal streaming has no feat input")
-            return self._step_feat(self.g_params, a, feat)
+                    "feature/edge maps are a pix2pixHD (single-frame) "
+                    "test surface; temporal streaming has no such input")
+            return self._step_extra(self.g_params, a, feat, edges)
         if self.temporal:
             fake, self._carry = self._step(self.g_params, a, self._carry)
             return fake

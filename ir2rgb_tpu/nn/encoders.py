@@ -179,6 +179,24 @@ def instance_collision_count(inst: jax.Array,
     return jax.vmap(per_image)(raw, ids).sum().astype(jnp.int32)
 
 
+def instance_edges(inst: jax.Array) -> jax.Array:
+    """Binary instance-boundary map — the reference's ``get_edges``
+    (pix2pixHD encode_input: the edge channel concatenated to the input
+    unless ``--no_instance``). Both pixels on each side of a boundary
+    are marked, in all four directions.
+
+    inst: (B, H, W) int ids -> (B, H, W, 1) float32 in {0, 1}.
+    """
+    dh = inst[:, :, 1:] != inst[:, :, :-1]
+    dv = inst[:, 1:, :] != inst[:, :-1, :]
+    e = jnp.zeros(inst.shape, bool)
+    e = e.at[:, :, 1:].set(dh)
+    e = e.at[:, :, :-1].set(e[:, :, :-1] | dh)
+    e = e.at[:, 1:, :].set(e[:, 1:, :] | dv)
+    e = e.at[:, :-1, :].set(e[:, :-1, :] | dv)
+    return e[..., None].astype(jnp.float32)
+
+
 def define_e(cfg: EncoderConfig):
     """Returns (init, apply) — the reference define_G(..., netG='encoder')
     analog."""

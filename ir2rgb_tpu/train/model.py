@@ -138,11 +138,18 @@ class GanModel:
                  prev: Optional[jax.Array] = None,
                  train: bool = False,
                  rng: Optional[jax.Array] = None,
-                 feat: Optional[jax.Array] = None) -> jax.Array:
+                 feat: Optional[jax.Array] = None,
+                 edges: Optional[jax.Array] = None) -> jax.Array:
         """Single-frame G forward. In temporal mode ``prev`` is the
         previously generated frame stack (zeros at t=0). With
-        use_instance_feat, ``feat`` is the netE style map (zeros when
-        absent — inference without precomputed features)."""
+        use_instance_edges, ``edges`` is the (B, H, W, 1) boundary map;
+        with use_instance_feat, ``feat`` is the netE style map (each
+        zeros when absent). Channel order matches the reference's
+        encode_input/forward: input, edges, feat[, temporal prev]."""
+        if self.cfg.model.use_instance_edges:
+            if edges is None:
+                edges = jnp.zeros(a.shape[:-1] + (1,), a.dtype)
+            a = jnp.concatenate([a, edges.astype(a.dtype)], axis=-1)
         if self.enc_cfg is not None:
             if feat is None:
                 feat = jnp.zeros(a.shape[:-1] + (self.enc_cfg.feat_num,),
@@ -229,7 +236,15 @@ class GanModel:
         else:
             a, b = batch["a"], batch["b"]
             feat = None
+            edges = None
             inst_collisions = None
+            if self.cfg.model.use_instance_edges:
+                if batch.get("inst") is None:
+                    raise ValueError(
+                        "use_instance_edges is on but the batch has no "
+                        "'inst' maps (<phase>Inst/ folder missing?)")
+                from ir2rgb_tpu.nn.encoders import instance_edges
+                edges = instance_edges(batch["inst"])
             if self.enc_cfg is not None:
                 # reference pix2pixHD feature mode: E encodes the REAL
                 # image (instance-pooled) and G conditions on it; E's
@@ -245,13 +260,18 @@ class GanModel:
                     inst_collisions = instance_collision_count(
                         batch["inst"], self.enc_cfg.num_instances)
             fake = self.generate(g_params, a, train=True, rng=k_drop,
-                                 feat=feat)
+                                 feat=feat, edges=edges)
             if self.cfg.loss.pool_size > 0:
                 fake_for_d, pool = query_pool(
                     pool, jax.lax.stop_gradient(fake), k_pool)
             else:
                 fake_for_d = fake
-            metrics = self._frame_losses(g_params, d_params, a, b,
+            # D conditions on the edge channel too (reference
+            # discriminate() sees input_label = cat(input, edges)); the
+            # netE feat map stays G-only, as in the reference.
+            a_d = (jnp.concatenate([a, edges.astype(a.dtype)], axis=-1)
+                   if edges is not None else a)
+            metrics = self._frame_losses(g_params, d_params, a_d, b,
                                          fake_for_d, fake)
             if inst_collisions is not None:
                 # stop_gradient: a diagnostic count, not a loss term
@@ -354,6 +374,14 @@ def create_model(cfg: Config, steps_per_epoch: int = 1000,
     compute_dtype = _dtype_of(m.compute_dtype)
     n_prev = (m.n_frames_g - 1) if m.model == "temporal" else 0
     g_input_nc = m.input_nc + m.output_nc * n_prev
+    d_input_nc = m.input_nc + m.output_nc
+    if m.use_instance_edges:
+        # reference encode_input: the instance boundary channel rides
+        # the label input, so BOTH G and D see it (feat is G-only)
+        assert m.model != "temporal", \
+            "instance edges + temporal mode are not combined"
+        g_input_nc += 1
+        d_input_nc += 1
     enc_cfg = None
     if m.use_instance_feat:
         assert m.model != "temporal", \
@@ -377,7 +405,7 @@ def create_model(cfg: Config, steps_per_epoch: int = 1000,
         remat=m.remat,
     )
     disc_cfg = DiscConfig(
-        net_d=m.net_d, input_nc=m.input_nc + m.output_nc, ndf=m.ndf,
+        net_d=m.net_d, input_nc=d_input_nc, ndf=m.ndf,
         n_layers=m.n_layers_d, num_d=m.num_d, norm=m.norm,
         get_interm_feat=m.get_interm_feat,
         compute_dtype=compute_dtype,

@@ -213,6 +213,7 @@ def test_feature_workflow_e2e(env, tmp_path):
               "--model.n_blocks_global", "1", "--model.n_blocks_local", "1",
               "--model.use_instance_feat", "true", "--model.nef", "4",
               "--model.n_downsample_e", "2",
+              "--model.use_instance_edges", "true",
               "--loss.no_vgg_loss", "true",
               "--data.dataroot", str(root), "--data.load_size", "48",
               "--data.crop_size", "32",

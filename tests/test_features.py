@@ -135,3 +135,57 @@ def test_temporal_stream_rejects_feat():
     with pytest.raises(ValueError, match="temporal"):
         stream.push_device(jnp.zeros((1, 32, 32, 3)),
                            feat=jnp.zeros((1, 32, 32, 3)))
+
+
+def test_instance_edges_marks_both_sides():
+    from ir2rgb_tpu.nn.encoders import instance_edges
+    inst = np.zeros((1, 6, 6), np.int32)
+    inst[0, :, 3:] = 1  # vertical boundary between cols 2 and 3
+    e = np.asarray(instance_edges(jnp.asarray(inst)))[0, :, :, 0]
+    assert (e[:, 2] == 1).all() and (e[:, 3] == 1).all()
+    assert (e[:, :2] == 0).all() and (e[:, 4:] == 0).all()
+    # uniform map -> no edges
+    e0 = np.asarray(instance_edges(jnp.zeros((1, 4, 4), jnp.int32)))
+    assert (e0 == 0).all()
+
+
+def test_instance_edges_train_step_and_stream():
+    """use_instance_edges: G and D widths grow by 1, the fused step runs
+    with inst in the batch and fails loudly without it; inference passes
+    edges through push_device."""
+    import dataclasses
+
+    from ir2rgb_tpu.config import PRESETS
+    from ir2rgb_tpu.infer import StreamingGenerator
+    from ir2rgb_tpu.nn.encoders import instance_edges
+    from ir2rgb_tpu.train import create_model
+
+    cfg = PRESETS["pix2pixhd_512"]
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, ngf=4, ndf=4, n_downsample_global=2,
+            n_blocks_global=1, n_blocks_local=1, use_instance_edges=True),
+        loss=dataclasses.replace(cfg.loss, no_vgg_loss=True))
+    model = create_model(cfg, steps_per_epoch=10)
+    assert model.gen_cfg.input_nc == 4
+    assert model.disc_cfg.input_nc == 7
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "a": jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32)),
+        "b": jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32)),
+        "inst": jnp.asarray(rng.randint(0, 4, (1, 32, 32))),
+    }
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    state2, metrics = jax.jit(model.train_step)(state, batch)
+    assert np.isfinite(float(metrics["G_GAN"]))
+
+    with pytest.raises(ValueError, match="inst"):
+        model.loss_and_metrics(state.g_params, state.d_params,
+                               {"a": batch["a"], "b": batch["b"]},
+                               jax.random.PRNGKey(0), state.pool)
+
+    stream = StreamingGenerator(model, state.g_params, (32, 32))
+    e = instance_edges(batch["inst"])
+    y = stream.push_device(batch["a"], edges=e)
+    assert np.asarray(y).shape == (1, 32, 32, 3)

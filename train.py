@@ -26,6 +26,10 @@ _IGNORED_REFERENCE_FLAGS = {
     # pix2pixHD family for real-image input) IS this framework's default
     # input semantics, so both are accepted no-ops. A nonzero label_nc
     # (one-hot label-map input) is rejected in _translate, not dropped.
+    # NB the reference's edge channel is ON by default and disabled by
+    # --no_instance; here it is opt-in (--model.use_instance_edges true)
+    # because absence of --no_instance can't be distinguished from a
+    # native-style launch line — see docs/MIGRATION.md.
     "no_instance": 0, "label_nc": 1,
 }
 
