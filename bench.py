@@ -44,7 +44,11 @@ import jax.numpy as jnp
 V5E_PEAK_TFLOPS = 197.0  # bf16
 
 
-def build(preset: str, on_tpu: bool):
+def build(preset: str, on_tpu: bool, init_g: bool = True):
+    """Shared preset -> (model, bf16 G params) setup for the bench and
+    profiling scripts. ``init_g=False`` skips the eager whole-network
+    init for callers that only trace the train step (profile_gen
+    --train builds its own TrainState)."""
     from ir2rgb_tpu.config import PRESETS
     from ir2rgb_tpu.train import create_model
 
@@ -52,6 +56,8 @@ def build(preset: str, on_tpu: bool):
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype="bf16" if on_tpu else "float32"))
     model = create_model(cfg, steps_per_epoch=1000)
+    if not init_g:
+        return model, None
     g = model.g_init(jax.random.PRNGKey(0))
     if on_tpu:
         g = jax.tree.map(

@@ -86,10 +86,15 @@ def _assign_to_template(params: Params, plan: SlotPlan,
         raise ValueError(
             f"conv count mismatch: template has {len(got_convs)}, "
             f"architecture expects {len(plan_convs)}")
-    if plan_norms and len(got_norms) != len(plan_norms):
+    # symmetric, unlike the importer's tolerant read: a template whose
+    # norm layers don't match the trained config (e.g. instance-norm
+    # params exported into a batch-norm template) must fail here, not
+    # produce a loadable-but-wrong checkpoint
+    if len(got_norms) != len(plan_norms):
         raise ValueError(
-            f"norm count mismatch: template has {len(got_norms)}, "
-            f"architecture expects {len(plan_norms)}")
+            f"norm count mismatch: template has {len(got_norms)} "
+            f"parameterized norm layers, architecture expects "
+            f"{len(plan_norms)} — wrong --model.norm for this template?")
 
     def put(name: str, arr: np.ndarray) -> None:
         arr = np.asarray(arr, dtype=np.float32)
@@ -111,6 +116,12 @@ def _assign_to_template(params: Params, plan: SlotPlan,
                     f"template entry {layer['names']['bias']!r} expects a "
                     f"bias but params slot {'/'.join(path)} has none")
             put(layer["names"]["bias"], slot["b"])
+        elif "b" in slot:
+            raise ValueError(
+                f"params slot {'/'.join(path)} has a trained bias but "
+                f"template conv {layer['names']['weight']!r} has none — "
+                "dropping it would corrupt the export (wrong norm for "
+                "this template?)")
     for (path, _), layer in zip(plan_norms, got_norms):
         slot = _get_path(params, path)
         put(layer["names"]["weight"], slot["gamma"])

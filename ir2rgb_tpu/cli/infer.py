@@ -9,6 +9,7 @@ or directly from a torch ``.pth`` via ``--torch_g path`` (parity mode).
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 
@@ -81,10 +82,33 @@ def main(argv=None) -> int:
     page = HTMLPage(results_dir, f"Results: {cfg.train.name}")
     vis = Visualizer(results_dir, cfg.train.name)
 
+    # test-time conditioning setup — fail loudly on misapplied flags
+    # (the reference would fail loading netE weights; silently ignoring
+    # them would hand back zero-feat generations labeled as styled)
+    if ((cfg.infer.use_encoded_image or cfg.infer.cluster_path)
+            and model.enc_cfg is None):
+        raise SystemExit(
+            "--infer.use_encoded_image/--infer.cluster_path need a "
+            "use_instance_feat model (this run has no netE)")
+    if cfg.infer.use_encoded_image and cfg.infer.cluster_path:
+        raise SystemExit(
+            "--infer.use_encoded_image and --infer.cluster_path are "
+            "mutually exclusive (encode the real image OR sample "
+            "clustered styles)")
     cluster_centers = None
+    sample_jit = encode_jit = edges_jit = None
     if cfg.infer.cluster_path:
-        from ir2rgb_tpu.infer.features import load_clusters
+        from ir2rgb_tpu.infer.features import load_clusters, \
+            sample_feature_map
         cluster_centers = jnp.asarray(load_clusters(cfg.infer.cluster_path))
+        sample_jit = jax.jit(functools.partial(
+            sample_feature_map, num_instances=model.enc_cfg.num_instances))
+    if cfg.infer.use_encoded_image:
+        encode_jit = jax.jit(
+            lambda p, b, i: model.encode_features(p, b, i))
+    if cfg.model.use_instance_edges:
+        from ir2rgb_tpu.nn.encoders import instance_edges
+        edges_jit = jax.jit(instance_edges)
 
     psnrs, ssims = [], []
     how_many = cfg.infer.how_many or float("inf")
@@ -113,19 +137,14 @@ def main(argv=None) -> int:
         # instance; default feeds zeros (train-time prior).
         feat = None
         edges = None
-        if model.enc_cfg is not None and "inst" in batch:
-            if cfg.infer.use_encoded_image:
-                feat = model.encode_features(g_params, batch["b"],
-                                             batch["inst"])
-            elif cluster_centers is not None:
-                from ir2rgb_tpu.infer.features import sample_feature_map
-                feat = sample_feature_map(
-                    batch["inst"], cluster_centers,
-                    jax.random.PRNGKey(count),
-                    model.enc_cfg.num_instances)
-        if cfg.model.use_instance_edges and "inst" in batch:
-            from ir2rgb_tpu.nn.encoders import instance_edges
-            edges = instance_edges(batch["inst"])
+        if "inst" in batch:
+            if encode_jit is not None:
+                feat = encode_jit(g_params, batch["b"], batch["inst"])
+            elif sample_jit is not None:
+                feat = sample_jit(batch["inst"], cluster_centers,
+                                  jax.random.PRNGKey(count))
+            if edges_jit is not None:
+                edges = edges_jit(batch["inst"])
         # push_device donates its input buffer — snapshot the input image
         # for the gallery before handing the array over
         input_img = tensor2im(batch["a"])

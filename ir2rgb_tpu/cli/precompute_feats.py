@@ -22,6 +22,8 @@ def main(argv=None) -> int:
     out_path = "features_clustered.npz"
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            raise SystemExit("--out needs a path argument")
         out_path = argv[i + 1]
         del argv[i:i + 2]
 

@@ -40,7 +40,7 @@ def batch_instance_features(model, g_params, image: jax.Array,
     and (B, num_instances) counts, on host."""
     enc = model.enc_cfg
     feat = model.encode_features(g_params, image, inst=None)
-    means, cnts = instance_feature_table(feat, inst, enc.num_instances)
+    means, cnts, _ = instance_feature_table(feat, inst, enc.num_instances)
     return np.asarray(means), np.asarray(cnts)
 
 

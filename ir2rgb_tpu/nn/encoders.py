@@ -74,6 +74,8 @@ def encoder_apply(p: Params, x: jax.Array, inst: Optional[jax.Array],
                   cfg: EncoderConfig) -> jax.Array:
     """Encode an NHWC image; when ``inst`` (B, H, W) int ids are given,
     instance-wise average pool the output (reference Encoder.forward)."""
+    from .generators import _check_divisible
+    _check_divisible(x, cfg.n_downsample_e, "encoder (netE)")
     x = x.astype(cfg.compute_dtype)
     h = ops.reflect_pad(x, 3)
     h = ops.conv_apply(p["head"]["conv"], h, compute_dtype=cfg.compute_dtype)
@@ -98,12 +100,13 @@ def encoder_apply(p: Params, x: jax.Array, inst: Optional[jax.Array],
 
 def instance_feature_table(feat: jax.Array, inst: jax.Array,
                            num_instances: int = 1024
-                           ) -> tuple[jax.Array, jax.Array]:
-    """Per-segment pooled features: (B, num_instances, C) means and
-    (B, num_instances) pixel counts (0 for empty segments). The table
-    form backs both the pooled broadcast (instance_wise_avg_pool) and
-    the dataset-wide feature precompute (infer/features.py — the
-    reference's encode_features pass)."""
+                           ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-segment pooled features: (B, num_instances, C) means,
+    (B, num_instances) pixel counts (0 for empty segments), and the
+    (B, H*W) hashed segment ids (so callers gather without re-hashing).
+    The table form backs both the pooled broadcast
+    (instance_wise_avg_pool) and the dataset-wide feature precompute
+    (infer/features.py — the reference's encode_features pass)."""
     b, h, w, c = feat.shape
     raw = inst.reshape(b, h * w)
     ids = hash_instance_ids(raw, num_instances)
@@ -117,7 +120,7 @@ def instance_feature_table(feat: jax.Array, inst: jax.Array,
         return sums / jnp.maximum(cnts, 1.0)[:, None], cnts
 
     means, cnts = jax.vmap(per_image)(flat, ids)
-    return means, cnts
+    return means, cnts, ids
 
 
 def instance_wise_avg_pool(feat: jax.Array, inst: jax.Array,
@@ -130,8 +133,7 @@ def instance_wise_avg_pool(feat: jax.Array, inst: jax.Array,
     mean, fully on-device.
     """
     b, h, w, c = feat.shape
-    ids = hash_instance_ids(inst.reshape(b, h * w), num_instances)
-    means, _ = instance_feature_table(feat, inst, num_instances)
+    means, _, ids = instance_feature_table(feat, inst, num_instances)
     out = jax.vmap(lambda m, i: m[i])(means, ids)
     return out.reshape(b, h, w, c)
 

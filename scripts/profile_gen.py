@@ -30,7 +30,7 @@ def run_trace(preset: str, trace_dir: str, size: int = 0,
     from bench import build  # the shared preset->bf16-model setup
 
     on_tpu = jax.default_backend() == "tpu"
-    model, g = build(preset, on_tpu)
+    model, g = build(preset, on_tpu, init_g=not train)
     if not size:  # default: the preset's own frame size (1024/2048 tiers)
         size = model.cfg.data.crop_size
     dtype = jnp.bfloat16 if on_tpu else jnp.float32

@@ -26,8 +26,10 @@ def test_feature_table_backs_pooling():
     feat = jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32))
     inst = jnp.asarray(rng.randint(0, 5, (2, 8, 8)))
     pooled = instance_wise_avg_pool(feat, inst, num_instances=64)
-    means, cnts = instance_feature_table(feat, inst, num_instances=64)
-    ids = hash_instance_ids(np.asarray(inst).reshape(2, -1), 64)
+    means, cnts, ids = instance_feature_table(feat, inst, num_instances=64)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(
+            hash_instance_ids(np.asarray(inst).reshape(2, -1), 64)))
     gathered = jax.vmap(lambda m, i: m[i])(means, ids).reshape(2, 8, 8, 3)
     np.testing.assert_allclose(np.asarray(pooled), np.asarray(gathered),
                                rtol=1e-6)
@@ -189,3 +191,12 @@ def test_instance_edges_train_step_and_stream():
     e = instance_edges(batch["inst"])
     y = stream.push_device(batch["a"], edges=e)
     assert np.asarray(y).shape == (1, 32, 32, 3)
+
+
+def test_encoder_rejects_indivisible_input():
+    from ir2rgb_tpu.nn.encoders import EncoderConfig, define_e
+    cfg = EncoderConfig(nef=4, n_downsample_e=3)
+    init, apply = define_e(cfg)
+    p = init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="divisible"):
+        apply(p, jnp.zeros((1, 30, 32, 3)))

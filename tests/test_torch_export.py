@@ -161,3 +161,14 @@ def test_export_save_and_torch_load(tmp_path):
     save_torch_state_dict(out_sd, path)
     loaded = torch.load(path, map_location="cpu", weights_only=True)
     t.load_state_dict(loaded, strict=True)
+
+
+def test_export_norm_type_mismatch_is_loud():
+    """Instance-norm params into a batch-norm template must fail (the
+    silent path would drop conv biases and write BN init stats)."""
+    cfg = GenConfig(net_g="resnet_6blocks", ngf=8, norm="instance")
+    init, _ = define_g(cfg)
+    params = init(jax.random.PRNGKey(0))
+    t_bn = torch_refs.ResnetGenerator(ngf=8, n_blocks=6, norm="batch")
+    with pytest.raises(ValueError, match="norm count mismatch"):
+        export_generator(params, cfg, _sd(t_bn))
