@@ -126,6 +126,15 @@ def export_serving_artifact(model, g_params, frame_hw: Tuple[int, int],
     multi-stream serving geometry; see infer/multistream.py).
     """
     cfgm = model.cfg.model
+    if model.enc_cfg is not None or cfgm.use_instance_edges:
+        # the sealed wire is uint8 frames only; exporting a
+        # feature/edge-conditioned model would bake the zeros prior in
+        # and silently drop style control — refuse instead
+        raise ValueError(
+            "serving artifacts carry only the uint8 frame input; "
+            "use_instance_feat/use_instance_edges models need instance "
+            "maps per frame — serve them through cli/infer.py (or "
+            "StreamingGenerator.push_device(feat=, edges=)) instead")
     temporal = cfgm.model == "temporal"
     n_prev = (cfgm.n_frames_g - 1) if temporal else 0
     carry_c = cfgm.output_nc * n_prev

@@ -181,3 +181,25 @@ def test_export_cli_size_flag_and_noncrop_guard(tmp_path):
     frame = (np.random.RandomState(0).rand(32, 64, 3) * 255
              ).astype(np.uint8)
     assert art.push(frame).shape == (32, 64, 3)
+
+
+def test_export_refuses_feature_conditioned_models(tmp_path):
+    """A sealed artifact would bake the zeros feature prior in and
+    silently drop style control — exporting such a model must fail."""
+    import dataclasses
+
+    import pytest
+
+    from ir2rgb_tpu.config import PRESETS
+    from ir2rgb_tpu.infer.export import export_serving_artifact
+    from ir2rgb_tpu.train import create_model
+
+    cfg = PRESETS["pix2pixhd_512"]
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, ngf=4, ndf=4, n_downsample_global=2, n_blocks_global=1,
+        n_blocks_local=1, use_instance_feat=True, nef=4, n_downsample_e=2))
+    model = create_model(cfg, steps_per_epoch=10)
+    g = model.g_init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="instance maps"):
+        export_serving_artifact(model, g, (32, 32),
+                                str(tmp_path / "m.ir2rgb"))
