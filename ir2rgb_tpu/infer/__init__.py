@@ -1,4 +1,11 @@
 from .export import ExportedStream, export_serving_artifact, load_serving_artifact
+from .features import (
+    collect_dataset_features,
+    kmeans,
+    load_clusters,
+    sample_feature_map,
+    save_clusters,
+)
 from .metrics import flicker, psnr, ssim
 from .multistream import MultiStreamServer
 from .stream import (
@@ -11,4 +18,5 @@ from .stream import (
 __all__ = ["StreamingGenerator", "MultiStreamServer", "single_frame_infer",
            "translate_clip", "tensor2im", "psnr", "ssim", "flicker",
            "export_serving_artifact", "load_serving_artifact",
-           "ExportedStream"]
+           "ExportedStream", "collect_dataset_features", "kmeans",
+           "save_clusters", "load_clusters", "sample_feature_map"]
