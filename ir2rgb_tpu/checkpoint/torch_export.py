@@ -229,6 +229,9 @@ def export_discriminator(params: Params, cfg: DiscConfig, template
         _assign_to_template(params, _nlayer_plan(cfg.n_layers, cfg.norm),
                             out, out)
         return out
+    if cfg.net_d == "pixel":
+        _assign_to_template(params, _nlayer_plan(1, cfg.norm), out, out)
+        return out
     if cfg.net_d == "multiscale":
         scale_keys = sorted({m.group(1) for m in
                              (re.match(r"(scale\d+)_", k) for k in out)

@@ -286,6 +286,10 @@ def import_discriminator(sd_or_path, cfg: DiscConfig) -> Params:
           else sd_or_path)
     if cfg.net_d == "n_layers":
         return assign_from_plan(sd, _nlayer_plan(cfg.n_layers, cfg.norm))
+    if cfg.net_d == "pixel":
+        # PixelDiscriminator: conv0, conv1(+norm), head — structurally
+        # the n_layers=1 plan (kernel sizes differ, counts don't)
+        return assign_from_plan(sd, _nlayer_plan(1, cfg.norm))
     if cfg.net_d == "multiscale":
         params: Params = {}
         scale_keys = sorted({m.group(1) for m in

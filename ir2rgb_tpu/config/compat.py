@@ -57,6 +57,9 @@ REFERENCE_FLAG_TABLE: Dict[str, Tuple[str, str, Any]] = {
     "niter_fix_global": ("train", "niter_fix_global", int),
     "lr": ("train", "lr", float),
     "beta1": ("train", "beta1", float),
+    "init_type": ("model", "init_type", None),
+    "lr_policy": ("train", "lr_policy", None),
+    "lr_decay_iters": ("train", "lr_decay_iters", int),
     "continue_train": ("train", "continue_train", bool),
     "which_epoch": ("train", "which_epoch", None),
     "load_pretrain": ("train", "load_pretrain", None),

@@ -53,6 +53,9 @@ class ModelConfig:
     # generator dropout (reference --no_dropout inverse; the classic
     # pix2pix U-Net trains with dropout 0.5 on the inner levels)
     use_dropout: bool = False
+    # reference --init_type: normal (default) | xavier | kaiming |
+    # orthogonal — applied as a post-init rewrite (ops.apply_init_type)
+    init_type: str = "normal"
     # pix2pixHD feature-encoder "netE" (reference --instance_feat /
     # --feat_num / --nef / --n_downsample_E): instance-wise pooled style
     # features from the real image are appended to G's input. Off by
@@ -128,6 +131,10 @@ class TrainConfig:
     niter: int = 100          # epochs at constant lr
     niter_decay: int = 100    # epochs of linear lr decay to 0
     lr: float = 2e-4
+    # reference --lr_policy: linear (default) | step | cosine
+    # (plateau is metric-driven/host-side — not offered; see schedule.py)
+    lr_policy: str = "linear"
+    lr_decay_iters: int = 50  # reference --lr_decay_iters (step policy)
     beta1: float = 0.5
     beta2: float = 0.999
     # coarse-to-fine: epochs during which only the local enhancer trains

@@ -35,7 +35,7 @@ from .ops import Params
 
 @dataclasses.dataclass(frozen=True)
 class DiscConfig:
-    net_d: str = "n_layers"  # n_layers | multiscale
+    net_d: str = "n_layers"  # n_layers | multiscale | pixel
     input_nc: int = 6  # conditional GAN: cat(IR input, RGB output)
     ndf: int = 64
     n_layers: int = 3
@@ -108,6 +108,44 @@ def n_layer_disc_apply(p: Params, x: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# PixelDiscriminator (1x1 PatchGAN, the family's --netD pixel)
+# ---------------------------------------------------------------------------
+
+def pixel_disc_init(key, cfg: DiscConfig) -> Params:
+    """C64-C128-1 with 1x1 convs: per-pixel real/fake decisions (the
+    pytorch-CycleGAN-and-pix2pix ``PixelDiscriminator``)."""
+    bias = _use_bias(cfg.norm)
+    keys = jax.random.split(key, 3)
+    return {
+        "conv0": {"conv": ops.conv_init(keys[0], cfg.input_nc, cfg.ndf, 1)},
+        "conv1": {"conv": ops.conv_init(keys[1], cfg.ndf, cfg.ndf * 2, 1,
+                                        use_bias=bias),
+                  "norm": ops.norm_init(keys[1], cfg.norm, cfg.ndf * 2)},
+        "head": {"conv": ops.conv_init(keys[2], cfg.ndf * 2, 1, 1)},
+    }
+
+
+def pixel_disc_apply(p: Params, x: jax.Array,
+                     cfg: DiscConfig) -> List[jax.Array]:
+    """Same feats+logits contract as n_layer_disc_apply."""
+    x = x.astype(cfg.compute_dtype)
+    feats: List[jax.Array] = []
+    h = ops.conv_apply(p["conv0"]["conv"], x,
+                       compute_dtype=cfg.compute_dtype)
+    h = ops.apply_act(h, "leaky_relu")
+    feats.append(h)
+    h = ops.conv_apply(p["conv1"]["conv"], h,
+                       compute_dtype=cfg.compute_dtype)
+    h = ops.norm_act(p["conv1"].get("norm", {}), h, cfg.norm, "leaky_relu")
+    feats.append(h)
+    logits = ops.conv_apply(p["head"]["conv"], h,
+                            compute_dtype=cfg.compute_dtype)
+    logits = logits.astype(jnp.float32)  # fp32 logits, as everywhere
+    feats.append(logits)
+    return feats if cfg.get_interm_feat else [logits]
+
+
+# ---------------------------------------------------------------------------
 # MultiscaleDiscriminator
 # ---------------------------------------------------------------------------
 
@@ -140,6 +178,9 @@ def define_d(cfg: DiscConfig):
     if cfg.net_d == "n_layers":
         return (lambda key: n_layer_disc_init(key, cfg),
                 lambda params, x: [n_layer_disc_apply(params, x, cfg)])
+    if cfg.net_d == "pixel":
+        return (lambda key: pixel_disc_init(key, cfg),
+                lambda params, x: [pixel_disc_apply(params, x, cfg)])
     if cfg.net_d == "multiscale":
         return (lambda key: multiscale_disc_init(key, cfg),
                 lambda params, x: multiscale_disc_apply(params, x, cfg))

@@ -38,6 +38,61 @@ BATCH_NORM_EPS = 1e-5
 
 
 # ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def apply_init_type(params: Params, key: jax.Array, init_type: str,
+                    gain: float = INIT_STD) -> Params:
+    """Re-draw every conv/deconv kernel per the family's ``--init_type``
+    (normal | xavier | kaiming | orthogonal).
+
+    Mirrors the reference's two-phase pattern — modules are built, then
+    ``net.apply(init_func)`` rewrites the weights — so the per-layer
+    init code stays N(0, 0.02) and this is a pure tree transformation.
+    Biases, norm gammas/betas, and non-4D leaves are untouched (the
+    reference's init_func only re-draws ``Conv``-classed weights; its
+    norm/bias handling matches the defaults already in place)."""
+    if init_type == "normal":
+        return params
+    if init_type not in ("xavier", "kaiming", "orthogonal"):
+        raise ValueError(f"unknown init_type: {init_type}")
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def redraw(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if leaf.ndim != 4 or name != "w":
+            return leaf
+        # stable per-leaf key: fold the path string into the base key
+        # (crc32, NOT Python hash() — that is salted per process, which
+        # would diverge multihost replicas at init)
+        import zlib
+        k = key
+        for p in path:
+            s = p.key if hasattr(p, "key") else str(p)
+            k = jax.random.fold_in(k, zlib.crc32(s.encode()) & 0x7FFFFFFF)
+        kh, kw, cin, cout = leaf.shape
+        fan_in, fan_out = kh * kw * cin, kh * kw * cout
+        if init_type == "xavier":
+            std = gain * (2.0 / (fan_in + fan_out)) ** 0.5
+            return jax.random.normal(k, leaf.shape, leaf.dtype) * std
+        if init_type == "kaiming":
+            std = (2.0 / fan_in) ** 0.5  # a=0, fan_in (reference args)
+            return jax.random.normal(k, leaf.shape, leaf.dtype) * std
+        # orthogonal: torch flattens to (cout, fan_in); the smaller
+        # dimension's vectors are orthonormal (QR of the tall matrix,
+        # sign-fixed for the unique uniform-Haar Q)
+        a = jax.random.normal(k, (max(cout, fan_in), min(cout, fan_in)),
+                              jnp.float32)
+        q, r = jnp.linalg.qr(a)
+        q = q * jnp.sign(jnp.diagonal(r))
+        mat = q if cout >= fan_in else q.T  # (cout, fan_in)
+        w = mat.reshape(cout, kh, kw, cin).transpose(1, 2, 3, 0)
+        return (w * gain).astype(leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(redraw, params)
+
+
+# ---------------------------------------------------------------------------
 # Convolution
 # ---------------------------------------------------------------------------
 

@@ -58,6 +58,7 @@ from ir2rgb_tpu.train.image_pool import PoolState, init_pool, query_pool
 from ir2rgb_tpu.train.schedule import (
     global_freeze_mask,
     linear_decay_schedule,
+    lr_schedule,
 )
 
 Params = Dict[str, Any]
@@ -421,6 +422,20 @@ def create_model(cfg: Config, steps_per_epoch: int = 1000,
             p["netE"] = encoder_init(ke, _ecfg)
             return p
 
+    if m.init_type != "normal":
+        # reference --init_type: post-init weight rewrite, exactly the
+        # family's net.apply(init_func) second phase (ops.apply_init_type)
+        from ir2rgb_tpu.nn.ops import apply_init_type
+        _g0, _d0 = g_init, d_init
+
+        def g_init(key, _base=_g0, _t=m.init_type):
+            return apply_init_type(_base(key), jax.random.fold_in(key, 1),
+                                   _t)
+
+        def d_init(key, _base=_d0, _t=m.init_type):
+            return apply_init_type(_base(key), jax.random.fold_in(key, 2),
+                                   _t)
+
     vgg_params = None
     if not cfg.loss.no_vgg_loss:
         npz = vgg_weights_npz or (cfg.loss.vgg_weights or None)
@@ -438,8 +453,9 @@ def create_model(cfg: Config, steps_per_epoch: int = 1000,
         vgg_params = vgg.params
 
     tcfg = cfg.train
-    schedule = linear_decay_schedule(tcfg.lr, tcfg.niter, tcfg.niter_decay,
-                                     steps_per_epoch)
+    schedule = lr_schedule(tcfg.lr_policy, tcfg.lr, tcfg.niter,
+                           tcfg.niter_decay, steps_per_epoch,
+                           tcfg.lr_decay_iters)
     adam = lambda: optax.adam(learning_rate=schedule, b1=tcfg.beta1,
                               b2=tcfg.beta2, eps=1e-8)
     fix_steps = tcfg.niter_fix_global * steps_per_epoch

@@ -39,6 +39,41 @@ def linear_decay_schedule(lr: float, niter: int, niter_decay: int,
     return schedule
 
 
+def lr_schedule(policy: str, lr: float, niter: int, niter_decay: int,
+                steps_per_epoch: int,
+                lr_decay_iters: int = 50) -> Callable[[jax.Array],
+                                                      jax.Array]:
+    """Family ``--lr_policy`` surface (get_scheduler):
+
+    - ``linear``: the pix2pixHD staircase above (default);
+    - ``step``: lr * 0.1^(epoch // lr_decay_iters) (torch StepLR);
+    - ``cosine``: 0.5*lr*(1+cos(pi*epoch/(niter+niter_decay))) —
+      CosineAnnealingLR with eta_min=0, T_max in epochs.
+
+    ``plateau`` is deliberately absent: it conditions on a host-observed
+    validation metric, which would split the jitted step; use cosine.
+    """
+    if policy == "linear":
+        return linear_decay_schedule(lr, niter, niter_decay,
+                                     steps_per_epoch)
+
+    def epoch_of(step):
+        return step // steps_per_epoch  # 0-based
+
+    if policy == "step":
+        def schedule(step):
+            return lr * jnp.power(0.1, epoch_of(step) // lr_decay_iters)
+        return schedule
+    if policy == "cosine":
+        total = max(niter + niter_decay, 1)
+
+        def schedule(step):
+            frac = jnp.clip(epoch_of(step) / total, 0.0, 1.0)
+            return 0.5 * lr * (1.0 + jnp.cos(jnp.pi * frac))
+        return schedule
+    raise ValueError(f"unknown lr_policy: {policy}")
+
+
 def global_freeze_mask(fix_steps: int) -> Callable[[Any, jax.Array], Any]:
     """Returns gate(grads, step) zeroing global-trunk grads while
     step < fix_steps (coarse-to-fine: the 'enhancer*' groups — and netE

@@ -172,3 +172,18 @@ def test_config_and_preset_together_rejected(tmp_path):
     save_config(Config(), path)
     with pytest.raises(SystemExit):
         parse_cli(["--config", path, "--preset", "pix2pix_unet256"])
+
+
+def test_shim_translates_init_type_lr_policy_netd_pixel():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from train import _translate_reference_flags
+    from ir2rgb_tpu.config.config import parse_cli
+    out = _translate_reference_flags(
+        ["--init_type", "xavier", "--lr_policy", "cosine",
+         "--lr_decay_iters", "25", "--netD", "pixel"])
+    cfg = parse_cli(out)
+    assert cfg.model.init_type == "xavier"
+    assert cfg.train.lr_policy == "cosine"
+    assert cfg.train.lr_decay_iters == 25
+    assert cfg.model.net_d == "pixel"

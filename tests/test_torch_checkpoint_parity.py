@@ -174,3 +174,19 @@ def test_local_enhancer_two_levels_parity():
     y_j, y_t = _run_pair(t, cfg, 128)
     assert psnr(y_j, y_t) >= 40.0
     np.testing.assert_allclose(y_j, y_t, atol=1e-4)
+
+
+def test_pixel_discriminator_parity():
+    """--netD pixel (1x1 PatchGAN): import + forward parity."""
+    t = torch_refs.PixelDiscriminator(input_nc=6, ndf=8).eval()
+    cfg = DiscConfig(net_d="pixel", ndf=8, input_nc=6)
+    torch.manual_seed(0)
+    x_t = torch.randn(1, 6, 16, 16)
+    with torch.no_grad():
+        y_t = t(x_t).numpy()
+    params = import_discriminator(_sd(t), cfg)
+    _, apply = define_d(cfg)
+    y_j = apply(params, jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1)))
+    logits = np.asarray(y_j[0][-1]).transpose(0, 3, 1, 2)
+    assert psnr(logits, y_t, peak=float(np.abs(y_t).max())) >= 40.0
+    np.testing.assert_allclose(logits, y_t, atol=1e-4)

@@ -232,3 +232,92 @@ def test_temporal_local_enhancer_3scale_d_train_step():
     state, metrics = jax.jit(model.train_step)(state, batch)
     assert np.isfinite(float(metrics["G_GAN"]))
     assert int(state.step) == 1
+
+
+def test_lr_policies():
+    """--lr_policy step/cosine (family get_scheduler semantics)."""
+    from ir2rgb_tpu.train.schedule import lr_schedule
+
+    step_sched = lr_schedule("step", 2e-4, niter=4, niter_decay=0,
+                             steps_per_epoch=10, lr_decay_iters=2)
+    assert float(step_sched(0)) == pytest.approx(2e-4)
+    assert float(step_sched(19)) == pytest.approx(2e-4)     # epoch 1
+    assert float(step_sched(20)) == pytest.approx(2e-5)     # epoch 2
+    assert float(step_sched(40)) == pytest.approx(2e-6)     # epoch 4
+
+    cos = lr_schedule("cosine", 1e-3, niter=5, niter_decay=5,
+                      steps_per_epoch=10)
+    assert float(cos(0)) == pytest.approx(1e-3)
+    assert float(cos(50)) == pytest.approx(5e-4, rel=1e-6)  # epoch 5 = mid
+    assert float(cos(100)) == pytest.approx(0.0, abs=1e-10)
+
+    with pytest.raises(ValueError, match="lr_policy"):
+        lr_schedule("plateau", 1e-3, 1, 1, 10)
+
+    # linear passthrough equals the staircase schedule
+    lin = lr_schedule("linear", 2e-4, niter=2, niter_decay=4,
+                      steps_per_epoch=10)
+    assert float(lin(30)) == pytest.approx(2e-4 * 3 / 4)
+
+
+def test_init_types():
+    """--init_type rewrites conv kernels with the right statistics and
+    leaves biases/norms alone; orthogonal rows are orthonormal."""
+    from ir2rgb_tpu.nn.generators import GenConfig, define_g
+    from ir2rgb_tpu.nn.ops import apply_init_type
+
+    cfg = GenConfig(net_g="resnet_6blocks", ngf=16, norm="instance")
+    init, _ = define_g(cfg)
+    base = init(jax.random.PRNGKey(0))
+
+    same = apply_init_type(base, jax.random.PRNGKey(1), "normal")
+    assert same is base  # no-op path
+
+    for t in ("xavier", "kaiming", "orthogonal"):
+        p = apply_init_type(base, jax.random.PRNGKey(1), t)
+        w0 = np.asarray(base["head"]["conv"]["w"])
+        w1 = np.asarray(p["head"]["conv"]["w"])
+        assert w0.shape == w1.shape and not np.allclose(w0, w1), t
+        np.testing.assert_array_equal(
+            np.asarray(p["head"]["conv"]["b"]),
+            np.asarray(base["head"]["conv"]["b"]))
+        # deterministic given the key
+        p2 = apply_init_type(base, jax.random.PRNGKey(1), t)
+        np.testing.assert_array_equal(w1, np.asarray(
+            p2["head"]["conv"]["w"]))
+
+    # kaiming std ~ sqrt(2/fan_in) on a big kernel
+    pk = apply_init_type(base, jax.random.PRNGKey(2), "kaiming")
+    w = np.asarray(pk["down0"]["conv"]["w"])  # (3,3,16,32)
+    fan_in = w.shape[0] * w.shape[1] * w.shape[2]
+    assert np.std(w) == pytest.approx((2.0 / fan_in) ** 0.5, rel=0.1)
+
+    # orthogonal: flattened (cout, fan_in) rows orthonormal (cout<fan_in)
+    po = apply_init_type(base, jax.random.PRNGKey(3), "orthogonal")
+    w = np.asarray(po["down0"]["conv"]["w"], np.float64) / 0.02
+    mat = w.transpose(3, 0, 1, 2).reshape(w.shape[3], -1)
+    np.testing.assert_allclose(mat @ mat.T, np.eye(mat.shape[0]),
+                               atol=1e-4)
+
+
+def test_train_step_with_init_type_and_lr_policy_and_pixel_d():
+    """The three family knobs compose: xavier init, cosine lr, pixel D."""
+    import dataclasses
+
+    from ir2rgb_tpu.config import PRESETS
+    from ir2rgb_tpu.train import create_model
+
+    cfg = PRESETS["pix2pix_unet256"]
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, net_g="resnet_6blocks", ngf=8, ndf=8,
+            net_d="pixel", init_type="xavier"),
+        train=dataclasses.replace(cfg.train, lr_policy="cosine"))
+    model = create_model(cfg, steps_per_epoch=10)
+    rng = np.random.RandomState(0)
+    batch = {"a": jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32),
+             "b": jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)}
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    state, metrics = jax.jit(model.train_step)(state, batch)
+    assert np.isfinite(float(metrics["G_GAN"]))
+    assert np.isfinite(float(metrics["D_real"]))

@@ -260,3 +260,22 @@ class MultiscaleDiscriminator(nn.Module):
             if i != self.num_d - 1:
                 xi = self.downsample(xi)
         return result
+
+
+class PixelDiscriminator(nn.Module):
+    """1x1 PatchGAN (pytorch-CycleGAN-and-pix2pix --netD pixel)."""
+
+    def __init__(self, input_nc=6, ndf=64, norm="instance"):
+        super().__init__()
+        norm_layer = norm_layer_factory(norm)
+        use_bias = norm == "instance"
+        self.net = nn.Sequential(
+            nn.Conv2d(input_nc, ndf, 1, stride=1, padding=0),
+            nn.LeakyReLU(0.2, True),
+            nn.Conv2d(ndf, ndf * 2, 1, stride=1, padding=0, bias=use_bias),
+            norm_layer(ndf * 2),
+            nn.LeakyReLU(0.2, True),
+            nn.Conv2d(ndf * 2, 1, 1, stride=1, padding=0))
+
+    def forward(self, x):
+        return self.net(x)
