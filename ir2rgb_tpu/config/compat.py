@@ -58,6 +58,7 @@ REFERENCE_FLAG_TABLE: Dict[str, Tuple[str, str, Any]] = {
     "lr": ("train", "lr", float),
     "beta1": ("train", "beta1", float),
     "init_type": ("model", "init_type", None),
+    "gan_mode": ("loss", "gan_mode", None),
     "lr_policy": ("train", "lr_policy", None),
     "lr_decay_iters": ("train", "lr_decay_iters", int),
     "continue_train": ("train", "continue_train", bool),

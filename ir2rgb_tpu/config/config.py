@@ -110,7 +110,8 @@ class DataConfig:
 class LossConfig:
     """Loss weights and switches (reference train_options flags)."""
 
-    gan_mode: str = "lsgan"  # lsgan | vanilla | hinge
+    gan_mode: str = "lsgan"  # lsgan | vanilla | hinge | wgangp
+    lambda_gp: float = 10.0  # wgangp gradient-penalty weight
     lambda_l1: float = 100.0
     lambda_feat: float = 10.0
     lambda_vgg: float = 10.0

@@ -41,6 +41,11 @@ def _per_scale(logits: jax.Array, target_is_real: bool, mode: str,
             return jnp.mean(jax.nn.relu(1.0 + x))
         # generator side: -E[D(fake)]
         return -jnp.mean(x)
+    if mode == "wgangp":
+        # Wasserstein critic values (the family's GANLoss('wgangp'));
+        # the gradient penalty itself is a separate additive term —
+        # see gradient_penalty() below.
+        return -jnp.mean(x) if target_is_real else jnp.mean(x)
     raise ValueError(f"unknown gan mode: {mode}")
 
 
@@ -60,6 +65,32 @@ def gan_loss_d(disc_out_real: DiscOut, disc_out_fake: DiscOut,
     loss_real, loss_fake = gan_loss_d_parts(disc_out_real, disc_out_fake,
                                             mode)
     return loss_real + loss_fake
+
+
+def gradient_penalty(d_apply_fn, pair_real: jax.Array,
+                     pair_fake: jax.Array, key: jax.Array,
+                     lambda_gp: float = 10.0) -> jax.Array:
+    """WGAN-GP penalty (the family's ``cal_gradient_penalty``, 'mixed'
+    mode): λ · E[(‖∇x̂ D(x̂)‖₂ − 1)²] at x̂ = ε·real + (1−ε)·fake with
+    per-sample ε ~ U[0,1].
+
+    ``d_apply_fn``: x -> multiscale feats+logits structure (params
+    closed over). The inner ∇x̂ is a jax.grad of the summed logits —
+    grad-of-grad through the fused step gives the critic its penalty
+    gradient, where torch needs create_graph=True autograd plumbing.
+    Computed fully in fp32 (the norm is gradient-scale sensitive)."""
+    b = pair_real.shape[0]
+    eps = jax.random.uniform(key, (b, 1, 1, 1), jnp.float32)
+    xhat = (eps * pair_real.astype(jnp.float32)
+            + (1.0 - eps) * pair_fake.astype(jnp.float32))
+
+    def critic_sum(x):
+        out = d_apply_fn(x)
+        return sum(jnp.sum(s[-1].astype(jnp.float32)) for s in out)
+
+    g = jax.grad(critic_sum)(xhat)
+    gnorm = jnp.sqrt(jnp.sum(g.reshape(b, -1) ** 2, axis=1) + 1e-16)
+    return lambda_gp * jnp.mean((gnorm - 1.0) ** 2)
 
 
 def gan_loss_d_parts(disc_out_real: DiscOut, disc_out_fake: DiscOut,

@@ -43,7 +43,11 @@ from ir2rgb_tpu.losses import (
     l1_loss,
     vgg_loss,
 )
-from ir2rgb_tpu.losses.gan import gan_loss_d_parts, gan_loss_g
+from ir2rgb_tpu.losses.gan import (
+    gan_loss_d_parts,
+    gan_loss_g,
+    gradient_penalty,
+)
 from ir2rgb_tpu.nn import (
     DiscConfig,
     EncoderConfig,
@@ -170,7 +174,7 @@ class GanModel:
     # ------------------------------------------------------------------
 
     def _frame_losses(self, g_params, d_params, a, b, fake_for_d,
-                      fake) -> Dict[str, jax.Array]:
+                      fake, k_gp=None) -> Dict[str, jax.Array]:
         """Conditional-GAN losses for one frame batch.
 
         ``fake`` carries gradients to G; ``fake_for_d`` is the (possibly
@@ -221,8 +225,19 @@ class GanModel:
                                           loss_cfg.gan_mode)
         metrics["D_real"] = d_real
         metrics["D_fake"] = d_fake
+        loss_d = d_real + d_fake
+        if loss_cfg.gan_mode == "wgangp":
+            # grad-of-grad: the penalty's contribution to ∇d_params is
+            # a second derivative through the critic — jax composes it
+            # inside the one fused step (torch needs create_graph=True)
+            gp = gradient_penalty(
+                lambda x: self.d_apply(d_params, x),
+                sg(pair_real), sg(pair_fake_d), k_gp,
+                loss_cfg.lambda_gp)
+            metrics["D_GP"] = gp
+            loss_d = loss_d + gp
         metrics["_loss_g"] = loss_g
-        metrics["_loss_d"] = d_real + d_fake
+        metrics["_loss_d"] = loss_d
         return metrics
 
     def loss_and_metrics(self, g_params: Params, d_params: Params,
@@ -272,8 +287,9 @@ class GanModel:
             # netE feat map stays G-only, as in the reference.
             a_d = (jnp.concatenate([a, edges.astype(a.dtype)], axis=-1)
                    if edges is not None else a)
-            metrics = self._frame_losses(g_params, d_params, a_d, b,
-                                         fake_for_d, fake)
+            metrics = self._frame_losses(
+                g_params, d_params, a_d, b, fake_for_d, fake,
+                k_gp=jax.random.fold_in(k_pool, 1))
             if inst_collisions is not None:
                 # stop_gradient: a diagnostic count, not a loss term
                 metrics["inst_collisions"] = jax.lax.stop_gradient(
@@ -311,7 +327,8 @@ class GanModel:
             else:
                 fake_for_d = fake
             m = self._frame_losses(g_params, d_params, a_t, b_t,
-                                   fake_for_d, fake)
+                                   fake_for_d, fake,
+                                   k_gp=jax.random.fold_in(kp, 1))
             new_prev = (jnp.concatenate([fake, prev], axis=-1)[..., :out_nc * n_prev]
                         if n_prev > 0 else prev)
             return (new_prev, pool), m

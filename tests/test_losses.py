@@ -106,3 +106,68 @@ def test_vgg_gradient_flows_to_fake_only():
     gb = jax.grad(lambda x: vgg_loss(vgg, a, x))(b)
     assert float(jnp.abs(ga).max()) > 0
     assert float(jnp.abs(gb).max()) == 0.0  # real side stop-gradiented
+
+
+def test_wgangp_loss_values():
+    """Wasserstein critic values: G and D sides on known logits."""
+    from ir2rgb_tpu.losses.gan import gan_loss_d_parts, gan_loss_g
+
+    logits = jnp.full((1, 4, 4, 1), 3.0)
+    out = [[logits]]
+    # G: -E[D(fake)]
+    assert float(gan_loss_g(out, "wgangp")) == pytest.approx(-3.0)
+    # D: 0.5*(-E[D(real)]), 0.5*(E[D(fake)])
+    real, fake = gan_loss_d_parts(out, out, "wgangp")
+    assert float(real) == pytest.approx(-1.5)
+    assert float(fake) == pytest.approx(1.5)
+
+
+def test_gradient_penalty_analytic():
+    """Linear critic D(x) = 2*sum(x): gradient is 2 everywhere, so the
+    per-sample norm is 2*sqrt(N) independent of the interpolation point
+    and the penalty is exactly lambda*(2*sqrt(N)-1)^2."""
+    import numpy as np
+
+    from ir2rgb_tpu.losses.gan import gradient_penalty
+
+    b, h, w, c = 2, 4, 4, 3
+    n = h * w * c
+    real = jnp.asarray(np.random.RandomState(0).rand(b, h, w, c),
+                       jnp.float32)
+    fake = jnp.asarray(np.random.RandomState(1).rand(b, h, w, c),
+                       jnp.float32)
+    d_apply = lambda x: [[2.0 * x]]
+    gp = gradient_penalty(d_apply, real, fake, jax.random.PRNGKey(0),
+                          lambda_gp=10.0)
+    expected = 10.0 * (2.0 * np.sqrt(n) - 1.0) ** 2
+    assert float(gp) == pytest.approx(expected, rel=1e-5)
+
+
+def test_wgangp_train_step():
+    """Full fused step in wgangp mode: GP metric present and finite,
+    both nets get finite updates (grad-of-grad through the critic)."""
+    import dataclasses
+
+    import numpy as np
+
+    from ir2rgb_tpu.config import PRESETS
+    from ir2rgb_tpu.train import create_model
+
+    cfg = PRESETS["pix2pix_unet256"]
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, net_g="resnet_6blocks",
+                                  ngf=8, ndf=8, net_d="pixel"),
+        loss=dataclasses.replace(cfg.loss, gan_mode="wgangp",
+                                 no_gan_feat_loss=True))
+    model = create_model(cfg, steps_per_epoch=10)
+    rng = np.random.RandomState(0)
+    batch = {"a": jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32),
+             "b": jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)}
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    state2, metrics = jax.jit(model.train_step)(state, batch)
+    assert "D_GP" in metrics and np.isfinite(float(metrics["D_GP"]))
+    assert float(metrics["D_GP"]) > 0.0
+    d_delta = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.d_params, state2.d_params))
+    assert max(d_delta) > 0.0 and all(np.isfinite(d_delta))
