@@ -43,9 +43,15 @@ def main(argv=None) -> int:
     # test-time invariants (reference TestOptions): sequential batch-1
     # frames, no augmentation. Temporal models stream frame-by-frame with
     # the on-device carry, so the dataset is read as an aligned sequence.
+    # dataset_mode single (input-only folders, no ground truth) is
+    # honored; temporal datasets stream frame-by-frame as aligned pairs
+    single = cfg.data.dataset_mode == "single"
     cfg = cfg.replace(data=dataclasses.replace(
         cfg.data, phase="test", serial_batches=True, no_flip=True,
-        batch_size=1, dataset_mode="aligned"))
+        batch_size=1, dataset_mode="single" if single else "aligned"))
+    if single and cfg.infer.use_encoded_image:
+        raise SystemExit("--infer.use_encoded_image needs ground-truth "
+                         "images; dataset_mode=single has none")
 
     loader = DataLoader(cfg, phase="test", shuffle=False)
     model = create_model(cfg, steps_per_epoch=max(len(loader), 1))
@@ -149,8 +155,9 @@ def main(argv=None) -> int:
         # for the gallery before handing the array over
         input_img = tensor2im(batch["a"])
         fake = stream.push_device(batch["a"], feat=feat, edges=edges)
-        psnrs.append(float(psnr(fake, batch["b"])))
-        ssims.append(float(ssim(fake, batch["b"])))
+        if not single:  # single mode: batch['b'] is the input, not truth
+            psnrs.append(float(psnr(fake, batch["b"])))
+            ssims.append(float(ssim(fake, batch["b"])))
 
         def _ar(img):
             # reference --aspect_ratio: stretch output width for display
@@ -165,17 +172,20 @@ def main(argv=None) -> int:
             return np.asarray(Image.fromarray(img).resize(
                 (int(w * cfg.infer.aspect_ratio), h), Image.BICUBIC))
 
-        vis.save_images(page, {
-            "input": _ar(input_img),
-            "generated": _ar(tensor2im(fake)),
-            "target": _ar(tensor2im(batch["b"])),
-        }, host_batch["paths"][0][0])
+        visuals = {"input": _ar(input_img),
+                   "generated": _ar(tensor2im(fake))}
+        if not single:
+            visuals["target"] = _ar(tensor2im(batch["b"]))
+        vis.save_images(page, visuals, host_batch["paths"][0][0])
         count += 1
     vis.flush()  # async gallery writes hit disk before the page references them
     page.save()
     if psnrs:
         print(f"frames: {count}  PSNR: {np.mean(psnrs):.2f} dB  "
               f"SSIM: {np.mean(ssims):.4f}", flush=True)
+    elif single:
+        print(f"frames: {count}  (single mode: no ground truth, "
+              f"no PSNR/SSIM)", flush=True)
     return 0
 
 

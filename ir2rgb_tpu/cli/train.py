@@ -28,6 +28,11 @@ def main(argv=None) -> int:
     from ir2rgb_tpu.infer.stream import tensor2im
 
     cfg = parse_cli(argv)
+    if cfg.data.dataset_mode == "single":
+        raise SystemExit(
+            "dataset_mode=single has no ground-truth RGB targets — it is "
+            "a test.py-only mode; training needs aligned (or temporal) "
+            "pairs")
     if cfg.train.multihost:
         from ir2rgb_tpu.parallel import multihost
         # explicit user intent: a failed cluster bring-up must raise, not

@@ -58,7 +58,6 @@ REFERENCE_FLAG_TABLE: Dict[str, Tuple[str, str, Any]] = {
     "lr": ("train", "lr", float),
     "beta1": ("train", "beta1", float),
     "init_type": ("model", "init_type", None),
-    "gan_mode": ("loss", "gan_mode", None),
     "lr_policy": ("train", "lr_policy", None),
     "lr_decay_iters": ("train", "lr_decay_iters", int),
     "continue_train": ("train", "continue_train", bool),
@@ -75,6 +74,7 @@ REFERENCE_FLAG_TABLE: Dict[str, Tuple[str, str, Any]] = {
     "no_vgg_loss": ("loss", "no_vgg_loss", bool),
     "no_lsgan": ("loss", "gan_mode", lambda v: "vanilla" if v else "lsgan"),
     "gan_mode": ("loss", "gan_mode", None),
+    "dataset_mode": ("data", "dataset_mode", None),
     "pool_size": ("loss", "pool_size", int),
     # test_options
     "results_dir": ("infer", "results_dir", None),

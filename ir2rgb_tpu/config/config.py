@@ -103,7 +103,7 @@ class DataConfig:
     # directory layout: "AB" (paired side-by-side images), "A_B" (A/ and B/
     # subfolders of aligned frames)
     direction: str = "AtoB"
-    dataset_mode: str = "aligned"  # aligned | temporal
+    dataset_mode: str = "aligned"  # aligned | temporal | single (test-only)
 
 
 @dataclass(frozen=True)

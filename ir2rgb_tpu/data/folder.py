@@ -74,6 +74,29 @@ def _check_counts_match(a_paths: List[str], b_paths: List[str],
         f"pair — fix the dataset (or remove the unpaired frames).")
 
 
+def find_single_images(root: str, phase: str = "test",
+                       max_size: Optional[int] = None
+                       ) -> List[Tuple[str, str]]:
+    """Input-only dataset (the family's ``--dataset_mode single``):
+    IR frames with no ground-truth RGB. Accepts the usual A-folder
+    layouts or a flat image folder as the root itself. Each item pairs
+    the frame with itself so the decode/transform path stays uniform;
+    the infer CLI skips target metrics/galleries in this mode."""
+    candidates = [os.path.join(root, f"{phase}A"),
+                  os.path.join(root, "A", phase),
+                  os.path.join(root, "A"),
+                  root]
+    for a_dir in candidates:
+        if os.path.isdir(a_dir):
+            paths = make_dataset(a_dir)
+            if paths:
+                pairs = [(p, p) for p in paths]
+                return pairs[:max_size] if max_size is not None else pairs
+    raise FileNotFoundError(
+        f"no input frames under {root} for phase {phase} "
+        f"(tried {candidates})")
+
+
 def find_aligned_pairs(root: str, phase: str = "train",
                        max_size: Optional[int] = None
                        ) -> List[Tuple[str, str]]:

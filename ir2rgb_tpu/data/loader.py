@@ -100,11 +100,20 @@ class DataLoader:
         self.preprocess = d.preprocess
         self.batch_size = d.batch_size
         self.gray_a = cfg.model.input_nc == 1
+        if d.dataset_mode not in ("aligned", "temporal", "single"):
+            raise ValueError(
+                f"unknown dataset_mode {d.dataset_mode!r} "
+                "(aligned | temporal | single)")
         self.temporal = d.dataset_mode == "temporal"
+        self.single = d.dataset_mode == "single"
         if self.temporal:
             self.items: Sequence = find_temporal_sequences(
                 d.dataroot, self.phase, d.n_frames_total,
                 max_size=d.max_dataset_size)
+        elif self.single:
+            from .folder import find_single_images
+            self.items = find_single_images(d.dataroot, self.phase,
+                                            max_size=d.max_dataset_size)
         else:
             self.items = find_aligned_pairs(d.dataroot, self.phase,
                                             max_size=d.max_dataset_size)

@@ -246,3 +246,32 @@ def test_feature_workflow_e2e(env, tmp_path):
             timeout=600)
         assert rc.returncode == 0, (extra, rc.stderr[-2000:])
         assert "PSNR" in rc.stdout
+
+
+def test_infer_cli_single_mode(env, torch_ckpt, tmp_path):
+    """test.py over an input-only folder (--dataset_mode single):
+    gallery has input+generated only, no PSNR line, clean exit."""
+    from PIL import Image
+
+    root = tmp_path / "onlyA"
+    (root / "testA").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)
+                        ).save(root / "testA" / f"{i}.png")
+    out = subprocess.run(
+        [sys.executable, "test.py",
+         "--model.net_g", "resnet_6blocks", "--model.ngf", "8",
+         "--loss.no_vgg_loss", "true",
+         "--data.dataroot", str(root), "--data.load_size", "48",
+         "--data.crop_size", "32", "--data.dataset_mode", "single",
+         "--train.name", "single_run",
+         "--infer.results_dir", str(tmp_path / "results"),
+         "--torch_g", torch_ckpt],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "single mode" in out.stdout and "PSNR:" not in out.stdout
+    gallery = tmp_path / "results" / "single_run" / "test_latest"
+    pngs = list((gallery / "images").glob("*.png"))
+    assert len(pngs) == 6  # 3 frames x (input, generated) — no target

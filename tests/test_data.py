@@ -336,3 +336,40 @@ def test_loader_rejects_dataset_smaller_than_batch(dataset_dir):
                                  batch_size=64))
     with pytest.raises(ValueError, match="batch_size"):
         DataLoader(cfg)
+
+
+def test_single_mode_dataset(tmp_path):
+    """dataset_mode=single: input-only folders (testA/ or a flat dir)
+    index without a B folder; the loader yields uniform a/b batches."""
+    import dataclasses
+
+    from PIL import Image
+
+    from ir2rgb_tpu.config import PRESETS
+    from ir2rgb_tpu.data.folder import find_single_images
+    from ir2rgb_tpu.data.loader import DataLoader
+
+    root = tmp_path / "ds"
+    (root / "testA").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray((rng.rand(40, 40, 3) * 255).astype(np.uint8)
+                        ).save(root / "testA" / f"{i}.png")
+    items = find_single_images(str(root), "test")
+    assert len(items) == 3 and items[0][0] == items[0][1]
+
+    # flat folder as the root itself
+    assert len(find_single_images(str(root / "testA"), "test")) == 3
+
+    cfg = PRESETS["pix2pix_unet256"]
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, dataroot=str(root), dataset_mode="single", phase="test",
+        load_size=40, batch_size=1, serial_batches=True))
+    loader = DataLoader(cfg, phase="test", shuffle=False)
+    batch = next(iter(loader.epoch()))
+    assert batch["a"].shape == (1, 40, 40, 3)
+    np.testing.assert_array_equal(batch["a"], batch["b"])
+
+    with pytest.raises(ValueError, match="dataset_mode"):
+        DataLoader(cfg.replace(data=dataclasses.replace(
+            cfg.data, dataset_mode="bogus")), phase="test")
