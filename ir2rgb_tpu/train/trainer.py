@@ -71,6 +71,18 @@ class Trainer:
         self._jit_generate = jax.jit(
             lambda p, a: model.generate(p, a, train=False))
 
+        def _gen_cond(p, a, b, inst):
+            feat = edges = None
+            if model.enc_cfg is not None:
+                feat = model.encode_features(p, b, inst)
+            if model.cfg.model.use_instance_edges:
+                from ir2rgb_tpu.nn.encoders import instance_edges
+                edges = instance_edges(inst)
+            return model.generate(p, a, train=False, feat=feat,
+                                  edges=edges)
+
+        self._jit_generate_cond = jax.jit(_gen_cond)
+
     # ------------------------------------------------------------------
 
     def init_or_restore(self, key: jax.Array,
@@ -214,7 +226,14 @@ class Trainer:
         b = batch["b"]
         if a.ndim == 5:  # temporal windows: show the first frame
             a, b = a[:, 0], b[:, 0]
-        fake = self._jit_generate(state.g_params, a)
+        if "inst" in batch and (self.model.enc_cfg is not None
+                                or self.cfg.model.use_instance_edges):
+            # conditioned models: display what training actually sees
+            # (real-image netE style + edge channel), not the zeros prior
+            fake = self._jit_generate_cond(state.g_params, a, b,
+                                           batch["inst"])
+        else:
+            fake = self._jit_generate(state.g_params, a)
         epoch = (step - 1) // self.model.steps_per_epoch + 1
         # display the batch's first sample (tensor2im keeps B>1 batched)
         self.visualizer.display_current_results(

@@ -177,3 +177,41 @@ def test_restore_tolerates_f32_pool_checkpoint(tmp_path):
     state2, _ = trainer2._train_step(state2, trainer2.shard(first))
     assert int(jax.device_get(state2.step)) == 2
     trainer2.ckpt.close()
+
+
+def test_display_uses_conditioning(tmp_path):
+    """display_freq images from a feat/edges model are generated with
+    the real conditioning, not the zeros prior (and differ from it)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ir2rgb_tpu.config import PRESETS
+    from ir2rgb_tpu.train import create_model
+    from ir2rgb_tpu.train.trainer import Trainer
+
+    cfg = PRESETS["pix2pixhd_512"]
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, ngf=4, ndf=4, n_downsample_global=2,
+            n_blocks_global=1, n_blocks_local=1,
+            use_instance_feat=True, nef=4, n_downsample_e=2,
+            use_instance_edges=True),
+        loss=dataclasses.replace(cfg.loss, no_vgg_loss=True),
+        train=dataclasses.replace(cfg.train, name="dispcond",
+                                  checkpoints_dir=str(tmp_path)))
+    model = create_model(cfg, steps_per_epoch=10)
+    trainer = Trainer(model, cfg, visualizer=None)
+    rng = np.random.RandomState(0)
+    batch = {
+        "a": jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32),
+        "b": jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32),
+        "inst": jnp.asarray(rng.randint(0, 5, (1, 32, 32))),
+    }
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    y_cond = np.asarray(trainer._jit_generate_cond(
+        state.g_params, batch["a"], batch["b"], batch["inst"]))
+    y_zero = np.asarray(trainer._jit_generate(state.g_params, batch["a"]))
+    assert y_cond.shape == y_zero.shape == (1, 32, 32, 3)
+    assert not np.allclose(y_cond, y_zero)
