@@ -136,7 +136,8 @@ def main(argv=None) -> int:
             jnp.asarray(host_batch["a"]), jnp.asarray(host_batch["b"]),
             jax.random.PRNGKey(0), crop_size=crop, train=False,
             inst=(jnp.asarray(host_batch["inst"])
-                  if "inst" in host_batch else None))
+                  if "inst" in host_batch else None),
+            label_a=cfg.model.label_nc > 0)
         # pix2pixHD test-time feature control (use_instance_feat models):
         # --use_encoded_image encodes the REAL target's style through
         # netE; --cluster_path samples precomputed style centroids per
@@ -152,8 +153,13 @@ def main(argv=None) -> int:
             if edges_jit is not None:
                 edges = edges_jit(batch["inst"])
         # push_device donates its input buffer — snapshot the input image
-        # for the gallery before handing the array over
-        input_img = tensor2im(batch["a"])
+        # for the gallery before handing the array over (label maps get
+        # the reference's Colorize palette, not [-1,1] quantization)
+        if cfg.model.label_nc > 0:
+            from ir2rgb_tpu.infer.stream import label2im
+            input_img = label2im(batch["a"], cfg.model.label_nc)
+        else:
+            input_img = tensor2im(batch["a"])
         fake = stream.push_device(batch["a"], feat=feat, edges=edges)
         if not single:  # single mode: batch['b'] is the input, not truth
             psnrs.append(float(psnr(fake, batch["b"])))

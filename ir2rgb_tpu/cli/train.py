@@ -60,6 +60,8 @@ def main(argv=None) -> int:
             kw = {}
             if not temporal and "inst" in host_batch:
                 kw["inst"] = jnp.asarray(host_batch["inst"])
+            if not temporal and cfg.model.label_nc > 0:
+                kw["label_a"] = True
             yield prep(jnp.asarray(host_batch["a"]),
                        jnp.asarray(host_batch["b"]), sub,
                        crop_size=crop,
@@ -78,8 +80,13 @@ def main(argv=None) -> int:
     # final sample dump
     sample = first["a"] if not temporal else first["a"][:, 0]
     fake = model.generate(state.g_params, sample, train=False)
+    if cfg.model.label_nc > 0:
+        from ir2rgb_tpu.infer.stream import label2im
+        sample_img = label2im(sample[:1], cfg.model.label_nc)
+    else:
+        sample_img = tensor2im(sample[:1])
     vis.display_current_results(
-        {"input": tensor2im(sample[:1]), "generated": tensor2im(fake[:1])},
+        {"input": sample_img, "generated": tensor2im(fake[:1])},
         epoch=cfg.train.niter + cfg.train.niter_decay,
         step=int(jax.device_get(state.step)))
     return 0

@@ -27,6 +27,7 @@ REFERENCE_FLAG_TABLE: Dict[str, Tuple[str, str, Any]] = {
     "ndf": ("model", "ndf", int),
     "norm": ("model", "norm", None),
     "input_nc": ("model", "input_nc", int),
+    "label_nc": ("model", "label_nc", int),
     "output_nc": ("model", "output_nc", int),
     "n_layers_D": ("model", "n_layers_d", int),
     "num_D": ("model", "num_d", int),
@@ -40,6 +41,9 @@ REFERENCE_FLAG_TABLE: Dict[str, Tuple[str, str, Any]] = {
     "fineSize": ("data", "crop_size", int),
     "resize_or_crop": ("data", "preprocess", None),
     "no_dropout": ("model", "use_dropout", lambda v: not v),
+    # pix2pixHD instance/edge conditioning: --no_instance turns the
+    # default-on boundary channel OFF (ir2rgb's real-IR launches pass it)
+    "no_instance": ("model", "use_instance_edges", lambda v: not v),
     # pix2pixHD feature-encoder netE (instance-wise style features)
     "instance_feat": ("model", "use_instance_feat", bool),
     "feat_num": ("model", "feat_num", int),
@@ -75,10 +79,14 @@ REFERENCE_FLAG_TABLE: Dict[str, Tuple[str, str, Any]] = {
     "no_lsgan": ("loss", "gan_mode", lambda v: "vanilla" if v else "lsgan"),
     "gan_mode": ("loss", "gan_mode", None),
     "dataset_mode": ("data", "dataset_mode", None),
+    "which_direction": ("data", "direction", None),
     "pool_size": ("loss", "pool_size", int),
     # test_options
     "results_dir": ("infer", "results_dir", None),
     "how_many": ("infer", "how_many",
+                 lambda v: None if v in (None, "inf") else int(v)),
+    # newer family repos spell how_many as num_test
+    "num_test": ("infer", "how_many",
                  lambda v: None if v in (None, "inf") else int(v)),
     "aspect_ratio": ("infer", "aspect_ratio", float),
     "use_encoded_image": ("infer", "use_encoded_image", bool),

@@ -69,6 +69,14 @@ class ModelConfig:
     # ir2rgb's real-IR launches pass --no_instance, so off by default
     # here; enable for datasets that carry instance maps)
     use_instance_edges: bool = False
+    # pix2pixHD --label_nc: when > 0 the A side is an integer semantic
+    # label map (one PNG of class ids per frame) that is one-hot encoded
+    # on device into label_nc channels for both G and D (the reference's
+    # encode_input scatter). 0 = ir2rgb's real-valued IR input path
+    # (SURVEY.md §2.2 pix2pixHD encode_input row; the [C] assumption that
+    # ir2rgb runs label_nc=0 stays the default — this surfaces the
+    # inherited pix2pixHD semantic-label mode for datasets that use it).
+    label_nc: int = 0
     # static segment-space size for the on-device instance-wise pooling
     # (raw ids are hashed into this many slots; distinct ids that collide
     # share a style vector — raise this for datasets with many instances
@@ -100,8 +108,8 @@ class DataConfig:
     num_workers: int = 2
     # temporal dataset: frames per training window
     n_frames_total: int = 4
-    # directory layout: "AB" (paired side-by-side images), "A_B" (A/ and B/
-    # subfolders of aligned frames)
+    # reference --which_direction: "AtoB" trains A->B (ir2rgb: IR->RGB);
+    # "BtoA" swaps the pair so the model learns the reverse mapping
     direction: str = "AtoB"
     dataset_mode: str = "aligned"  # aligned | temporal | single (test-only)
 

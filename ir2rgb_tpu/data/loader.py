@@ -100,12 +100,20 @@ class DataLoader:
         self.preprocess = d.preprocess
         self.batch_size = d.batch_size
         self.gray_a = cfg.model.input_nc == 1
+        # label_nc > 0: the A side is integer class-id maps — decode via
+        # the NEAREST-resize id path (bilinear would blend class ids);
+        # the model one-hot encodes on device (train/model.encode_label)
+        self.label_a = cfg.model.label_nc > 0
         if d.dataset_mode not in ("aligned", "temporal", "single"):
             raise ValueError(
                 f"unknown dataset_mode {d.dataset_mode!r} "
                 "(aligned | temporal | single)")
         self.temporal = d.dataset_mode == "temporal"
         self.single = d.dataset_mode == "single"
+        if self.label_a and self.temporal:
+            raise ValueError(
+                "label_nc (semantic-label input) + temporal dataset_mode "
+                "are not combined (matches train/model.create_model)")
         if self.temporal:
             self.items: Sequence = find_temporal_sequences(
                 d.dataroot, self.phase, d.n_frames_total,
@@ -117,6 +125,17 @@ class DataLoader:
         else:
             self.items = find_aligned_pairs(d.dataroot, self.phase,
                                             max_size=d.max_dataset_size)
+        if d.direction not in ("AtoB", "BtoA"):
+            raise ValueError(f"unknown direction {d.direction!r} "
+                             "(AtoB | BtoA)")
+        if d.direction == "BtoA" and not self.single:
+            # reference --which_direction BtoA: swap the pair so the
+            # model learns the reverse mapping (aligned_dataset swap)
+            if self.temporal:
+                self.items = [tuple((pb, pa) for pa, pb in w)
+                              for w in self.items]
+            else:
+                self.items = [(pb, pa) for pa, pb in self.items]
         self.inst_paths = None
         if ((cfg.model.use_instance_feat or cfg.model.use_instance_edges)
                 and not self.temporal):
@@ -249,8 +268,12 @@ class DataLoader:
                 pairs = [self.items[j] for j in idxs]
                 self._verify_native_sizes([p for pair in pairs
                                            for p in pair])
-                a = _decode_many([pa for pa, _ in pairs], self.target_hw,
-                                 self.gray_a)
+                if self.label_a:
+                    a = _decode_inst([pa for pa, _ in pairs],
+                                     self.target_hw)[..., None]
+                else:
+                    a = _decode_many([pa for pa, _ in pairs],
+                                     self.target_hw, self.gray_a)
                 b = _decode_many([pb for _, pb in pairs], self.target_hw)
                 batch = {"a": a, "b": b,
                          "paths": [[pa] for pa, _ in pairs]}

@@ -47,12 +47,14 @@ def _paired_crop_flip(a: jax.Array, b: jax.Array, key: jax.Array,
     return a, b
 
 
-@functools.partial(jax.jit, static_argnames=("crop_size", "no_flip", "train"))
+@functools.partial(jax.jit, static_argnames=("crop_size", "no_flip",
+                                              "train", "label_a"))
 def preprocess_pair_batch(a_uint8: jax.Array, b_uint8: jax.Array,
                           key: jax.Array, crop_size: Optional[int],
                           no_flip: bool = False,
                           train: bool = True,
-                          inst: Optional[jax.Array] = None
+                          inst: Optional[jax.Array] = None,
+                          label_a: bool = False
                           ) -> Dict[str, jax.Array]:
     """(B, loadH, loadW, C) uint8 pairs -> augmented normalized batch.
 
@@ -62,6 +64,9 @@ def preprocess_pair_batch(a_uint8: jax.Array, b_uint8: jax.Array,
     ``inst``: optional (B, loadH, loadW) int instance-id maps — the SAME
     spatial transform is applied (by replaying the per-item RNG keys),
     never normalized (pix2pixHD --instance_feat path).
+    ``label_a``: the A side is an integer class-id map (model.label_nc >
+    0) — cropped/flipped like the image but NOT normalized; emitted as
+    int32 ids for the model's on-device one-hot encode.
     """
     bsz = a_uint8.shape[0]
     inst4 = inst[..., None] if inst is not None else None  # (B,H,W,1)
@@ -93,7 +98,8 @@ def preprocess_pair_batch(a_uint8: jax.Array, b_uint8: jax.Array,
         b = b_uint8[:, oy:oy + crop_size, ox:ox + crop_size, :]
         if inst4 is not None:
             inst4 = inst4[:, oy:oy + crop_size, ox:ox + crop_size, :]
-    out = {"a": _normalize(a), "b": _normalize(b)}
+    out = {"a": a.astype(jnp.int32) if label_a else _normalize(a),
+           "b": _normalize(b)}
     if inst4 is not None:
         out["inst"] = inst4[..., 0].astype(jnp.int32)
     return out

@@ -98,10 +98,14 @@ def _unflatten_params(paths: Sequence[Sequence[str]], leaves,
 
 def _build_step(model, temporal: bool, carry_c: int):
     """The uint8-wire serving step — identical math to
-    ``StreamingGenerator``'s ``step_u8`` (stream.py)."""
+    ``StreamingGenerator``'s ``step_u8`` (stream.py). label_nc models
+    ship raw class-id bytes on the wire (no [-1,1] normalize; generate()
+    one-hot encodes on device)."""
+    pre = ((lambda x: x.astype(jnp.float32))
+           if model.cfg.model.label_nc > 0 else _dev_normalize)
     if temporal:
         def step(params, a_u8, carry):
-            fake = model.generate(params, _dev_normalize(a_u8),
+            fake = model.generate(params, pre(a_u8),
                                   prev=carry, train=False)
             fake32 = fake.astype(jnp.float32)
             new_carry = jnp.concatenate([fake32, carry],
@@ -110,7 +114,7 @@ def _build_step(model, temporal: bool, carry_c: int):
     else:
         def step(params, a_u8):
             return _dev_quantize(model.generate(params,
-                                                _dev_normalize(a_u8),
+                                                pre(a_u8),
                                                 train=False))
     return step
 
@@ -135,6 +139,10 @@ def export_serving_artifact(model, g_params, frame_hw: Tuple[int, int],
             "use_instance_feat/use_instance_edges models need instance "
             "maps per frame — serve them through cli/infer.py (or "
             "StreamingGenerator.push_device(feat=, edges=)) instead")
+    if cfgm.label_nc > 256:
+        raise ValueError(
+            f"label_nc={cfgm.label_nc} class ids do not fit the uint8 "
+            "serving wire; serve through cli/infer.py instead")
     temporal = cfgm.model == "temporal"
     n_prev = (cfgm.n_frames_g - 1) if temporal else 0
     carry_c = cfgm.output_nc * n_prev
@@ -146,7 +154,8 @@ def export_serving_artifact(model, g_params, frame_hw: Tuple[int, int],
     paths, leaves = _flatten_params(g_params)
     p_struct = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), g_params)
-    a_struct = jax.ShapeDtypeStruct((batch, h, w, cfgm.input_nc),
+    wire_nc = 1 if cfgm.label_nc > 0 else cfgm.input_nc
+    a_struct = jax.ShapeDtypeStruct((batch, h, w, wire_nc),
                                     jnp.uint8)
     args = (p_struct, a_struct)
     if temporal:
@@ -160,7 +169,8 @@ def export_serving_artifact(model, g_params, frame_hw: Tuple[int, int],
         "temporal": temporal,
         "frame_hw": [h, w],
         "batch": batch,
-        "input_nc": cfgm.input_nc,
+        "input_nc": wire_nc,
+        "label_nc": cfgm.label_nc,
         "output_nc": cfgm.output_nc,
         "carry_c": carry_c,
         "platforms": list(platforms),

@@ -104,7 +104,9 @@ class MultiStreamServer:
         self.carry_c = cfgm.output_nc * n_prev
         h, w = frame_hw
         self.frame_hw = (h, w)
-        self.in_nc = cfgm.input_nc
+        # label models carry one id channel on the wire (one-hot happens
+        # on device inside generate)
+        self.in_nc = 1 if cfgm.label_nc > 0 else cfgm.input_nc
         self._free = list(range(self.n_slots))
         self._attached: set = set()
         self._pending_reset = np.zeros(self.physical_slots, np.bool_)
@@ -121,9 +123,15 @@ class MultiStreamServer:
             self._sharding = shard
         self.g_params = g_params
 
+        # label_nc models ship raw class-id bytes: skip the [-1,1]
+        # normalize (generate() one-hot encodes on device) — mirrors
+        # stream.py's uint8 wire path
+        norm = ((lambda u8: u8.astype(jnp.float32))
+                if cfgm.label_nc > 0 else _dev_normalize)
+
         if self.temporal:
             def tick(params, frames_u8, carry, reset, valid):
-                x = _dev_normalize(frames_u8)
+                x = norm(frames_u8)
                 keep = ~reset[:, None, None, None]
                 carry_in = jnp.where(keep, carry, 0.0)
                 fake = model.generate(params, x, prev=carry_in,
@@ -143,7 +151,7 @@ class MultiStreamServer:
         else:
             def tick(params, frames_u8, reset, valid):
                 del reset, valid  # stateless model: masks are no-ops
-                x = _dev_normalize(frames_u8)
+                x = norm(frames_u8)
                 return _dev_quantize(model.generate(params, x,
                                                     train=False))
 

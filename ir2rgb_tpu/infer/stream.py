@@ -91,6 +91,12 @@ class StreamingGenerator:
             self._frame_sharding = shard
         self.g_params = g_params
 
+        # label_nc models stream raw integer class-id frames: the uint8
+        # wire path must NOT [-1,1]-normalize them (generate() one-hot
+        # encodes the ids on device)
+        norm = ((lambda x: x.astype(jnp.float32))
+                if cfgm.label_nc > 0 else _dev_normalize)
+
         if self.temporal:
             def step(params, a, carry):
                 fake = model.generate(params, a, prev=carry, train=False)
@@ -103,7 +109,7 @@ class StreamingGenerator:
             self._step = jax.jit(step, donate_argnums=(1, 2))
 
             def step_u8(params, a_u8, carry):
-                fake, new_carry = step(params, _dev_normalize(a_u8), carry)
+                fake, new_carry = step(params, norm(a_u8), carry)
                 return _dev_quantize(fake), new_carry
 
             self._step_u8 = jax.jit(step_u8, donate_argnums=(1, 2))
@@ -125,7 +131,7 @@ class StreamingGenerator:
             self._step_extra = jax.jit(step_extra, donate_argnums=(1,))
 
             def step_u8(params, a_u8):
-                return _dev_quantize(step(params, _dev_normalize(a_u8)))
+                return _dev_quantize(step(params, norm(a_u8)))
 
             self._step_u8 = jax.jit(step_u8, donate_argnums=(1,))
 
@@ -240,6 +246,31 @@ def translate_clip(model: GanModel, g_params, a_seq: jax.Array) -> jax.Array:
 
     _, fakes = jax.lax.scan(step, carry0, a_seq)
     return fakes
+
+
+def label2im(t, label_nc: int) -> np.ndarray:
+    """Integer class-id map -> palette RGB uint8 for galleries (the
+    reference ``util.tensor2label``/``Colorize`` analog). Colors follow
+    the standard VOC bit-interleave colormap the reference's Colorize
+    uses, so id k gets the same color here as there."""
+    arr = np.asarray(jax.device_get(t))
+    if arr.ndim == 4 and arr.shape[0] == 1:
+        arr = arr[0]
+    if arr.ndim == 3 and arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    n = max(int(label_nc), 1)
+    ids = np.clip(np.round(arr).astype(np.int64), 0, n - 1)
+    palette = np.zeros((n, 3), np.uint8)
+    for k in range(n):
+        r = g = b = 0
+        c = k
+        for j in range(7):
+            r |= ((c >> 0) & 1) << (7 - j)
+            g |= ((c >> 1) & 1) << (7 - j)
+            b |= ((c >> 2) & 1) << (7 - j)
+            c >>= 3
+        palette[k] = (r, g, b)
+    return palette[ids]
 
 
 def tensor2im(t: jax.Array) -> np.ndarray:

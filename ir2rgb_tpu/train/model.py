@@ -139,6 +139,20 @@ class GanModel:
         assert self.enc_cfg is not None
         return encoder_apply(g_params["netE"], image, inst, self.enc_cfg)
 
+    def encode_label(self, a: jax.Array) -> jax.Array:
+        """label_nc > 0: (B, H, W, 1) integer class-id map -> one-hot
+        (B, H, W, label_nc) in compute dtype, on device (the reference's
+        encode_input ``scatter_``). Identity when label_nc == 0 (ir2rgb's
+        real-valued IR path). Ids >= label_nc encode to all-zeros rows
+        (one_hot's out-of-range semantics), mirroring the reference's
+        habit of sizing label_nc to the dataset's id space."""
+        label_nc = self.cfg.model.label_nc
+        if label_nc <= 0:
+            return a
+        ids = jnp.round(a[..., 0].astype(jnp.float32)).astype(jnp.int32)
+        return jax.nn.one_hot(ids, label_nc,
+                              dtype=self.gen_cfg.compute_dtype)
+
     def generate(self, g_params: Params, a: jax.Array,
                  prev: Optional[jax.Array] = None,
                  train: bool = False,
@@ -150,7 +164,12 @@ class GanModel:
         use_instance_edges, ``edges`` is the (B, H, W, 1) boundary map;
         with use_instance_feat, ``feat`` is the netE style map (each
         zeros when absent). Channel order matches the reference's
-        encode_input/forward: input, edges, feat[, temporal prev]."""
+        encode_input/forward: input, edges, feat[, temporal prev].
+
+        With label_nc > 0, ``a`` is a raw (B, H, W, 1) integer label map
+        and is one-hot encoded here (the reference encode_input's
+        scatter_ oneHot path) before any concatenation."""
+        a = self.encode_label(a)
         if self.cfg.model.use_instance_edges:
             if edges is None:
                 edges = jnp.zeros(a.shape[:-1] + (1,), a.dtype)
@@ -282,11 +301,15 @@ class GanModel:
                     pool, jax.lax.stop_gradient(fake), k_pool)
             else:
                 fake_for_d = fake
-            # D conditions on the edge channel too (reference
-            # discriminate() sees input_label = cat(input, edges)); the
-            # netE feat map stays G-only, as in the reference.
-            a_d = (jnp.concatenate([a, edges.astype(a.dtype)], axis=-1)
-                   if edges is not None else a)
+            # D conditions on the encoded label (one-hot when label_nc>0;
+            # XLA CSE merges this with generate()'s identical encode) and
+            # the edge channel too (reference discriminate() sees
+            # input_label = cat(one_hot(label), edges)); the netE feat
+            # map stays G-only, as in the reference.
+            a_enc = self.encode_label(a)
+            a_d = (jnp.concatenate([a_enc, edges.astype(a_enc.dtype)],
+                                   axis=-1)
+                   if edges is not None else a_enc)
             metrics = self._frame_losses(
                 g_params, d_params, a_d, b, fake_for_d, fake,
                 k_gp=jax.random.fold_in(k_pool, 1))
@@ -391,8 +414,15 @@ def create_model(cfg: Config, steps_per_epoch: int = 1000,
     m = cfg.model
     compute_dtype = _dtype_of(m.compute_dtype)
     n_prev = (m.n_frames_g - 1) if m.model == "temporal" else 0
-    g_input_nc = m.input_nc + m.output_nc * n_prev
-    d_input_nc = m.input_nc + m.output_nc
+    # label_nc > 0: G/D consume the one-hot encoded label map instead of
+    # a real-valued input image (reference --label_nc semantics)
+    base_input_nc = m.label_nc if m.label_nc > 0 else m.input_nc
+    if m.label_nc > 0:
+        assert m.model != "temporal", \
+            "label_nc (semantic-label input) + temporal mode are not " \
+            "combined (the reference families keep them separate)"
+    g_input_nc = base_input_nc + m.output_nc * n_prev
+    d_input_nc = base_input_nc + m.output_nc
     if m.use_instance_edges:
         # reference encode_input: the instance boundary channel rides
         # the label input, so BOTH G and D see it (feat is G-only)

@@ -235,7 +235,12 @@ class Trainer:
         else:
             fake = self._jit_generate(state.g_params, a)
         epoch = (step - 1) // self.model.steps_per_epoch + 1
+        if self.cfg.model.label_nc > 0:
+            from ir2rgb_tpu.infer.stream import label2im
+            input_img = label2im(a[:1], self.cfg.model.label_nc)
+        else:
+            input_img = tensor2im(a[:1])
         # display the batch's first sample (tensor2im keeps B>1 batched)
         self.visualizer.display_current_results(
-            {"input": tensor2im(a[:1]), "generated": tensor2im(fake[:1]),
+            {"input": input_img, "generated": tensor2im(fake[:1]),
              "target": tensor2im(b[:1])}, epoch, step)

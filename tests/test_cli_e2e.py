@@ -128,6 +128,66 @@ def test_train_cli_instance_features(env, tmp_path):
     assert "G_GAN" in open(log).read()
 
 
+def test_train_and_infer_cli_label_nc(env, tmp_path):
+    """Reference-style --label_nc launch end-to-end: semantic label maps
+    (class-id PNGs in trainA/testA) train through the one-hot
+    encode_input path, then test.py infers from the run checkpoint and
+    writes a palette-colorized gallery."""
+    from PIL import Image
+
+    root = tmp_path / "labelds"
+    rng = np.random.RandomState(0)
+    for phase in ("train", "test"):
+        (root / f"{phase}A").mkdir(parents=True)
+        (root / f"{phase}B").mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(rng.randint(0, 5, (48, 48)).astype(np.uint8)
+                            ).save(root / f"{phase}A" / f"{i:03d}.png")
+            Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)
+                            ).save(root / f"{phase}B" / f"{i:03d}.png")
+
+    ckpts = str(tmp_path / "ckpts")
+    rc = subprocess.run(
+        [sys.executable, "train.py",
+         "--model.net_g", "resnet_6blocks", "--model.ngf", "4",
+         "--model.ndf", "8",
+         "--label_nc", "5",                      # reference spelling
+         "--loss.no_vgg_loss", "true",
+         "--data.dataroot", str(root), "--data.load_size", "48",
+         "--data.crop_size", "32", "--data.batch_size", "2",
+         "--train.name", "label_run", "--train.checkpoints_dir", ckpts,
+         "--train.num_devices", "2",
+         "--train.niter", "1", "--train.niter_decay", "0",
+         "--train.print_freq", "2"],
+        cwd="/root/repo", env=env, capture_output=True, text=True)
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    assert "G_GAN" in open(
+        os.path.join(ckpts, "label_run", "loss_log.txt")).read()
+
+    out = subprocess.run(
+        [sys.executable, "test.py",
+         "--model.net_g", "resnet_6blocks", "--model.ngf", "4",
+         "--model.ndf", "8", "--label_nc", "5",
+         "--loss.no_vgg_loss", "true",
+         "--data.dataroot", str(root), "--data.load_size", "48",
+         "--data.crop_size", "32",
+         "--train.name", "label_run", "--train.checkpoints_dir", ckpts,
+         "--infer.results_dir", str(tmp_path / "results"),
+         "--infer.how_many", "2"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PSNR" in out.stdout
+    gallery = tmp_path / "results" / "label_run" / "test_latest"
+    assert (gallery / "index.html").exists()
+    # input panels are palette-colorized RGB, not raw near-black ids
+    inputs = sorted((gallery / "images").glob("*input*.png"))
+    assert inputs, "gallery wrote no input panels"
+    arr = np.asarray(Image.open(inputs[0]).convert("RGB"))
+    assert arr.max() > 32, "label input panel looks like raw ids, " \
+                           "not the Colorize palette"
+
+
 def test_evaluate_cli_all_pairs_skipped_fails(tmp_path):
     """Every pair shape-mismatched -> exit 1 with a message, not NaN
     JSON with exit 0."""

@@ -139,9 +139,10 @@ def test_shim_handles_full_reference_launch_line():
     assert cfg.infer.how_many is None              # inf -> unlimited
     assert cfg.data.max_dataset_size == 200        # --flag=value form
     assert cfg.data.batch_size == 8
-    # one-hot label-map input is a semantic difference, not a no-op
-    with pytest.raises(SystemExit, match="label_nc"):
-        _translate_reference_flags(["--label_nc", "35"])
+    # one-hot label-map input is a real surface (model.label_nc), not a
+    # dropped flag (round-3: the semantic-label path landed)
+    cfg35 = parse_cli(_translate_reference_flags(["--label_nc", "35"]))
+    assert cfg35.model.label_nc == 35
 
 
 def test_shim_routes_which_epoch_to_both_sections():

@@ -51,6 +51,35 @@ def test_loader_batches(dataset_dir):
     assert batch["a"].dtype == np.uint8
 
 
+def test_direction_btoa_swaps_pairs(dataset_dir):
+    """reference --which_direction BtoA: the loader feeds B as input and
+    A as target (aligned_dataset's swap), in aligned AND temporal modes."""
+    cfg = Config(data=DataConfig(dataroot=str(dataset_dir / "pairs"),
+                                 load_size=48, crop_size=32, batch_size=2,
+                                 serial_batches=True))
+    fwd = next(iter(DataLoader(cfg, shuffle=False).epoch()))
+    cfg_r = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                 direction="BtoA"))
+    rev = next(iter(DataLoader(cfg_r, shuffle=False).epoch()))
+    np.testing.assert_array_equal(rev["a"], fwd["b"])
+    np.testing.assert_array_equal(rev["b"], fwd["a"])
+
+    cfg_t = Config(data=DataConfig(dataroot=str(dataset_dir / "video"),
+                                   load_size=48, crop_size=32,
+                                   batch_size=2, dataset_mode="temporal",
+                                   n_frames_total=3, serial_batches=True,
+                                   direction="BtoA"))
+    cfg_tf = cfg_t.replace(data=dataclasses.replace(cfg_t.data,
+                                                    direction="AtoB"))
+    t_fwd = next(iter(DataLoader(cfg_tf, shuffle=False).epoch()))
+    t_rev = next(iter(DataLoader(cfg_t, shuffle=False).epoch()))
+    np.testing.assert_array_equal(t_rev["a"], t_fwd["b"])
+
+    with pytest.raises(ValueError, match="direction"):
+        DataLoader(cfg.replace(data=dataclasses.replace(
+            cfg.data, direction="sideways")))
+
+
 def test_temporal_loader(dataset_dir):
     cfg = Config(data=DataConfig(dataroot=str(dataset_dir / "video"),
                                  load_size=48, crop_size=32, batch_size=2,

@@ -21,16 +21,26 @@ _IGNORED_REFERENCE_FLAGS = {
     "display_port": 1, "data_type": 1, "local_rank": 1,
     "tf_log": 0, "verbose": 0, "fp16": 0,
     "no_html": 0, "debug": 0,
-    # ir2rgb conditions on real IR frames, not segmentation label maps:
-    # --label_nc 0 --no_instance (the common launch spelling in the
-    # pix2pixHD family for real-image input) IS this framework's default
-    # input semantics, so both are accepted no-ops. A nonzero label_nc
-    # (one-hot label-map input) is rejected in _translate, not dropped.
-    # NB the reference's edge channel is ON by default and disabled by
-    # --no_instance; here it is opt-in (--model.use_instance_edges true)
-    # because absence of --no_instance can't be distinguished from a
-    # native-style launch line — see docs/MIGRATION.md.
-    "no_instance": 0, "label_nc": 1,
+    # test-time export flags: the analog is the sealed serving artifact
+    # (`ir2rgb-export` -> one .ir2rgb file, StableHLO + weights) — see
+    # docs/MIGRATION.md "Serving" and infer/export.py
+    "export_onnx": 1, "engine": 1, "onnx": 1,
+    # visdom/HTML cadence knobs with no analog (galleries are async +
+    # always on); --eval is a no-op here (inference is always eval-mode:
+    # InstanceNorm uses per-frame stats, dropout is off at train=False)
+    "update_html_freq": 1, "display_single_pane_ncols": 1,
+    "display_server": 1, "display_env": 1, "display_ncols": 1,
+    "no_display": 0, "eval": 0, "save_by_iter": 0,
+    "ntest": 1, "suffix": 1, "epoch_count": 1,
+    # The reference's edge channel is ON by default and disabled by
+    # --no_instance; on a LAUNCH LINE it stays a no-op here because the
+    # absence of --no_instance can't be distinguished from a native-style
+    # invocation (our default is off, matching ir2rgb's real-IR launches).
+    # opt.txt migration (compat.from_reference_flags) DOES honor the
+    # recorded no_instance value — see docs/MIGRATION.md. --label_nc is a
+    # real flag (one-hot semantic-label input, model.label_nc), not
+    # ignored: it translates through the compat table below.
+    "no_instance": 0,
 }
 
 
@@ -64,12 +74,7 @@ def _translate_reference_flags(argv):
             return argv[i - 1] if i - 1 < len(argv) else None
 
         if name in _IGNORED_REFERENCE_FLAGS:
-            val = take_value(_IGNORED_REFERENCE_FLAGS[name])
-            if name == "label_nc" and val not in (None, "0"):
-                raise SystemExit(
-                    f"--label_nc {val}: one-hot label-map input is not "
-                    "supported; this framework (like ir2rgb) conditions "
-                    "on real IR frames (--label_nc 0). See docs/MIGRATION.md.")
+            take_value(_IGNORED_REFERENCE_FLAGS[name])
             print(f"note: reference flag --{name} has no analog here; "
                   "ignored (docs/MIGRATION.md)", file=sys.stderr)
             continue
@@ -97,7 +102,7 @@ def _translate_reference_flags(argv):
         elif name == "no_dropout":
             take_value(0)
             out.extend(["--model.use_dropout", "false"])
-        elif name in ("how_many", "max_dataset_size"):
+        elif name in ("how_many", "num_test", "max_dataset_size"):
             val = take_value()
             if val not in (None, "inf"):  # inf == our None default
                 out.append(f"--{section}.{field}")
