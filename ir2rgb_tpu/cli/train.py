@@ -25,7 +25,6 @@ def main(argv=None) -> int:
     )
     from ir2rgb_tpu.obs import Visualizer
     from ir2rgb_tpu.train import Trainer, create_model
-    from ir2rgb_tpu.infer.stream import tensor2im
 
     cfg = parse_cli(argv)
     if cfg.data.dataset_mode == "single":
@@ -77,18 +76,11 @@ def main(argv=None) -> int:
 
     state = trainer.fit(state, stream())
 
-    # final sample dump
-    sample = first["a"] if not temporal else first["a"][:, 0]
-    fake = model.generate(state.g_params, sample, train=False)
-    if cfg.model.label_nc > 0:
-        from ir2rgb_tpu.infer.stream import label2im
-        sample_img = label2im(sample[:1], cfg.model.label_nc)
-    else:
-        sample_img = tensor2im(sample[:1])
-    vis.display_current_results(
-        {"input": sample_img, "generated": tensor2im(fake[:1])},
-        epoch=cfg.train.niter + cfg.train.niter_decay,
-        step=int(jax.device_get(state.step)))
+    # final sample dump through the trainer's display hook, so
+    # feat/edge/label-conditioned models show the conditioned forward
+    # (not the zeros prior) and label inputs get the Colorize palette —
+    # same rendering the in-training dashboard uses
+    trainer._display(state, first, int(jax.device_get(state.step)))
     return 0
 
 

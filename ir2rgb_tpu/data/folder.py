@@ -84,17 +84,36 @@ def find_single_images(root: str, phase: str = "test",
     the infer CLI skips target metrics/galleries in this mode."""
     candidates = [os.path.join(root, f"{phase}A"),
                   os.path.join(root, "A", phase),
-                  os.path.join(root, "A"),
-                  root]
+                  os.path.join(root, "A")]
     for a_dir in candidates:
         if os.path.isdir(a_dir):
             paths = make_dataset(a_dir)
             if paths:
                 pairs = [(p, p) for p in paths]
                 return pairs[:max_size] if max_size is not None else pairs
+    # flat-folder fallback: the root itself holds the frames. Refuse if
+    # the root looks like a PAIRED dataset layout — the recursive sweep
+    # would silently interleave ground-truth B frames (and other phases)
+    # into the inputs instead of erroring.
+    import re
+    paired_subs = [d for d in sorted(os.listdir(root))
+                   if os.path.isdir(os.path.join(root, d))
+                   and re.fullmatch(r"(train|test|val)?[AB]|"
+                                    r"(train|test|val)(A|B|Inst)", d)]
+    if paired_subs:
+        raise FileNotFoundError(
+            f"dataset_mode=single found no {phase}A/ input folder under "
+            f"{root}, but the root contains paired-layout folders "
+            f"{paired_subs} — refusing to sweep them as inputs. Point "
+            f"--data.dataroot at the input folder itself, or add a "
+            f"{phase}A/ split.")
+    paths = make_dataset(root)
+    if paths:
+        pairs = [(p, p) for p in paths]
+        return pairs[:max_size] if max_size is not None else pairs
     raise FileNotFoundError(
         f"no input frames under {root} for phase {phase} "
-        f"(tried {candidates})")
+        f"(tried {candidates} and the root itself)")
 
 
 def find_aligned_pairs(root: str, phase: str = "train",

@@ -274,7 +274,14 @@ class DataLoader:
                 else:
                     a = _decode_many([pa for pa, _ in pairs],
                                      self.target_hw, self.gray_a)
-                b = _decode_many([pb for _, pb in pairs], self.target_hw)
+                if self.single:
+                    # input-only mode pairs each frame with itself — reuse
+                    # the decoded array instead of decoding the same file
+                    # twice (infer discards 'b' in single mode)
+                    b = a
+                else:
+                    b = _decode_many([pb for _, pb in pairs],
+                                     self.target_hw)
                 batch = {"a": a, "b": b,
                          "paths": [[pa] for pa, _ in pairs]}
                 if self.inst_paths is not None:

@@ -106,7 +106,8 @@ class MultiStreamServer:
         self.frame_hw = (h, w)
         # label models carry one id channel on the wire (one-hot happens
         # on device inside generate)
-        self.in_nc = 1 if cfgm.label_nc > 0 else cfgm.input_nc
+        self._label = cfgm.label_nc > 0
+        self.in_nc = 1 if self._label else cfgm.input_nc
         self._free = list(range(self.n_slots))
         self._attached: set = set()
         self._pending_reset = np.zeros(self.physical_slots, np.bool_)
@@ -194,9 +195,15 @@ class MultiStreamServer:
         valid = np.zeros(self.physical_slots, np.bool_)
         for sid, a in frames.items():
             a = np.asarray(a)
-            if a.dtype != np.uint8:  # [-1,1] float -> uint8 wire format
-                a = ((np.clip(a.astype(np.float32), -1, 1) + 1.0)
-                     * 127.5).astype(np.uint8)
+            if a.dtype != np.uint8:
+                if self._label:
+                    # class-id frames (int/float ids), NOT images: cast
+                    # to the id byte, never [-1,1]-quantize
+                    a = np.clip(np.round(a.astype(np.float32)), 0,
+                                255).astype(np.uint8)
+                else:  # [-1,1] float -> uint8 wire format
+                    a = ((np.clip(a.astype(np.float32), -1, 1) + 1.0)
+                         * 127.5).astype(np.uint8)
             batch[sid] = a
             valid[sid] = True
         reset = self._pending_reset & valid

@@ -121,7 +121,11 @@ def pixel_disc_init(key, cfg: DiscConfig) -> Params:
         "conv1": {"conv": ops.conv_init(keys[1], cfg.ndf, cfg.ndf * 2, 1,
                                         use_bias=bias),
                   "norm": ops.norm_init(keys[1], cfg.norm, cfg.ndf * 2)},
-        "head": {"conv": ops.conv_init(keys[2], cfg.ndf * 2, 1, 1)},
+        # the reference builds the final conv with bias=use_bias too
+        # (no bias under batch norm, even though no norm follows it) —
+        # match it so param trees line up with imports/exports
+        "head": {"conv": ops.conv_init(keys[2], cfg.ndf * 2, 1, 1,
+                                       use_bias=bias)},
     }
 
 

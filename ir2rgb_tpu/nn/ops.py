@@ -42,7 +42,8 @@ BATCH_NORM_EPS = 1e-5
 # ---------------------------------------------------------------------------
 
 def apply_init_type(params: Params, key: jax.Array, init_type: str,
-                    gain: float = INIT_STD) -> Params:
+                    gain: float = INIT_STD,
+                    deconv_parents: Tuple[str, ...] = ()) -> Params:
     """Re-draw every conv/deconv kernel per the family's ``--init_type``
     (normal | xavier | kaiming | orthogonal).
 
@@ -51,17 +52,28 @@ def apply_init_type(params: Params, key: jax.Array, init_type: str,
     init code stays N(0, 0.02) and this is a pure tree transformation.
     Biases, norm gammas/betas, and non-4D leaves are untouched (the
     reference's init_func only re-draws ``Conv``-classed weights; its
-    norm/bias handling matches the defaults already in place)."""
+    norm/bias handling matches the defaults already in place).
+
+    ``deconv_parents``: kernels whose parent dict key is in this tuple
+    are transposed convolutions. torch computes their fans from the
+    ConvTranspose2d weight layout (cin, cout, k, k) — fan_in = cout*k*k,
+    orthogonal rows indexed by cin — i.e. exactly the fans of a forward
+    conv with I and O swapped, so those leaves are re-drawn for the
+    swapped shape and transposed back (kaiming std and the orthogonal
+    row space then match the reference's init_func on every up layer;
+    xavier is I/O-symmetric and unaffected)."""
     if init_type == "normal":
         return params
     if init_type not in ("xavier", "kaiming", "orthogonal"):
         raise ValueError(f"unknown init_type: {init_type}")
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def redraw(path, leaf):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         if leaf.ndim != 4 or name != "w":
             return leaf
+        parent = (path[-2].key if len(path) > 1
+                  and hasattr(path[-2], "key") else "")
+        is_deconv = parent in deconv_parents
         # stable per-leaf key: fold the path string into the base key
         # (crc32, NOT Python hash() — that is salted per process, which
         # would diverge multihost replicas at init)
@@ -70,14 +82,21 @@ def apply_init_type(params: Params, key: jax.Array, init_type: str,
         for p in path:
             s = p.key if hasattr(p, "key") else str(p)
             k = jax.random.fold_in(k, zlib.crc32(s.encode()) & 0x7FFFFFFF)
-        kh, kw, cin, cout = leaf.shape
+        # draw in the I/O-swapped frame for deconvs, transpose back after
+        shape = ((leaf.shape[0], leaf.shape[1], leaf.shape[3],
+                  leaf.shape[2]) if is_deconv else leaf.shape)
+        kh, kw, cin, cout = shape
         fan_in, fan_out = kh * kw * cin, kh * kw * cout
+
+        def back(w):
+            return jnp.swapaxes(w, 2, 3) if is_deconv else w
+
         if init_type == "xavier":
             std = gain * (2.0 / (fan_in + fan_out)) ** 0.5
-            return jax.random.normal(k, leaf.shape, leaf.dtype) * std
+            return back(jax.random.normal(k, shape, leaf.dtype) * std)
         if init_type == "kaiming":
             std = (2.0 / fan_in) ** 0.5  # a=0, fan_in (reference args)
-            return jax.random.normal(k, leaf.shape, leaf.dtype) * std
+            return back(jax.random.normal(k, shape, leaf.dtype) * std)
         # orthogonal: torch flattens to (cout, fan_in); the smaller
         # dimension's vectors are orthonormal (QR of the tall matrix,
         # sign-fixed for the unique uniform-Haar Q)
@@ -87,7 +106,7 @@ def apply_init_type(params: Params, key: jax.Array, init_type: str,
         q = q * jnp.sign(jnp.diagonal(r))
         mat = q if cout >= fan_in else q.T  # (cout, fan_in)
         w = mat.reshape(cout, kh, kw, cin).transpose(1, 2, 3, 0)
-        return (w * gain).astype(leaf.dtype)
+        return back((w * gain).astype(leaf.dtype))
 
     return jax.tree_util.tree_map_with_path(redraw, params)
 

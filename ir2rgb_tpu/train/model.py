@@ -471,13 +471,18 @@ def create_model(cfg: Config, steps_per_epoch: int = 1000,
 
     if m.init_type != "normal":
         # reference --init_type: post-init weight rewrite, exactly the
-        # family's net.apply(init_func) second phase (ops.apply_init_type)
+        # family's net.apply(init_func) second phase (ops.apply_init_type).
+        # Deconv kernels ("up_conv" always; "up" in deconv upsample mode)
+        # get torch's ConvTranspose2d fan semantics — fan_in = cout*k*k,
+        # orthogonal rows over cin — not the forward-conv fans.
         from ir2rgb_tpu.nn.ops import apply_init_type
         _g0, _d0 = g_init, d_init
+        _dp = (("up_conv", "up") if m.upsample == "deconv"
+               else ("up_conv",))
 
         def g_init(key, _base=_g0, _t=m.init_type):
             return apply_init_type(_base(key), jax.random.fold_in(key, 1),
-                                   _t)
+                                   _t, deconv_parents=_dp)
 
         def d_init(key, _base=_d0, _t=m.init_type):
             return apply_init_type(_base(key), jax.random.fold_in(key, 2),

@@ -47,8 +47,11 @@ def lr_schedule(policy: str, lr: float, niter: int, niter_decay: int,
 
     - ``linear``: the pix2pixHD staircase above (default);
     - ``step``: lr * 0.1^(epoch // lr_decay_iters) (torch StepLR);
-    - ``cosine``: 0.5*lr*(1+cos(pi*epoch/(niter+niter_decay))) —
-      CosineAnnealingLR with eta_min=0, T_max in epochs.
+    - ``cosine``: 0.5*lr*(1+cos(pi*epoch/niter)) — the family's
+      get_scheduler uses CosineAnnealingLR(T_max=opt.n_epochs) i.e. the
+      PRE-decay epoch count, and torch's annealing is periodic: a run
+      with niter_decay > 0 dips to 0 at epoch=niter and cosine-rises
+      back during the decay epochs, exactly as the reference does.
 
     ``plateau`` is deliberately absent: it conditions on a host-observed
     validation metric, which would split the jitted step; use cosine.
@@ -65,11 +68,12 @@ def lr_schedule(policy: str, lr: float, niter: int, niter_decay: int,
             return lr * jnp.power(0.1, epoch_of(step) // lr_decay_iters)
         return schedule
     if policy == "cosine":
-        total = max(niter + niter_decay, 1)
+        t_max = max(niter, 1)  # reference T_max excludes decay epochs
 
         def schedule(step):
-            frac = jnp.clip(epoch_of(step) / total, 0.0, 1.0)
-            return 0.5 * lr * (1.0 + jnp.cos(jnp.pi * frac))
+            # no clip: CosineAnnealingLR's closed form is periodic
+            return 0.5 * lr * (1.0 + jnp.cos(
+                jnp.pi * epoch_of(step) / t_max))
         return schedule
     raise ValueError(f"unknown lr_policy: {policy}")
 

@@ -402,3 +402,13 @@ def test_single_mode_dataset(tmp_path):
     with pytest.raises(ValueError, match="dataset_mode"):
         DataLoader(cfg.replace(data=dataclasses.replace(
             cfg.data, dataset_mode="bogus")), phase="test")
+
+    # a PAIRED-layout root with no test-phase input folder must refuse,
+    # not recursively sweep trainA+trainB ground truth as inputs
+    paired = tmp_path / "paired"
+    for sub in ("trainA", "trainB"):
+        (paired / sub).mkdir(parents=True)
+        Image.fromarray((rng.rand(40, 40, 3) * 255).astype(np.uint8)
+                        ).save(paired / sub / "0.png")
+    with pytest.raises(FileNotFoundError, match="refusing"):
+        find_single_images(str(paired), "test")

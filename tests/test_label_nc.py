@@ -222,3 +222,31 @@ def test_export_serving_artifact_label_model(tmp_path):
     expect_u8 = ((np.clip(np.asarray(expect, np.float32), -1, 1) + 1)
                  * 127.5).astype(np.uint8)
     np.testing.assert_array_equal(np.asarray(out), expect_u8[0])
+    # non-uint8 class-id frames are cast as ids, never [-1,1]-quantized
+    # (which would collapse id 0 -> 127, ids >= 1 -> 255)
+    out_int = served.push(frame.astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(out_int), expect_u8[0])
+
+
+def test_multistream_label_frames():
+    """MultiStreamServer with a label model: int32 id frames produce the
+    same output as the uint8 wire (no image quantization applied)."""
+    from ir2rgb_tpu.infer.multistream import MultiStreamServer
+
+    cfg = label_cfg()
+    model = create_model(cfg, steps_per_epoch=10)
+    batch = label_batch(bsz=1)
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    server = MultiStreamServer(model, state.g_params, (32, 32), n_slots=1)
+    sid = server.open()
+    frame = np.random.RandomState(0).randint(
+        0, LABEL_NC, (32, 32, 1)).astype(np.uint8)
+    out_u8 = server.step({sid: frame})[sid]
+    out_int = server.step({sid: frame.astype(np.int32)})[sid]
+    np.testing.assert_array_equal(out_u8, out_int)
+    expect = model.generate(state.g_params,
+                            jnp.asarray(frame[None], jnp.int32),
+                            train=False)
+    expect_u8 = ((np.clip(np.asarray(expect, np.float32), -1, 1) + 1)
+                 * 127.5).astype(np.uint8)
+    np.testing.assert_array_equal(out_u8, expect_u8[0])

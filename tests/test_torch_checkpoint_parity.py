@@ -177,16 +177,40 @@ def test_local_enhancer_two_levels_parity():
 
 
 def test_pixel_discriminator_parity():
-    """--netD pixel (1x1 PatchGAN): import + forward parity."""
-    t = torch_refs.PixelDiscriminator(input_nc=6, ndf=8).eval()
-    cfg = DiscConfig(net_d="pixel", ndf=8, input_nc=6)
-    torch.manual_seed(0)
-    x_t = torch.randn(1, 6, 16, 16)
-    with torch.no_grad():
-        y_t = t(x_t).numpy()
-    params = import_discriminator(_sd(t), cfg)
-    _, apply = define_d(cfg)
-    y_j = apply(params, jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1)))
-    logits = np.asarray(y_j[0][-1]).transpose(0, 3, 1, 2)
-    assert psnr(logits, y_t, peak=float(np.abs(y_t).max())) >= 40.0
-    np.testing.assert_allclose(logits, y_t, atol=1e-4)
+    """--netD pixel (1x1 PatchGAN): import + forward parity, both norms
+    (batch norm drops the head bias in the public module — the param
+    trees must line up for strict import/export)."""
+    for norm in ("instance", "batch"):
+        t = torch_refs.PixelDiscriminator(input_nc=6, ndf=8,
+                                          norm=norm).eval()
+        if norm == "batch":
+            # family evaluates batch-norm nets with batch statistics
+            # (same convention as test_resnet_generator_parity)
+            t.train()
+        cfg = DiscConfig(net_d="pixel", ndf=8, input_nc=6, norm=norm)
+        torch.manual_seed(0)
+        x_t = torch.randn(1, 6, 16, 16)
+        with torch.no_grad():
+            y_t = t(x_t).numpy()
+        params = import_discriminator(_sd(t), cfg)
+        _, apply = define_d(cfg)
+        import jax
+
+        def leaf_paths(p):
+            return {jax.tree_util.keystr(kp) for kp, _ in
+                    jax.tree_util.tree_flatten_with_path(p)[0]}
+
+        init, _ = define_d(cfg)
+        fresh = init(jax.random.PRNGKey(0))
+        # conv params of a fresh init line up with an import (imported
+        # batch norm additionally carries torch's running stats); in
+        # particular the head bias exists exactly when use_bias does
+        assert leaf_paths(fresh) <= leaf_paths(params), norm
+        assert (("['head']['conv']['b']" in leaf_paths(fresh))
+                == (norm == "instance")), norm
+        assert (("['head']['conv']['b']" in leaf_paths(params))
+                == (norm == "instance")), norm
+        y_j = apply(params, jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1)))
+        logits = np.asarray(y_j[0][-1]).transpose(0, 3, 1, 2)
+        assert psnr(logits, y_t, peak=float(np.abs(y_t).max())) >= 40.0
+        np.testing.assert_allclose(logits, y_t, atol=1e-4)

@@ -245,11 +245,22 @@ def test_lr_policies():
     assert float(step_sched(20)) == pytest.approx(2e-5)     # epoch 2
     assert float(step_sched(40)) == pytest.approx(2e-6)     # epoch 4
 
+    # reference T_max = niter (pre-decay count); CosineAnnealingLR is
+    # periodic, so with niter_decay the lr dips to 0 at epoch=niter and
+    # cosine-rises back during the decay epochs (family quirk, matched)
     cos = lr_schedule("cosine", 1e-3, niter=5, niter_decay=5,
                       steps_per_epoch=10)
+    import math
     assert float(cos(0)) == pytest.approx(1e-3)
-    assert float(cos(50)) == pytest.approx(5e-4, rel=1e-6)  # epoch 5 = mid
-    assert float(cos(100)) == pytest.approx(0.0, abs=1e-10)
+    # epoch 2: 0.5*lr*(1+cos(2pi/5))
+    assert float(cos(25)) == pytest.approx(
+        5e-4 * (1 + math.cos(2 * math.pi / 5)), rel=1e-5)
+    assert float(cos(50)) == pytest.approx(0.0, abs=1e-10)  # epoch 5 = T_max
+    # epoch 7: risen back above the minimum (periodic annealing)
+    assert float(cos(75)) == pytest.approx(
+        5e-4 * (1 + math.cos(7 * math.pi / 5)), rel=1e-5)
+    assert float(cos(75)) > 1e-4
+    assert float(cos(100)) == pytest.approx(1e-3, rel=1e-5)  # epoch 10
 
     with pytest.raises(ValueError, match="lr_policy"):
         lr_schedule("plateau", 1e-3, 1, 1, 10)
@@ -296,6 +307,29 @@ def test_init_types():
     po = apply_init_type(base, jax.random.PRNGKey(3), "orthogonal")
     w = np.asarray(po["down0"]["conv"]["w"], np.float64) / 0.02
     mat = w.transpose(3, 0, 1, 2).reshape(w.shape[3], -1)
+    np.testing.assert_allclose(mat @ mat.T, np.eye(mat.shape[0]),
+                               atol=1e-4)
+
+    # deconv kernels get torch's ConvTranspose2d fans (fan_in = cout*k*k,
+    # orthogonal rows over cin), NOT the forward-conv fans — the up
+    # layers' (3,3,cin=2c,cout=c) HWIO kernels would otherwise draw a
+    # sqrt(2)-off kaiming std vs the reference init_func
+    pk = apply_init_type(base, jax.random.PRNGKey(2), "kaiming",
+                         deconv_parents=("up",))
+    w = np.asarray(pk["up0"]["up"]["w"])  # (3,3,cin,cout) with cin=2*cout
+    fan_in_t = w.shape[0] * w.shape[1] * w.shape[3]  # cout*k*k
+    assert np.std(w) == pytest.approx((2.0 / fan_in_t) ** 0.5, rel=0.1)
+    # non-deconv leaves are unaffected by the flag
+    np.testing.assert_array_equal(
+        np.asarray(pk["down0"]["conv"]["w"]),
+        np.asarray(apply_init_type(base, jax.random.PRNGKey(2),
+                                   "kaiming")["down0"]["conv"]["w"]))
+    po = apply_init_type(base, jax.random.PRNGKey(3), "orthogonal",
+                         deconv_parents=("up",))
+    w = np.asarray(po["up0"]["up"]["w"], np.float64) / 0.02
+    # rows indexed by cin (torch flattens ConvTranspose2d weight to
+    # (cin, cout*k*k)); cin < cout*k*k here -> rows orthonormal
+    mat = w.transpose(2, 0, 1, 3).reshape(w.shape[2], -1)
     np.testing.assert_allclose(mat @ mat.T, np.eye(mat.shape[0]),
                                atol=1e-4)
 

@@ -275,7 +275,9 @@ class PixelDiscriminator(nn.Module):
             nn.Conv2d(ndf, ndf * 2, 1, stride=1, padding=0, bias=use_bias),
             norm_layer(ndf * 2),
             nn.LeakyReLU(0.2, True),
-            nn.Conv2d(ndf * 2, 1, 1, stride=1, padding=0))
+            # the public module passes bias=use_bias here too (no bias
+            # under batch norm, even though no norm follows the head)
+            nn.Conv2d(ndf * 2, 1, 1, stride=1, padding=0, bias=use_bias))
 
     def forward(self, x):
         return self.net(x)
