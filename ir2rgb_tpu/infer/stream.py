@@ -93,9 +93,14 @@ class StreamingGenerator:
 
         # label_nc models stream raw integer class-id frames: the uint8
         # wire path must NOT [-1,1]-normalize them (generate() one-hot
-        # encodes the ids on device)
+        # encodes the ids on device). Their int id buffers also can't be
+        # recycled into the float/uint8 outputs, so donating the frame
+        # argument would only emit XLA "donated buffer not usable"
+        # warnings every step — donate the carry only.
+        label = cfgm.label_nc > 0
         norm = ((lambda x: x.astype(jnp.float32))
-                if cfgm.label_nc > 0 else _dev_normalize)
+                if label else _dev_normalize)
+        frame_donate = () if label else (1,)
 
         if self.temporal:
             def step(params, a, carry):
@@ -106,18 +111,19 @@ class StreamingGenerator:
                 return fake, new_carry
 
             # donate a + carry: their HBM is recycled for the outputs
-            self._step = jax.jit(step, donate_argnums=(1, 2))
+            self._step = jax.jit(step, donate_argnums=frame_donate + (2,))
 
             def step_u8(params, a_u8, carry):
                 fake, new_carry = step(params, norm(a_u8), carry)
                 return _dev_quantize(fake), new_carry
 
-            self._step_u8 = jax.jit(step_u8, donate_argnums=(1, 2))
+            self._step_u8 = jax.jit(step_u8,
+                                     donate_argnums=frame_donate + (2,))
         else:
             def step(params, a):
                 return model.generate(params, a, train=False)
 
-            self._step = jax.jit(step, donate_argnums=(1,))
+            self._step = jax.jit(step, donate_argnums=frame_donate)
 
             # pix2pixHD test-time conditioning (style feat map and/or
             # instance edge channel): a separate jitted step so the
@@ -128,12 +134,13 @@ class StreamingGenerator:
                 return model.generate(params, a, train=False, feat=feat,
                                       edges=edges)
 
-            self._step_extra = jax.jit(step_extra, donate_argnums=(1,))
+            self._step_extra = jax.jit(step_extra,
+                                        donate_argnums=frame_donate)
 
             def step_u8(params, a_u8):
                 return _dev_quantize(step(params, norm(a_u8)))
 
-            self._step_u8 = jax.jit(step_u8, donate_argnums=(1,))
+            self._step_u8 = jax.jit(step_u8, donate_argnums=frame_donate)
 
     def reset(self) -> None:
         if self._carry is not None:
