@@ -47,22 +47,11 @@ def _native_size(path: str):
 
 
 def _decode_inst(paths: List[str], target_hw) -> np.ndarray:
-    """Instance-id maps -> (B, H, W) int32. NEAREST resize only — ids
-    must never blend (pix2pixHD --instance_feat path)."""
-    from PIL import Image
-    th, tw = target_hw
-    out = np.empty((len(paths), th, tw), np.int32)
-    for i, p in enumerate(paths):
-        with Image.open(p) as im:
-            if im.size != (tw, th):
-                im = im.resize((tw, th), Image.NEAREST)
-            arr = np.asarray(im)
-        if arr.ndim == 3:  # RGB-encoded ids: fold channels into one id
-            arr = (arr[..., 0].astype(np.int32) * 65536
-                   + arr[..., 1].astype(np.int32) * 256
-                   + arr[..., 2].astype(np.int32))
-        out[i] = arr.astype(np.int32)
-    return out
+    """Instance/semantic id maps -> (B, H, W) int32. NEAREST resize only
+    — ids must never blend (pix2pixHD --instance_feat / --label_nc
+    paths). C++ thread pool for PNGs, PIL fallback (data/native.py)."""
+    from .native import decode_ids_batch
+    return decode_ids_batch(list(paths), target_hw[0], target_hw[1])
 
 
 def resolve_target_hw(preprocess: str, load_size: int,

@@ -57,6 +57,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
+            if hasattr(lib, "i2r_decode_ids_batch"):  # older cached .so
+                lib.i2r_decode_ids_batch.restype = ctypes.c_int
+                lib.i2r_decode_ids_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int32),
+                ]
             _LIB = lib
         except Exception:
             _LIB_FAILED = True
@@ -87,6 +94,43 @@ def decode_batch(paths: List[str], out_h: int, out_w: int,
         bad = _find_bad_paths(paths)
         raise IOError(f"native decoder failed on {failures}/{len(paths)} "
                       f"images; unreadable: {bad[:5]}")
+    return out
+
+
+def decode_ids_batch(paths: List[str], out_h: int, out_w: int,
+                     threads: int = 0) -> np.ndarray:
+    """Decode instance/semantic id maps to (N, H, W) int32 with NEAREST
+    resize (ids never blend) — the pix2pixHD --instance_feat / --label_nc
+    input path. Native thread pool for PNGs; PIL for anything else (and
+    for any file the native path rejects), preserving the file's native
+    id space: gray values, palette indices, or folded 24-bit RGB."""
+    lib = _load()
+    if lib is not None and hasattr(lib, "i2r_decode_ids_batch") and paths:
+        out = np.empty((len(paths), out_h, out_w), np.int32)
+        arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+        failures = lib.i2r_decode_ids_batch(
+            arr, len(paths), out_h, out_w, threads,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if not failures:
+            return out
+        # non-PNG or unreadable files in the batch: redo the whole batch
+        # via PIL so every slot is correct (failed slots are unmarked)
+    return _decode_ids_pil(paths, out_h, out_w)
+
+
+def _decode_ids_pil(paths: List[str], out_h: int, out_w: int) -> np.ndarray:
+    from PIL import Image
+    out = np.empty((len(paths), out_h, out_w), np.int32)
+    for i, p in enumerate(paths):
+        with Image.open(p) as im:
+            if im.size != (out_w, out_h):
+                im = im.resize((out_w, out_h), Image.NEAREST)
+            a = np.asarray(im)
+        if a.ndim == 3:  # RGB-encoded ids: fold channels into one id
+            a = (a[..., 0].astype(np.int32) * 65536
+                 + a[..., 1].astype(np.int32) * 256
+                 + a[..., 2].astype(np.int32))
+        out[i] = a.astype(np.int32)
     return out
 
 

@@ -222,6 +222,94 @@ bool encode_png(const char* path, const uint8_t* data, int h, int w, int c) {
   return true;
 }
 
+// ---------------------------------------------------------- id maps ----
+//
+// Instance/semantic id maps (pix2pixHD --instance_feat / --label_nc) need
+// the file's NATIVE id space — the RGB normalization above is wrong for
+// them: a gray PNG's ids are its raw 8/16-bit values, a palette PNG's ids
+// are the palette INDICES (PIL mode "P" semantics), and only true-RGB
+// files fold r*65536 + g*256 + b. Resize is NEAREST — ids never blend.
+
+bool decode_png_ids(FILE* f, std::vector<int32_t>* data, int* out_h,
+                    int* out_w) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+
+  png_uint_32 w = png_get_image_width(png, info);
+  png_uint_32 h = png_get_image_height(png, info);
+  int bit_depth = png_get_bit_depth(png, info);
+  int color_type = png_get_color_type(png, info);
+
+  // keep palette indices and 16-bit gray values intact; expand sub-byte
+  // packing so every sample is at least one byte
+  if (bit_depth < 8) png_set_packing(png);
+  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+  const int channels = png_get_channels(png, info);
+  const int depth = png_get_bit_depth(png, info);
+  const size_t rowbytes = png_get_rowbytes(png, info);
+
+  std::vector<uint8_t> raw(size_t(h) * rowbytes);
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 y = 0; y < h; ++y)
+    rows[y] = raw.data() + size_t(y) * rowbytes;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+
+  *out_h = static_cast<int>(h);
+  *out_w = static_cast<int>(w);
+  data->resize(size_t(h) * w);
+  const bool rgb = (color_type == PNG_COLOR_TYPE_RGB ||
+                    color_type == PNG_COLOR_TYPE_RGB_ALPHA);
+  for (png_uint_32 y = 0; y < h; ++y) {
+    const uint8_t* row = raw.data() + size_t(y) * rowbytes;
+    int32_t* dst = data->data() + size_t(y) * w;
+    for (png_uint_32 x = 0; x < w; ++x) {
+      if (rgb) {  // fold 24-bit RGB ids (PIL ndim==3 path)
+        const uint8_t* p = row + size_t(x) * channels;
+        dst[x] = int32_t(p[0]) * 65536 + int32_t(p[1]) * 256 + p[2];
+      } else if (depth == 16) {  // PNG 16-bit is big-endian
+        const uint8_t* p = row + size_t(x) * 2 * channels;
+        dst[x] = (int32_t(p[0]) << 8) | p[1];
+      } else {  // 8-bit gray value or palette index
+        dst[x] = row[size_t(x) * channels];
+      }
+    }
+  }
+  return true;
+}
+
+// PIL-NEAREST mapping: src = floor((dst + 0.5) * scale)
+void resize_nearest_ids(const int32_t* src, int sh, int sw, int oh, int ow,
+                        int32_t* out) {
+  const double sy = double(sh) / oh;
+  const double sx = double(sw) / ow;
+  std::vector<int> xmap(ow);
+  for (int x = 0; x < ow; ++x) {
+    int v = int((x + 0.5) * sx);
+    xmap[x] = v < sw ? v : sw - 1;
+  }
+  for (int y = 0; y < oh; ++y) {
+    int yy = int((y + 0.5) * sy);
+    if (yy >= sh) yy = sh - 1;
+    const int32_t* srow = src + size_t(yy) * sw;
+    int32_t* drow = out + size_t(y) * ow;
+    for (int x = 0; x < ow; ++x) drow[x] = srow[xmap[x]];
+  }
+}
+
 bool decode_file(const char* path, Image* im) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
@@ -280,6 +368,59 @@ int i2r_decode_batch(const char** paths, int n, int out_h, int out_w,
       uint8_t* slot = out + size_t(i) * stride;
       if (i2r_decode_resize(paths[i], out_h, out_w, gray, slot) != 0) {
         std::memset(slot, 0, stride);
+        failures.fetch_add(1);
+      }
+    }
+  };
+  int t = threads > 0 ? threads : int(std::thread::hardware_concurrency());
+  if (t < 1) t = 1;
+  if (t > n) t = n;
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  for (int i = 0; i < t; ++i) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+// Decode one PNG id map and NEAREST-resize into out (out_h*out_w int32).
+// Non-PNG files return 1 (caller falls back to PIL — id maps in lossy
+// formats are degenerate anyway). 0 on success.
+int i2r_decode_ids(const char* path, int out_h, int out_w, int32_t* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+  unsigned char magic[8] = {0};
+  size_t got = std::fread(magic, 1, 8, f);
+  std::rewind(f);
+  if (got < 8 || png_sig_cmp(magic, 0, 8)) {
+    std::fclose(f);
+    return 1;
+  }
+  std::vector<int32_t> ids;
+  int h = 0, w = 0;
+  bool ok = decode_png_ids(f, &ids, &h, &w);
+  std::fclose(f);
+  if (!ok || h == 0 || w == 0) return 1;
+  if (h == out_h && w == out_w) {
+    std::memcpy(out, ids.data(), size_t(h) * w * sizeof(int32_t));
+  } else {
+    resize_nearest_ids(ids.data(), h, w, out_h, out_w, out);
+  }
+  return 0;
+}
+
+// Thread-pooled batch id decode: paths[n] -> out (n, out_h, out_w) int32.
+// Returns the number of failures (their slots are zeroed).
+int i2r_decode_ids_batch(const char** paths, int n, int out_h, int out_w,
+                         int threads, int32_t* out) {
+  const size_t stride = size_t(out_h) * out_w;
+  std::atomic<int> next(0), failures(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int32_t* slot = out + size_t(i) * stride;
+      if (i2r_decode_ids(paths[i], out_h, out_w, slot) != 0) {
+        std::memset(slot, 0, stride * sizeof(int32_t));
         failures.fetch_add(1);
       }
     }

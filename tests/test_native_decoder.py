@@ -145,3 +145,77 @@ def test_native_rgba_png(tmp_path):
     Image.fromarray(arr, mode="RGBA").save(path)
     n = decode_batch([path], 32, 32)
     np.testing.assert_array_equal(n[0], arr[..., :3])
+
+
+# ---------------------------------------------------------- id maps ----
+
+def _write_id_pngs(tmp_path):
+    """One id map per PNG flavor: 8-bit gray, 16-bit gray, palette
+    (mode P -> ids are palette indices), and RGB-folded."""
+    from PIL import Image
+    rng = np.random.RandomState(7)
+    paths = {}
+    g8 = rng.randint(0, 200, (30, 22)).astype(np.uint8)
+    Image.fromarray(g8).save(tmp_path / "g8.png")
+    paths["g8"] = (str(tmp_path / "g8.png"), g8.astype(np.int32))
+    g16 = rng.randint(0, 40000, (30, 22)).astype(np.uint16)
+    Image.fromarray(g16, mode="I;16").save(tmp_path / "g16.png")
+    paths["g16"] = (str(tmp_path / "g16.png"), g16.astype(np.int32))
+    pal = rng.randint(0, 16, (30, 22)).astype(np.uint8)
+    pim = Image.fromarray(pal, mode="P")
+    pim.putpalette([(i * 3) % 256 for i in range(768)])
+    pim.save(tmp_path / "pal.png")
+    paths["pal"] = (str(tmp_path / "pal.png"), pal.astype(np.int32))
+    rgb = rng.randint(0, 255, (30, 22, 3)).astype(np.uint8)
+    Image.fromarray(rgb).save(tmp_path / "rgb.png")
+    folded = (rgb[..., 0].astype(np.int32) * 65536
+              + rgb[..., 1].astype(np.int32) * 256
+              + rgb[..., 2].astype(np.int32))
+    paths["rgb"] = (str(tmp_path / "rgb.png"), folded)
+    return paths
+
+
+@needs_native
+def test_native_ids_match_pil_same_size(tmp_path):
+    """Every PNG flavor decodes to the file's NATIVE id space (gray
+    values / palette indices / folded RGB), matching the PIL path."""
+    from ir2rgb_tpu.data.native import decode_ids_batch, _decode_ids_pil
+
+    flavors = _write_id_pngs(tmp_path)
+    paths = [p for p, _ in flavors.values()]
+    expect = np.stack([e for _, e in flavors.values()])
+    nat = decode_ids_batch(paths, 30, 22)
+    np.testing.assert_array_equal(nat, expect)
+    pil = _decode_ids_pil(paths, 30, 22)
+    np.testing.assert_array_equal(pil, expect)
+
+
+@needs_native
+def test_native_ids_nearest_resize_matches_pil(tmp_path):
+    """NEAREST resize picks identical source pixels as PIL (both up- and
+    down-scaling, non-square)."""
+    from ir2rgb_tpu.data.native import decode_ids_batch, _decode_ids_pil
+
+    flavors = _write_id_pngs(tmp_path)
+    paths = [p for p, _ in flavors.values()]
+    for th, tw in ((15, 11), (17, 9), (60, 44), (31, 23)):
+        nat = decode_ids_batch(paths, th, tw)
+        pil = _decode_ids_pil(paths, th, tw)
+        np.testing.assert_array_equal(nat, pil, err_msg=f"{th}x{tw}")
+
+
+def test_ids_jpeg_falls_back_to_pil(tmp_path):
+    """Non-PNG id files route through PIL transparently (whole batch)."""
+    from PIL import Image
+
+    from ir2rgb_tpu.data.native import decode_ids_batch
+
+    g = np.full((20, 20), 9, np.uint8)
+    Image.fromarray(g).save(tmp_path / "ids.jpg", quality=98)
+    Image.fromarray(g).save(tmp_path / "ids.png")
+    out = decode_ids_batch([str(tmp_path / "ids.jpg"),
+                            str(tmp_path / "ids.png")], 20, 20)
+    assert out.shape == (2, 20, 20) and out.dtype == np.int32
+    np.testing.assert_array_equal(out[1], 9)
+    # JPEG is lossy but a constant image survives
+    assert np.abs(out[0].astype(np.int64) - 9).max() <= 2
