@@ -22,7 +22,13 @@ import numpy as np
 
 def main() -> None:
     from ir2rgb_tpu.data.native import (
-        _decode_batch_pil, decode_batch, encode_png_batch, native_available)
+        _decode_batch_pil,
+        _decode_ids_pil,
+        decode_batch,
+        decode_ids_batch,
+        encode_png_batch,
+        native_available,
+    )
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
@@ -55,6 +61,30 @@ def main() -> None:
         rows.append({"path": "native_encode", "images": n, "size": size,
                      "ms_per_image": round(t_enc / n * 1e3, 3),
                      "images_per_sec": round(n / t_enc, 1)})
+
+        # id-map decode (--instance_feat / --label_nc input path):
+        # gray id PNGs, NEAREST resize, int32 out
+        from PIL import Image
+        id_paths = [os.path.join(d, f"ids{i:04d}.png") for i in range(n)]
+        ids = rng.randint(0, 200, (n, size, size)).astype(np.uint8)
+        for p, a in zip(id_paths, ids):
+            Image.fromarray(a).save(p)
+        for name, fn in [
+            ("native_ids", lambda: decode_ids_batch(id_paths, size, size)),
+            ("pil_ids", lambda: _decode_ids_pil(id_paths, size, size)),
+        ]:
+            if name == "native_ids" and not native_available():
+                continue
+            fn()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = fn()
+                best = min(best, time.perf_counter() - t0)
+            assert out.shape == (n, size, size)
+            rows.append({"path": name, "images": n, "size": size,
+                         "ms_per_image": round(best / n * 1e3, 3),
+                         "images_per_sec": round(n / best, 1)})
         for r in rows:
             print(json.dumps(r), flush=True)
 
