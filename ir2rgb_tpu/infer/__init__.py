@@ -10,13 +10,14 @@ from .metrics import flicker, psnr, ssim
 from .multistream import MultiStreamServer
 from .stream import (
     StreamingGenerator,
+    label2im,
     single_frame_infer,
     tensor2im,
     translate_clip,
 )
 
 __all__ = ["StreamingGenerator", "MultiStreamServer", "single_frame_infer",
-           "translate_clip", "tensor2im", "psnr", "ssim", "flicker",
+           "translate_clip", "tensor2im", "label2im", "psnr", "ssim", "flicker",
            "export_serving_artifact", "load_serving_artifact",
            "ExportedStream", "collect_dataset_features", "kmeans",
            "save_clusters", "load_clusters", "sample_feature_map"]
