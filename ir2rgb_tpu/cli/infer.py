@@ -8,7 +8,6 @@ or directly from a torch ``.pth`` via ``--torch_g path`` (parity mode).
 
 from __future__ import annotations
 
-import argparse
 import functools
 import os
 import sys

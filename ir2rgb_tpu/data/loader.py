@@ -14,11 +14,10 @@ suffices and keeps the loader dependency-free).
 
 from __future__ import annotations
 
-import collections
 import os
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 

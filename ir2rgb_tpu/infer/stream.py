@@ -18,8 +18,7 @@ forbids batching across time, so the design keeps everything on device:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Iterable, Iterator, List, Optional, Tuple
+from typing import Iterable, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

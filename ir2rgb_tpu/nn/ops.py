@@ -23,7 +23,6 @@ conv/deconv weights ~ N(0, 0.02), norm gamma ~ N(1, 0.02), beta = 0.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax
