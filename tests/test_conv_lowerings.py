@@ -180,3 +180,37 @@ def test_deconv_output_padding_extends_beyond_2h():
     ref = ops.deconv_apply(p, x, stride=2, k=4, pad=1, output_padding=1,
                            lowering="dilated")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_s2d_conv_randomized_geometry_sweep():
+    """Randomized fuzz over (k, pad, stride, h, w, ci, co): 40 seeded
+    geometries, integer-exact equality vs the direct conv — breadth
+    beyond the curated cases above for the perf-critical lowering."""
+    rng = np.random.RandomState(1234)
+    tried = 0
+    while tried < 40:
+        k = int(rng.choice([1, 3, 4, 5, 7]))
+        stride = int(rng.choice([1, 2]))
+        pad = int(rng.randint(0, k))
+        h = int(rng.randint(6, 40))
+        w_ = int(rng.randint(6, 40))
+        ci = int(rng.randint(1, 9))
+        co = int(rng.randint(1, 9))
+        # valid output geometry only
+        if h + 2 * pad < k or w_ + 2 * pad < k:
+            continue
+        tried += 1
+        x = jnp.asarray(rng.randint(-3, 4, (1, h, w_, ci))
+                        .astype(np.float32))
+        w = jnp.asarray(rng.randint(-3, 4, (k, k, ci, co))
+                        .astype(np.float32))
+        ref = lax.conv_general_dilated(
+            x, w, (stride, stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST)
+        got = conv_s2d(x, w, stride, pad)
+        assert got.shape == ref.shape, (k, pad, stride, h, w_, ci, co)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(ref),
+            err_msg=f"k={k} pad={pad} s={stride} h={h} w={w_} "
+                    f"ci={ci} co={co}")
