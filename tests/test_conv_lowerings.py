@@ -214,3 +214,40 @@ def test_s2d_conv_randomized_geometry_sweep():
             np.asarray(got), np.asarray(ref),
             err_msg=f"k={k} pad={pad} s={stride} h={h} w={w_} "
                     f"ci={ci} co={co}")
+
+
+def test_subpixel_deconv_randomized_sweep():
+    """Randomized fuzz of the subpixel transposed-conv lowering vs the
+    lhs-dilated reference form across (k, pad, op, h, w, ci, co)."""
+    from ir2rgb_tpu.nn import ops
+
+    rng = np.random.RandomState(4321)
+    tried = 0
+    while tried < 25:
+        k = int(rng.choice([3, 4, 5]))
+        pad = int(rng.randint(0, k))
+        op = int(rng.randint(0, 2))
+        h = int(rng.randint(5, 24))
+        w_ = int(rng.randint(5, 24))
+        ci = int(rng.randint(1, 7))
+        co = int(rng.randint(1, 7))
+        # torch ConvTranspose2d validity: output = 2(h-1) + k - 2p + op
+        out_h = 2 * (h - 1) + k - 2 * pad + op
+        out_w = 2 * (w_ - 1) + k - 2 * pad + op
+        if out_h <= 0 or out_w <= 0 or op >= 2:
+            continue
+        tried += 1
+        p = {"w": jnp.asarray(rng.randint(-3, 4, (k, k, ci, co))
+                              .astype(np.float32)),
+             "b": jnp.asarray(rng.randint(-2, 3, (co,))
+                              .astype(np.float32))}
+        x = jnp.asarray(rng.randint(-3, 4, (1, h, w_, ci))
+                        .astype(np.float32))
+        ref = ops.deconv_apply(p, x, stride=2, k=k, pad=pad,
+                               output_padding=op, lowering="dilated")
+        got = ops.deconv_apply(p, x, stride=2, k=k, pad=pad,
+                               output_padding=op, lowering="subpixel")
+        assert got.shape == ref.shape, (k, pad, op, h, w_, ci, co)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(ref),
+            err_msg=f"k={k} pad={pad} op={op} h={h} w={w_}")
