@@ -1,7 +1,12 @@
 """Subprocess worker for the real multi-process multihost proof
 (tests/test_parallel.py::test_multihost_two_process_real).
 
-Run as:  python tests/_multihost_worker.py <coordinator> <nproc> <pid>
+Run as:  python tests/_multihost_worker.py <coordinator> <nproc> <pid> [sp]
+
+``sp`` > 1 builds a dp x sp mesh (spatial partitioning: image rows
+sharded over the second axis) instead of pure data parallelism — the
+2-process x (dp x sp) run proves conv halo exchanges span process
+boundaries.
 
 Each process sees 4 virtual CPU devices (XLA_FLAGS set by the parent);
 ``multihost.initialize`` MUST run before any JAX call (the ordering
@@ -22,6 +27,7 @@ import sys
 
 def main() -> None:
     coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    sp = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     if nproc > 1:
         from ir2rgb_tpu.parallel import multihost
         multihost.initialize(coordinator_address=coord,
@@ -63,7 +69,14 @@ def main() -> None:
     full = {"a": host["a"].astype(np.float32) / 127.5 - 1.0,
             "b": host["b"].astype(np.float32) / 127.5 - 1.0}
 
-    mesh = data_parallel_mesh()  # spans all 8 devices across processes
+    if sp > 1:
+        # spatial partitioning spanning processes: dp rows map to
+        # processes (jax.devices() lists process 0's devices first),
+        # image rows shard over each process's own sp devices
+        from ir2rgb_tpu.parallel import dp_sp_mesh
+        mesh = dp_sp_mesh(8 // sp, sp)
+    else:
+        mesh = data_parallel_mesh()  # spans all 8 devices across processes
     if nproc > 1:
         rows = 8 // nproc
         local = {k: v[pid * rows:(pid + 1) * rows] for k, v in full.items()}

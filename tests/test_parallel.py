@@ -213,7 +213,7 @@ def test_multihost_global_batch_single_process():
     np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
 
 
-def _spawn_worker(coord, nproc, pid, n_local_devices, repo_root):
+def _spawn_worker(coord, nproc, pid, n_local_devices, repo_root, sp=1):
     import subprocess
     import sys
 
@@ -228,7 +228,7 @@ def _spawn_worker(coord, nproc, pid, n_local_devices, repo_root):
     return subprocess.Popen(
         [sys.executable, os.path.join(repo_root, "tests",
                                       "_multihost_worker.py"),
-         coord, str(nproc), str(pid)],
+         coord, str(nproc), str(pid), str(sp)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True, cwd=repo_root)
 
@@ -273,6 +273,36 @@ def test_multihost_two_process_real():
                                    err_msg=f"{k}: processes disagree")
         np.testing.assert_allclose(m0[k], ref[k], rtol=1e-4, atol=1e-5,
                                    err_msg=f"{k}: 2-process vs 1-process")
+
+
+def test_multihost_two_process_spatial():
+    """DP x SP spanning OS processes: 2 processes x 4 devices on a
+    dp2 x sp4 mesh — each process owns one dp row, image rows shard over
+    its own devices, and XLA's conv halo exchanges cross the process
+    boundary. Metrics must match the 2-process pure-DP run's reference
+    (the model is element-exact under spatial sharding,
+    test_spatial_partitioning_exactness)."""
+    import socket
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    p0 = _spawn_worker(coord, 2, 0, 4, repo_root, sp=4)
+    p1 = _spawn_worker(coord, 2, 1, 4, repo_root, sp=4)
+    m0 = _worker_metrics(p0)
+    m1 = _worker_metrics(p1)
+    # single-process reference on the same dp2 x sp4 mesh
+    ref = _worker_metrics(_spawn_worker(coord, 1, 0, 8, repo_root, sp=4))
+
+    assert m0["_step"] == m1["_step"] == ref["_step"] == 2
+    for k in ref:
+        np.testing.assert_allclose(m0[k], m1[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=f"{k}: processes disagree")
+        np.testing.assert_allclose(m0[k], ref[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=f"{k}: 2-proc vs 1-proc dpxsp")
 
 
 def test_multihost_initialize_after_jax_raises_when_required():
