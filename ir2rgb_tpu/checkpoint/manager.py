@@ -31,8 +31,23 @@ class CheckpointManager:
         opts = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             enable_async_checkpointing=async_save,
+            # epoch-labeled steps are pinned: the reference keeps every
+            # <epoch>_net_G.pth forever, so which_epoch=N must stay
+            # restorable — without this, retention GC'd labeled steps
+            # while epochs.json kept their labels (dangling labels)
+            should_keep_fn=self._is_labeled_step,
         )
         self._mgr = ocp.CheckpointManager(self._dir, options=opts)
+
+    def _is_labeled_step(self, step: int) -> bool:
+        path = self._epochs_path()
+        if not os.path.exists(path):
+            return False
+        try:
+            with open(path) as fh:
+                return int(step) in {int(s) for s in json.load(fh).values()}
+        except Exception:
+            return False
 
     def save(self, step: int, state: Any, force: bool = False) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)

@@ -191,10 +191,17 @@ def assign_from_plan(sd: "OrderedDict[str, np.ndarray]",
         raise ValueError(
             f"conv count mismatch: checkpoint has {len(got_convs)}, "
             f"architecture expects {len(plan_convs)}")
-    if plan_norms and len(got_norms) != len(plan_norms):
+    if len(got_norms) != len(plan_norms):
+        # covers BOTH directions, including plan_norms == [] with an
+        # affine-norm checkpoint: silently discarding the checkpoint's
+        # BatchNorm gamma/beta/running stats (e.g. importing a
+        # --norm batch .pth into a --norm instance config) would load
+        # cleanly and generate garbage with no diagnostic
         raise ValueError(
-            f"norm count mismatch: checkpoint has {len(got_norms)}, "
-            f"architecture expects {len(plan_norms)}")
+            f"norm-parameter count mismatch: checkpoint has "
+            f"{len(got_norms)} affine norm layer(s), the configured "
+            f"architecture expects {len(plan_norms)} — check --norm "
+            f"(instance norms carry no parameters; batch norms do)")
     for (path, kind), layer in zip(plan_convs, got_convs):
         w = deconv_w(layer["weight"]) if kind == "deconv" else conv_w(
             layer["weight"])

@@ -42,8 +42,15 @@ def query_pool(state: PoolState, fakes: jax.Array,
       with the fake; else return the fake untouched.
     """
     pool_size = state.buffer.shape[0]
-    if pool_size == 0:
-        return fakes, state
+    if state.buffer.shape == (1, 1, 1, 1) and fakes.shape[1:] != (1, 1, 1):
+        # the disabled-pool placeholder from init_pool(0) — callers gate
+        # on cfg.loss.pool_size and must not reach here; scanning the
+        # placeholder against real frames would trace-crash (or worse,
+        # broadcast) confusingly, so fail with the real cause
+        raise ValueError(
+            "query_pool called with the disabled-pool placeholder "
+            "(init_pool(0)); gate on cfg.loss.pool_size > 0 at the call "
+            "site")
 
     def body(carry, inp):
         buffer, count = carry

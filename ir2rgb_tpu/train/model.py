@@ -100,6 +100,11 @@ class GanModel:
     # its params live under g_params["netE"] so the G optimizer covers
     # them, like the reference's optimizer_G = params(G) + params(E)
     enc_cfg: Optional[EncoderConfig] = None
+    # coarse-to-fine unfreeze boundary in steps (niter_fix_global *
+    # steps_per_epoch); > 0 only for net_g=local. At this step the G
+    # Adam moments reset (see train_step) to match the reference's
+    # update_fixed_params, which builds a FRESH optimizer.
+    fix_steps: int = 0
 
     # ------------------------------------------------------------------
     # State
@@ -387,7 +392,27 @@ class GanModel:
         g_grads, d_grads = grads
         g_grads = self.freeze_gate(g_grads, state.step)
 
-        g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt,
+        g_opt_in = state.g_opt
+        if self.fix_steps > 0:
+            # reference update_fixed_params: at the unfreeze epoch a
+            # FRESH Adam covers the full G — moments AND bias-correction
+            # count restart. With the freeze-mask alone, the stale count
+            # makes the first unfrozen update ~(1-b1)/sqrt(1-b2) ~ 16x
+            # the intended lr on the just-unfrozen trunk. Only the
+            # ScaleByAdamState resets; the lr-schedule state (epoch
+            # position) is kept, matching the reference's scheduler.
+            fresh = self.g_tx.init(state.g_params)
+
+            def _is_adam(x):
+                return isinstance(x, optax.ScaleByAdamState)
+
+            reset = jax.tree.map(lambda o, f: f if _is_adam(o) else o,
+                                 state.g_opt, fresh, is_leaf=_is_adam)
+            g_opt_in = jax.lax.cond(state.step == self.fix_steps,
+                                    lambda: reset,
+                                    lambda: state.g_opt)
+
+        g_updates, g_opt = self.g_tx.update(g_grads, g_opt_in,
                                             state.g_params)
         d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt,
                                             state.d_params)
@@ -520,4 +545,5 @@ def create_model(cfg: Config, steps_per_epoch: int = 1000,
         vgg_params=vgg_params, g_tx=adam(), d_tx=adam(),
         freeze_gate=freeze_gate, steps_per_epoch=steps_per_epoch,
         enc_cfg=enc_cfg,
+        fix_steps=fix_steps if m.net_g == "local" else 0,
     )

@@ -84,8 +84,12 @@ def global_freeze_mask(fix_steps: int) -> Callable[[Any, jax.Array], Any]:
     when feature mode is on — keep training, exactly the param groups
     the reference's optimizer_G holds during niter_fix_global).
 
-    Zeroed grads leave Adam moments at zero, so this is equivalent to the
-    reference's param-group freezing without rebuilding the optimizer.
+    Zeroed grads leave the frozen groups' Adam moments at zero; the
+    optimizer's SHARED bias-correction count still advances, so the gate
+    alone is NOT equivalent to the reference's optimizer rebuild at
+    update_fixed_params — train_step additionally resets the
+    ScaleByAdamState at step == fix_steps (see GanModel.fix_steps),
+    which together matches the reference's fresh-Adam unfreeze.
     """
     if fix_steps <= 0:
         return lambda grads, step: grads

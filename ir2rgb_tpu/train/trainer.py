@@ -35,6 +35,47 @@ from ir2rgb_tpu.parallel import (
 from ir2rgb_tpu.train.model import GanModel, TrainState
 
 
+def _partial_merge(dst: Any, src: Any, net: str) -> Any:
+    """Reference BaseModel partial-load tolerance: copy every leaf of
+    ``src`` whose path exists in ``dst`` with the same shape; keep the
+    fresh init elsewhere; log a summary (never raise on tree mismatch).
+    Arrays are cast to the destination leaf's dtype."""
+    import logging
+    log = logging.getLogger(__name__)
+    copied, skipped = [], []
+
+    def walk(d, s, prefix):
+        if isinstance(d, dict):
+            out = {}
+            s = s if isinstance(s, dict) else {}
+            for k, dv in d.items():
+                if k in s:
+                    out[k] = walk(dv, s[k], f"{prefix}/{k}")
+                else:
+                    skipped.append(f"{prefix}/{k} (missing in pretrain)")
+                    out[k] = dv
+            return out
+        # leaf
+        if (hasattr(s, "shape") and hasattr(d, "shape")
+                and tuple(s.shape) == tuple(d.shape)):
+            copied.append(prefix)
+            return jnp.asarray(s).astype(d.dtype)
+        skipped.append(f"{prefix} (shape {getattr(s, 'shape', None)} vs "
+                       f"{getattr(d, 'shape', None)})")
+        return d
+
+    out = walk(dst, src, net)
+    if skipped:
+        log.warning(
+            "load_pretrain %s: partial load — %d leaves copied, %d kept "
+            "fresh: %s%s", net, len(copied), len(skipped),
+            "; ".join(skipped[:8]), " ..." if len(skipped) > 8 else "")
+    else:
+        log.info("load_pretrain %s: all %d leaves loaded", net,
+                 len(copied))
+    return out
+
+
 class Trainer:
     def __init__(self, model: GanModel, cfg: Config,
                  mesh=None, visualizer=None):
@@ -54,7 +95,17 @@ class Trainer:
         self.ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
         if not cfg.train.continue_train:
             # fresh run into an existing dir: reference semantics are
-            # overwrite, not crash on the first step collision
+            # overwrite, not crash on the first step collision. Log what
+            # is destroyed — a forgotten --continue_train (or a run-name
+            # typo onto a finished run) should leave a trace.
+            existing = sorted(self.ckpt.all_steps())
+            if existing:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "fresh run (no --continue_train) into %s: deleting "
+                    "%d existing checkpoint step(s) %s and the epoch "
+                    "index — pass --train.continue_train true to resume "
+                    "instead", run_dir, len(existing), existing)
             self.ckpt.clear()
         self._last_saved: Optional[int] = None
 
@@ -90,12 +141,37 @@ class Trainer:
         state = self.model.init_state(key, sample_batch)
         if self.cfg.train.load_pretrain:
             # warm-start G/D from another run (reference --load_pretrain):
-            # params only — fresh optimizer/step/RNG
+            # params only — fresh optimizer/step/RNG. The load is PARTIAL
+            # and tolerant, like the reference BaseModel's load_network:
+            # the flagship coarse-to-fine recipe pretrains a GLOBAL G and
+            # warm-starts a LOCAL (enhancer) G from it, so the trees
+            # intentionally differ — matching leaves (same path + shape)
+            # copy over, everything else keeps its fresh init, and a
+            # summary of skipped/missing leaves is logged.
             src = CheckpointManager(
                 os.path.join(self.cfg.train.load_pretrain, "ckpt"))
-            loaded = src.restore(template=jax.device_get(state))
-            state = state._replace(g_params=loaded.g_params,
-                                   d_params=loaded.d_params)
+            raw = src.restore()  # template-free: whatever tree is stored
+            if not isinstance(raw, dict):
+                raw = raw._asdict() if hasattr(raw, "_asdict") else raw
+            src_g = raw.get("g_params", {})
+            dst_g = state.g_params
+            if (isinstance(dst_g, dict) and "global" in dst_g
+                    and isinstance(src_g, dict)
+                    and "global" not in src_g):
+                # the pix2pixHD coarse-to-fine recipe: a pretrained
+                # GLOBAL G grafts into the local G's trunk (the
+                # reference's load_network matches by name because
+                # LocalEnhancer.model IS GlobalGenerator.model; its
+                # stripped output head just skips)
+                new_g = dict(dst_g)
+                new_g["global"] = _partial_merge(dst_g["global"], src_g,
+                                                 "G.global")
+            else:
+                new_g = _partial_merge(dst_g, src_g, "G")
+            state = state._replace(
+                g_params=new_g,
+                d_params=_partial_merge(state.d_params,
+                                        raw.get("d_params", {}), "D"))
         state = jax.device_put(state, replicate(self.mesh))
         if self.cfg.train.continue_train:
             # reference --which_epoch: 'latest' or a named epoch/step
@@ -204,7 +280,12 @@ class Trainer:
                 if epoch % tcfg.save_epoch_freq == 0:
                     self._save(step, state)
                     self.ckpt.record_epoch(epoch, step)
-        self._save(step, state, force=True)
+        # final save — but never re-save a step that already exists on
+        # disk (a completed run re-launched with --continue_train breaks
+        # on the first batch with _last_saved unset; orbax rejects
+        # duplicate steps)
+        if step not in set(self.ckpt.all_steps()):
+            self._save(step, state, force=True)
         self.ckpt.wait()
         if self.visualizer is not None and hasattr(self.visualizer, "flush"):
             self.visualizer.flush()  # async gallery writes hit disk
@@ -226,12 +307,15 @@ class Trainer:
         b = batch["b"]
         if a.ndim == 5:  # temporal windows: show the first frame
             a, b = a[:, 0], b[:, 0]
+        # only sample 0 is rendered — forward just that row instead of
+        # the whole training batch (one extra batch-1 trace, paid once)
+        a, b = a[:1], b[:1]
         if "inst" in batch and (self.model.enc_cfg is not None
                                 or self.cfg.model.use_instance_edges):
             # conditioned models: display what training actually sees
             # (real-image netE style + edge channel), not the zeros prior
             fake = self._jit_generate_cond(state.g_params, a, b,
-                                           batch["inst"])
+                                           batch["inst"][:1])
         else:
             fake = self._jit_generate(state.g_params, a)
         epoch = (step - 1) // self.model.steps_per_epoch + 1

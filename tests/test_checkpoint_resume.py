@@ -65,3 +65,24 @@ def test_latest_step_and_retention(tmp_path):
     mgr.wait()
     assert mgr.latest_step() == 3
     assert len(list(mgr.all_steps())) <= 2  # retention enforced
+
+
+def test_epoch_labeled_steps_survive_retention(tmp_path):
+    """max_to_keep GC must not delete epoch-labeled steps: the reference
+    keeps every <epoch>_net_G.pth, and epochs.json labels must stay
+    restorable (round-3 review: dangling labels after retention)."""
+    model, batch = _setup()
+    state = jax.device_get(model.init_state(jax.random.PRNGKey(0), batch))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2,
+                            async_save=False)
+    mgr.save(10, state, force=True)
+    mgr.record_epoch(1, 10)  # epoch 1 ends at step 10
+    for s in (20, 30, 40, 50):
+        mgr.save(s, state, force=True)
+    mgr.wait()
+    steps = set(mgr.all_steps())
+    assert 10 in steps, f"labeled step GC'd; kept {sorted(steps)}"
+    assert mgr.step_for_label("1") == 10
+    restored = mgr.restore(10, template=state)
+    assert int(jax.device_get(restored.step)) == int(state.step)
+    mgr.close()

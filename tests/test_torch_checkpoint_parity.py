@@ -214,3 +214,13 @@ def test_pixel_discriminator_parity():
         logits = np.asarray(y_j[0][-1]).transpose(0, 3, 1, 2)
         assert psnr(logits, y_t, peak=float(np.abs(y_t).max())) >= 40.0
         np.testing.assert_allclose(logits, y_t, atol=1e-4)
+
+
+def test_import_norm_mismatch_raises():
+    """Importing a batch-norm checkpoint into an instance-norm config
+    must raise, not silently discard every BN gamma/beta/running-stat
+    (loadable-but-garbage weights)."""
+    t = torch_refs.ResnetGenerator(ngf=8, n_blocks=3, norm="batch").eval()
+    cfg = GenConfig(net_g="resnet_9blocks", ngf=8, norm="instance")
+    with pytest.raises(ValueError, match="norm-parameter count"):
+        import_generator(_sd(t), cfg, n_blocks=3)

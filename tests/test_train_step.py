@@ -355,3 +355,58 @@ def test_train_step_with_init_type_and_lr_policy_and_pixel_d():
     state, metrics = jax.jit(model.train_step)(state, batch)
     assert np.isfinite(float(metrics["G_GAN"]))
     assert np.isfinite(float(metrics["D_real"]))
+
+
+def test_adam_reset_at_unfreeze_boundary():
+    """At step == niter_fix_global*steps_per_epoch the G optimizer's
+    ScaleByAdamState resets (the reference's update_fixed_params builds a
+    FRESH Adam) — without it the stale shared bias-correction count makes
+    the first unfrozen update ~(1-b1)/sqrt(1-b2) ~ 16x lr."""
+    import optax
+
+    cfg = Config(
+        model=ModelConfig(model="pix2pixhd", net_g="local", ngf=4, ndf=4,
+                          n_downsample_global=2, n_blocks_global=1,
+                          n_blocks_local=1),
+        data=DataConfig(crop_size=32, batch_size=2),
+        loss=LossConfig(no_vgg_loss=True, pool_size=0),
+        train=TrainConfig(niter=2, niter_decay=0, niter_fix_global=1),
+    )
+    model = create_model(cfg, steps_per_epoch=2)
+    assert model.fix_steps == 2
+    batch = _norm_batch(synthetic_pair_batch(2, 32))
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(model.train_step)
+
+    def adam_count(opt_state):
+        # find the ScaleByAdamState count
+        def find(o):
+            if isinstance(o, optax.ScaleByAdamState):
+                return int(jax.device_get(o.count))
+            if isinstance(o, (tuple, list)):
+                for c in o:
+                    r = find(c)
+                    if r is not None:
+                        return r
+            return None
+        return find(opt_state)
+
+    state, _ = step(state, batch)   # step 0 -> 1 (frozen)
+    state, _ = step(state, batch)   # step 1 -> 2 (frozen)
+    assert adam_count(state.g_opt) == 2
+    state, _ = step(state, batch)   # step 2 == fix_steps: RESET then update
+    assert adam_count(state.g_opt) == 1, \
+        "Adam count must restart at the unfreeze boundary"
+    state, _ = step(state, batch)
+    assert adam_count(state.g_opt) == 2
+
+
+def test_query_pool_placeholder_raises():
+    """init_pool(0)'s placeholder must not be scannable — callers gate on
+    cfg.loss.pool_size, and a missed gate should fail with the real
+    cause, not a broadcast error."""
+    from ir2rgb_tpu.train.image_pool import init_pool, query_pool
+    pool = init_pool(0, (8, 8, 3))
+    fakes = jnp.zeros((2, 8, 8, 3))
+    with pytest.raises(ValueError, match="disabled-pool"):
+        query_pool(pool, fakes, jax.random.PRNGKey(0))

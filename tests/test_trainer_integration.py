@@ -215,3 +215,63 @@ def test_display_uses_conditioning(tmp_path):
     y_zero = np.asarray(trainer._jit_generate(state.g_params, batch["a"]))
     assert y_cond.shape == y_zero.shape == (1, 32, 32, 3)
     assert not np.allclose(y_cond, y_zero)
+
+
+def test_load_pretrain_global_into_local(tmp_path):
+    """The pix2pixHD coarse-to-fine warm start: pretrain a GLOBAL G, then
+    start a LOCAL (enhancer) run with --load_pretrain — the global trunk
+    grafts in, enhancer branches keep their fresh init (reference
+    load_network partial tolerance)."""
+    import dataclasses
+
+    cfg = _cfg(tmp_path / "src512")
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, model="pix2pixhd", net_g="global", ngf=8,
+        n_downsample_global=2, n_blocks_global=1))
+    model = create_model(cfg, steps_per_epoch=2)
+    trainer = Trainer(model, cfg)
+    first = next(_batches(1))
+    state = trainer.init_or_restore(jax.random.PRNGKey(0), first)
+    state = trainer.fit(state, _batches(3))
+    trainer.ckpt.close()
+
+    cfg2 = _cfg(tmp_path / "dst1024", load_pretrain=cfg.run_dir(),
+                niter_fix_global=1)
+    cfg2 = cfg2.replace(model=dataclasses.replace(
+        cfg2.model, model="pix2pixhd", net_g="local", ngf=4,
+        n_downsample_global=2, n_blocks_global=1, n_blocks_local=1))
+    model2 = create_model(cfg2, steps_per_epoch=2)
+    trainer2 = Trainer(model2, cfg2)
+    state2 = trainer2.init_or_restore(jax.random.PRNGKey(7), first)
+    g2 = jax.device_get(state2.g_params)
+    g1 = jax.device_get(state.g_params)
+    # the local G's trunk took the pretrained global weights wherever
+    # paths+shapes line up (the trunk head conv, at least)
+    np.testing.assert_array_equal(g2["global"]["head"]["conv"]["w"],
+                                  g1["head"]["conv"]["w"])
+    # enhancer branch stays fresh-initialized (exists, not from src)
+    assert "enhancer1" in g2
+    trainer2.ckpt.close()
+
+
+def test_completed_run_relaunch_is_noop(tmp_path):
+    """Re-running a finished training command with --continue_train must
+    exit cleanly without re-saving an existing step (orbax rejects
+    duplicate steps)."""
+    cfg = _cfg(tmp_path, niter=1)  # 1 epoch * 2 steps/epoch
+    model = create_model(cfg, steps_per_epoch=2)
+    trainer = Trainer(model, cfg)
+    first = next(_batches(1))
+    state = trainer.init_or_restore(jax.random.PRNGKey(0), first)
+    state = trainer.fit(state, _batches(5))
+    assert int(jax.device_get(state.step)) == 2
+    trainer.ckpt.close()
+
+    cfg2 = _cfg(tmp_path, niter=1, continue_train=True)
+    model2 = create_model(cfg2, steps_per_epoch=2)
+    trainer2 = Trainer(model2, cfg2)
+    state2 = trainer2.init_or_restore(jax.random.PRNGKey(0), first)
+    # already complete: fit must no-op (no StepAlreadyExists crash)
+    state2 = trainer2.fit(state2, _batches(3))
+    assert int(jax.device_get(state2.step)) == 2
+    trainer2.ckpt.close()
