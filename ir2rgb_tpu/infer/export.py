@@ -210,14 +210,11 @@ class ExportedStream:
         if a.ndim == 3:
             a = a[None]
         if a.dtype != np.uint8:
-            if self.meta.get("label_nc", 0) > 0:
-                # class-id frames (int/float ids): cast to the id byte,
-                # never [-1,1]-quantize (ids would collapse to 127/255)
-                a = np.clip(np.round(a.astype(np.float32)), 0,
-                            255).astype(np.uint8)
-            else:  # accept [-1,1] floats on the wire too
-                a = ((np.clip(a.astype(np.float32), -1, 1) + 1.0)
-                     * 127.5).astype(np.uint8)
+            # accept non-uint8 frames on the wire too — ONE shared
+            # conversion (stream.host_to_wire_u8) keeps this path
+            # bit-identical to the live and multi-stream surfaces
+            from ir2rgb_tpu.infer.stream import host_to_wire_u8
+            a = host_to_wire_u8(a, self.meta.get("label_nc", 0) > 0)
         a_dev = jnp.asarray(a)
         if self.temporal:
             out, self._carry = self._fn(self._params, a_dev, self._carry)

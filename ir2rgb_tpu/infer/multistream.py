@@ -196,14 +196,9 @@ class MultiStreamServer:
         for sid, a in frames.items():
             a = np.asarray(a)
             if a.dtype != np.uint8:
-                if self._label:
-                    # class-id frames (int/float ids), NOT images: cast
-                    # to the id byte, never [-1,1]-quantize
-                    a = np.clip(np.round(a.astype(np.float32)), 0,
-                                255).astype(np.uint8)
-                else:  # [-1,1] float -> uint8 wire format
-                    a = ((np.clip(a.astype(np.float32), -1, 1) + 1.0)
-                         * 127.5).astype(np.uint8)
+                # ONE shared conversion across all serving surfaces
+                from ir2rgb_tpu.infer.stream import host_to_wire_u8
+                a = host_to_wire_u8(a, self._label)
             batch[sid] = a
             valid[sid] = True
         reset = self._pending_reset & valid
@@ -229,7 +224,10 @@ class MultiStreamServer:
     def step(self, frames: Dict[int, np.ndarray]) -> Dict[int, np.ndarray]:
         """One synchronous tick: {slot: IR frame} -> {slot: uint8 RGB}.
         Slots without a frame this tick hold their carry (stream
-        resumes seamlessly)."""
+        resumes seamlessly). An empty dict is free: no frame means no
+        output and carries hold, so the batched forward is skipped."""
+        if not frames:
+            return {}
         return self._fetch(*self._dispatch(frames))
 
     def ticks(self, feed: Iterable[Dict[int, np.ndarray]]
@@ -238,13 +236,22 @@ class MultiStreamServer:
         dicts; yields output dicts with one tick of latency. Host prep +
         H2D of tick t overlap device compute of tick t-1 (same depth-1
         pipeline as ``StreamingGenerator.stream``; same outputs as
-        sequential :meth:`step` calls — tested)."""
+        sequential :meth:`step` calls — tested). Empty ticks yield {}
+        without running the generator."""
         pending = None
         for frames in feed:
-            out = self._dispatch(frames)
+            out = self._dispatch(frames) if frames else None
             if pending is not None:
                 yield self._fetch(*pending)
+            elif out is None and pending is None:
+                # keep 1-tick latency alignment: empty tick, nothing
+                # pending -> emit the empty output now
+                yield {}
+                continue
             pending = out
+            if out is None:
+                yield {}
+                pending = None
         if pending is not None:
             yield self._fetch(*pending)
 

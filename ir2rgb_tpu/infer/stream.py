@@ -42,6 +42,23 @@ def _dev_quantize(fake: jax.Array) -> jax.Array:
     return arr.astype(jnp.uint8)
 
 
+def host_to_wire_u8(a: np.ndarray, label: bool) -> np.ndarray:
+    """Host-side conversion of a non-uint8 frame to the uint8 wire —
+    THE single definition shared by every serving surface
+    (StreamingGenerator, MultiStreamServer, ExportedStream), so the
+    live, multi-stream, and exported paths cannot drift:
+
+    - image frames: [-1, 1] floats quantize like tensor2im;
+    - label frames (label_nc > 0): class ids round/clip to the id byte
+      (image quantization would collapse id 0 -> 127, ids >= 1 -> 255).
+    """
+    if label:
+        return np.clip(np.round(a.astype(np.float32)), 0,
+                       255).astype(np.uint8)
+    return ((np.clip(a.astype(np.float32), -1, 1) + 1.0)
+            * 127.5).astype(np.uint8)
+
+
 def single_frame_infer(model: GanModel, g_params, donate: bool = True):
     """Compiled no-grad G forward: a_frame (B,H,W,C) -> fake (B,H,W,3)."""
 
@@ -149,6 +166,13 @@ class StreamingGenerator:
                     feat: Optional[jax.Array] = None,
                     edges: Optional[jax.Array] = None) -> jax.Array:
         """Device-in device-out step (no host sync — benchmark path).
+
+        DONATES ``a``: the input frame's HBM is recycled for the output
+        (for non-label models), so the caller's device array is DELETED
+        after the call — snapshot anything you still need first, and
+        never push the same device array twice (the second call raises
+        'Array has been deleted'). Use :meth:`push`/:meth:`stream` for
+        host-side frames, which copy by construction.
 
         ``feat``: optional netE style map (B, H, W, feat_num) — the
         pix2pixHD --use_encoded_image / --cluster_path test paths.

@@ -46,9 +46,14 @@ class HTMLPage:
             else:
                 parts.append("<table><tr>")
                 for img, cap in content:
+                    # filenames come from dataset frame names: '#'/'?'
+                    # truncate the URL and a quote breaks out of the
+                    # attribute — quote for the URL, escape for the HTML
+                    from urllib.parse import quote
+                    url = _html.escape(quote(img))
                     parts.append(
-                        f'<td><a href="images/{img}">'
-                        f'<img src="images/{img}" width="{width}"></a><br>'
+                        f'<td><a href="images/{url}">'
+                        f'<img src="images/{url}" width="{width}"></a><br>'
                         f'{_html.escape(cap)}</td>')
                 parts.append("</tr></table>")
         parts.append("</body></html>")

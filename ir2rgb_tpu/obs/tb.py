@@ -28,9 +28,11 @@ import time
 from typing import Optional
 
 # ---------------------------------------------------------------------------
-# CRC32C (Castagnoli, reflected poly 0x82F63B78) — table-driven pure Python.
-# Event writes happen at print_freq cadence; tens of microseconds per
-# record is irrelevant there.
+# CRC32C (Castagnoli, reflected poly 0x82F63B78). A native implementation
+# is used when importable; the table-driven pure-Python fallback costs
+# ~1 us/byte — irrelevant for scalar events at print_freq cadence, but
+# ~0.3 s for a 300 KB PNG, so add_image on the fallback is NOT hot-path
+# safe (fine at display_freq cadence; don't call it per step).
 # ---------------------------------------------------------------------------
 
 def _make_table():
@@ -45,12 +47,17 @@ def _make_table():
 
 _TABLE = _make_table()
 
+try:  # google-crc32c / crc32c native wheels, when present
+    import crc32c as _native_crc32c
 
-def crc32c(data: bytes) -> int:
-    c = 0xFFFFFFFF
-    for b in data:
-        c = _TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
-    return c ^ 0xFFFFFFFF
+    def crc32c(data: bytes) -> int:
+        return _native_crc32c.crc32c(data) & 0xFFFFFFFF
+except Exception:
+    def crc32c(data: bytes) -> int:
+        c = 0xFFFFFFFF
+        for b in data:
+            c = _TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+        return c ^ 0xFFFFFFFF
 
 
 def _masked_crc(data: bytes) -> int:

@@ -88,8 +88,16 @@ class Visualizer:
 
     def save_images(self, page: HTMLPage, visuals: Mapping[str, np.ndarray],
                     image_path: str, width: int = 256) -> None:
-        """Reference visualizer.save_images analog for test-time galleries."""
-        short = os.path.splitext(os.path.basename(image_path))[0]
+        """Reference visualizer.save_images analog for test-time galleries.
+
+        Files are keyed by the frame's parent folder + basename: a
+        multi-video dataroot (A/vid000/0001.png, A/vid001/0001.png) has
+        colliding basenames, and keying on the basename alone silently
+        overwrote earlier videos' gallery images."""
+        base = os.path.splitext(os.path.basename(image_path))[0]
+        parent = os.path.basename(os.path.dirname(image_path))
+        short = f"{parent}_{base}" if parent not in ("", "A", "testA",
+                                                     "test") else base
         page.add_header(short)
         names, caps = [], []
         for label, img in visuals.items():

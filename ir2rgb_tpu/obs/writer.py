@@ -44,12 +44,23 @@ class AsyncImageWriter:
                 self._threads.append(t)
 
     def _worker(self) -> None:
-        from ir2rgb_tpu.data.native import encode_png
+        # the import itself can fail (broken install, circular-import
+        # regression): it must surface via _error like any encode error —
+        # a worker that dies BEFORE the consume loop would leave queued
+        # tasks undrained and deadlock flush()/write() silently
+        encode_png = None
+        try:
+            from ir2rgb_tpu.data.native import encode_png
+        except BaseException as e:
+            if self._error is None:
+                self._error = e
         while True:
             path, img = self._q.get()
             try:
                 if path is None:
                     return
+                if encode_png is None:
+                    continue  # import failed; error already recorded
                 encode_png(path, img)
             except BaseException as e:  # surfaced on flush/close
                 if self._error is None:

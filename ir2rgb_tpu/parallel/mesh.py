@@ -57,6 +57,10 @@ def dp_sp_mesh(dp: int = 0, sp: int = 1,
         devices = jax.devices()
     if sp < 1:
         raise ValueError(f"sp must be >= 1, got {sp}")
+    if dp < 0:
+        # dp=-1 would silently build a wrong-sized mesh via reshape(-1,sp)
+        raise ValueError(f"dp must be >= 0 (0 = all devices / sp), "
+                         f"got {dp}")
     if not dp:
         dp = len(devices) // sp
         if dp == 0:

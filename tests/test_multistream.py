@@ -188,3 +188,27 @@ def test_step_device_does_not_donate_caller_frames():
     out1 = np.asarray(jax.device_get(srv.step_device(frames_dev)))
     out2 = np.asarray(jax.device_get(srv.step_device(frames_dev)))
     assert out1.shape == out2.shape  # second call must not raise
+
+
+def test_empty_tick_is_free_and_consistent():
+    """step({}) returns {} without running the generator; ticks() with
+    empty ticks interleaved matches sequential step calls (carries
+    hold across empty ticks)."""
+    model, g_params = _model()
+    fa = _frames(5, 2)
+
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=1)
+    a = srv.open()
+    assert srv.step({}) == {}
+    o0 = srv.step({a: fa[0]})
+    assert srv.step({}) == {}
+    o1 = srv.step({a: fa[1]})
+
+    srv2 = MultiStreamServer(model, g_params, (32, 32), n_slots=1)
+    a2 = srv2.open()
+    feed = [{}, {a2: fa[0]}, {}, {a2: fa[1]}]
+    outs = list(srv2.ticks(iter(feed)))
+    assert len(outs) == 4
+    assert outs[0] == {} and outs[2] == {}
+    np.testing.assert_array_equal(outs[1][a2], o0[a])
+    np.testing.assert_array_equal(outs[3][a2], o1[a])

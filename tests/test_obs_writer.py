@@ -93,3 +93,32 @@ def test_visualizer_dashboard_keeps_all_epochs(tmp_path):
     assert "epoch 1, step 5" in html and "epoch 2, step 10" in html
     # newest first
     assert html.index("epoch 2") < html.index("epoch 1")
+
+
+def test_gallery_multi_video_no_basename_collision(tmp_path):
+    """Frames with identical basenames in different video folders must
+    not overwrite each other's gallery images (round-3 review)."""
+    from ir2rgb_tpu.obs import Visualizer
+    from ir2rgb_tpu.obs.html import HTMLPage
+
+    vis = Visualizer(str(tmp_path), "t")
+    page = HTMLPage(str(tmp_path / "web"), "t")
+    img = np.zeros((8, 8, 3), np.uint8)
+    vis.save_images(page, {"generated": img}, "/d/A/vid000/0001.png")
+    vis.save_images(page, {"generated": img + 1}, "/d/A/vid001/0001.png")
+    vis.flush()
+    page.save()
+    names = sorted(os.listdir(page.img_dir))
+    assert len([n for n in names if n.endswith("_generated.png")]) == 2, \
+        names
+
+
+def test_html_escapes_filenames(tmp_path):
+    """'#' and quotes in frame names must not corrupt gallery URLs."""
+    from ir2rgb_tpu.obs.html import HTMLPage
+
+    page = HTMLPage(str(tmp_path / "web"), "t")
+    page.add_images(['frame #1"x.png'], ["cap"])
+    out = open(page.save()).read()
+    assert 'frame #1' not in out          # raw '#' would truncate the URL
+    assert "frame%20%231" in out          # quoted form present
