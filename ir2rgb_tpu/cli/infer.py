@@ -56,14 +56,26 @@ def main(argv=None) -> int:
     model = create_model(cfg, steps_per_epoch=max(len(loader), 1))
 
     if torch_g is not None:
+        if cfg.infer.use_ema:
+            raise SystemExit("--infer.use_ema needs an Orbax run "
+                             "checkpoint; --torch_g imports raw reference "
+                             "weights (no EMA state)")
         g_params = import_generator(torch_g, model.gen_cfg)
     else:
         ckpt = CheckpointManager(os.path.join(cfg.run_dir(), "ckpt"))
         # reference --which_epoch: infer from a named epoch, not only latest
         step = ckpt.step_for_label(cfg.infer.which_epoch)
         state = ckpt.restore(step)
-        g_params = state["g_params"] if isinstance(state, dict) else \
-            state.g_params
+        if cfg.infer.use_ema:
+            g_params = (state.get("ema_g") if isinstance(state, dict)
+                        else getattr(state, "ema_g", None))
+            if not g_params:
+                raise SystemExit(
+                    "--infer.use_ema: this checkpoint has no EMA weights "
+                    "(train with --train.ema_decay > 0)")
+        else:
+            g_params = state["g_params"] if isinstance(state, dict) else \
+                state.g_params
 
     # Crop only in crop-style preprocess modes (mirrors cli/train.py and
     # the reference test path): scale_width/none run the full decoded

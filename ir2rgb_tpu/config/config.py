@@ -169,6 +169,18 @@ class TrainConfig:
     # exchanges). 1 = pure DP. H and batch must divide evenly.
     spatial_devices: int = 1
     donate: bool = True
+    # gradient accumulation: split each batch into this many sequential
+    # micro-batches inside the fused step (lax.scan), average the grads,
+    # apply ONE optimizer update — the effective batch of batch_size at
+    # the activation memory of batch_size/grad_accum (high-res tiers on
+    # one chip). batch_size must divide evenly. Framework extension; the
+    # reference (and its DataParallel) has no equivalent.
+    grad_accum: int = 1
+    # exponential moving average of the generator params, updated every
+    # step as ema = d*ema + (1-d)*params when > 0 (standard GAN serving
+    # practice; the reference has no equivalent). Serve the averaged
+    # weights with --infer.use_ema. 0 = off (no extra state kept).
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -185,6 +197,9 @@ class InferConfig:
     # --cluster_path; produce the file with cli/precompute_feats.py)
     cluster_path: str = ""
     n_clusters: int = 10  # reference --n_clusters (precompute CLI)
+    # serve the EMA-averaged generator weights (requires the run to have
+    # trained with --train.ema_decay > 0)
+    use_ema: bool = False
 
 
 @dataclass(frozen=True)

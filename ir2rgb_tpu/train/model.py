@@ -76,6 +76,10 @@ class TrainState(NamedTuple):
     step: jax.Array        # () int32
     rng: jax.Array         # PRNG key
     pool: PoolState
+    # EMA of g_params (train.ema_decay > 0); None when EMA is off, so the
+    # pytree leaf structure — and therefore old checkpoints — is unchanged
+    # unless the feature is enabled (None children carry no leaves).
+    ema_g: Optional[Params] = None
 
 
 def _dtype_of(name: str):
@@ -122,6 +126,11 @@ class GanModel:
         # copies on TPU — see docs/DESIGN.md train-step profile)
         pool = init_pool(self.cfg.loss.pool_size, frame_shape,
                          dtype=self.gen_cfg.compute_dtype)
+        # distinct buffers, not aliases of g_params: the train step donates
+        # the whole state, and two fields aliasing one donated buffer is
+        # undefined
+        ema_g = (jax.tree.map(jnp.array, g_params)
+                 if self.cfg.train.ema_decay > 0 else None)
         return TrainState(
             g_params=g_params,
             d_params=d_params,
@@ -130,6 +139,7 @@ class GanModel:
             step=jnp.zeros((), jnp.int32),
             rng=krest,
             pool=pool,
+            ema_g=ema_g,
         )
 
     # ------------------------------------------------------------------
@@ -381,14 +391,55 @@ class GanModel:
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, step_rng = jax.random.split(state.rng)
 
-        def loss_fn(params):
-            g_params, d_params = params
-            # sg-walls: L_G sees sg(d_params) internally; L_D sees sg(fake)
-            return self.loss_and_metrics(g_params, d_params, batch,
-                                         step_rng, state.pool)
+        def grads_at(micro_batch, k, pool):
+            def loss_fn(params):
+                g_params, d_params = params
+                # sg-walls: L_G sees sg(d_params); L_D sees sg(fake)
+                return self.loss_and_metrics(g_params, d_params,
+                                             micro_batch, k, pool)
+            return jax.grad(loss_fn, has_aux=True)(
+                (state.g_params, state.d_params))
 
-        grads, (metrics, pool) = jax.grad(
-            loss_fn, has_aux=True)((state.g_params, state.d_params))
+        accum = max(1, int(self.cfg.train.grad_accum))
+        if accum == 1:
+            grads, (metrics, pool) = grads_at(batch, step_rng, state.pool)
+        else:
+            # gradient accumulation: scan `accum` sequential micro-batches
+            # (activation memory of batch/accum), sum grads in the carry,
+            # ONE optimizer update on the average. All micro-grads are
+            # taken at the same params, so with batch-linear losses (every
+            # loss here is a batch mean; norm='instance' stats are
+            # per-sample) this is numerically the full-batch gradient.
+            # The image pool threads through sequentially, seeing each
+            # micro-batch's fakes in order. norm='batch' is the one
+            # deviation: batch statistics are per-micro-batch, the
+            # standard accumulation semantics.
+            bsz = int(jax.tree.leaves(batch)[0].shape[0])
+            if bsz % accum != 0:
+                raise ValueError(
+                    f"train.grad_accum={accum} must divide the batch "
+                    f"size ({bsz})")
+
+            def to_micro(x):
+                return x.reshape((accum, x.shape[0] // accum)
+                                 + tuple(x.shape[1:]))
+
+            micro = jax.tree.map(to_micro, batch)
+            keys = jax.random.split(step_rng, accum)
+            zeros = jax.tree.map(jnp.zeros_like,
+                                 (state.g_params, state.d_params))
+
+            def body(carry, xs):
+                pool, acc = carry
+                mb, k = xs
+                g, (m, pool) = grads_at(mb, k, pool)
+                return (pool, jax.tree.map(jnp.add, acc, g)), m
+
+            (pool, acc), metrics_seq = jax.lax.scan(
+                body, (state.pool, zeros), (micro, keys))
+            grads = jax.tree.map(lambda x: x / accum, acc)
+            metrics = jax.tree.map(lambda x: jnp.mean(x, axis=0),
+                                   metrics_seq)
         g_grads, d_grads = grads
         g_grads = self.freeze_gate(g_grads, state.step)
 
@@ -416,14 +467,21 @@ class GanModel:
                                             state.g_params)
         d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt,
                                             state.d_params)
+        new_g_params = optax.apply_updates(state.g_params, g_updates)
+        ema_g = state.ema_g
+        if self.cfg.train.ema_decay > 0 and state.ema_g is not None:
+            d = self.cfg.train.ema_decay
+            ema_g = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                                 state.ema_g, new_g_params)
         new_state = TrainState(
-            g_params=optax.apply_updates(state.g_params, g_updates),
+            g_params=new_g_params,
             d_params=optax.apply_updates(state.d_params, d_updates),
             g_opt=g_opt,
             d_opt=d_opt,
             step=state.step + 1,
             rng=rng,
             pool=pool,
+            ema_g=ema_g,
         )
         metrics = {k: v for k, v in metrics.items()
                    if not k.startswith("_")}

@@ -172,6 +172,11 @@ class Trainer:
                 g_params=new_g,
                 d_params=_partial_merge(state.d_params,
                                         raw.get("d_params", {}), "D"))
+            if state.ema_g is not None:
+                # EMA tracks the warm-started weights, not the discarded
+                # fresh init (distinct buffers: the step donates state)
+                state = state._replace(
+                    ema_g=jax.tree.map(jnp.array, new_g))
         state = jax.device_put(state, replicate(self.mesh))
         if self.cfg.train.continue_train:
             # reference --which_epoch: 'latest' or a named epoch/step

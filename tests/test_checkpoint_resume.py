@@ -86,3 +86,47 @@ def test_epoch_labeled_steps_survive_retention(tmp_path):
     restored = mgr.restore(10, template=state)
     assert int(jax.device_get(restored.step)) == int(state.step)
     mgr.close()
+
+
+def test_ema_state_checkpoint_roundtrip(tmp_path):
+    """EMA weights persist through save/restore; and a checkpoint written
+    WITHOUT EMA (ema_g=None — the pre-EMA state layout) restores against a
+    None-EMA template unchanged (old runs stay resumable)."""
+    import dataclasses
+    cfg = Config(
+        model=ModelConfig(model="pix2pix", net_g="resnet_6blocks",
+                          net_d="n_layers", ngf=4, ndf=4),
+        data=DataConfig(crop_size=32, batch_size=1),
+        loss=LossConfig(no_vgg_loss=True),
+        train=TrainConfig(ema_decay=0.9),
+    )
+    model = create_model(cfg, steps_per_epoch=10)
+    host = synthetic_pair_batch(1, 32)
+    batch = {"a": jnp.asarray(host["a"], jnp.float32) / 127.5 - 1.0,
+             "b": jnp.asarray(host["b"], jnp.float32) / 127.5 - 1.0}
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    state, _ = jax.jit(model.train_step)(state, batch)
+    assert state.ema_g is not None
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=False)
+    mgr.save(1, jax.device_get(state), force=True)
+    mgr.wait()
+    restored = mgr.restore(1, template=jax.device_get(state))
+    for e, r in zip(jax.tree.leaves(state.ema_g),
+                    jax.tree.leaves(restored.ema_g)):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(r))
+    # raw (template-free) restore exposes ema_g for the infer CLI
+    raw = mgr.restore(1)
+    assert "ema_g" in raw and raw["ema_g"] is not None
+
+    # --- old-layout compatibility: ema off -> ema_g is None end-to-end
+    cfg_off = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    ema_decay=0.0))
+    model_off = create_model(cfg_off, steps_per_epoch=10)
+    state_off = model_off.init_state(jax.random.PRNGKey(0), batch)
+    assert state_off.ema_g is None
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt_off"), async_save=False)
+    mgr2.save(1, jax.device_get(state_off), force=True)
+    mgr2.wait()
+    restored_off = mgr2.restore(1, template=jax.device_get(state_off))
+    assert restored_off.ema_g is None

@@ -410,3 +410,126 @@ def test_query_pool_placeholder_raises():
     fakes = jnp.zeros((2, 8, 8, 3))
     with pytest.raises(ValueError, match="disabled-pool"):
         query_pool(pool, fakes, jax.random.PRNGKey(0))
+
+
+# ---------------------------------------------------------------------------
+# Gradient accumulation + EMA (framework extensions; docs/COMPONENTS.md)
+# ---------------------------------------------------------------------------
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=K on one batch == the plain full-batch step: every loss
+    is a batch mean and instance-norm stats are per-sample, so the mean of
+    the K micro-gradients (taken at the same params) IS the full-batch
+    gradient — the resulting params must match to fp tolerance."""
+    cfg = tiny_cfg()
+    cfg4 = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=4))
+    cfg_acc = cfg4.replace(train=dataclasses.replace(cfg4.train,
+                                                     grad_accum=2))
+    import optax
+    batch = _norm_batch(synthetic_pair_batch(4, 32))
+    model_full = create_model(cfg4, steps_per_epoch=10)
+    model_acc = create_model(cfg_acc, steps_per_epoch=10)
+    # SGD(1.0) instead of Adam so old - new == the raw gradient: Adam's
+    # first update is ~ sign(g)*lr, which flips under fp noise wherever a
+    # gradient element is near zero — params after Adam are an
+    # ill-conditioned equality probe, the gradients themselves are not.
+    for m in (model_full, model_acc):
+        m.g_tx = optax.sgd(1.0)
+        m.d_tx = optax.sgd(1.0)
+    state_full = model_full.init_state(jax.random.PRNGKey(0), batch)
+    state_acc = model_acc.init_state(jax.random.PRNGKey(0), batch)
+    new_full, m_full = jax.jit(model_full.train_step)(state_full, batch)
+    new_acc, m_acc = jax.jit(model_acc.train_step)(state_acc, batch)
+    for k in m_full:
+        np.testing.assert_allclose(float(m_acc[k]), float(m_full[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+    def grads(old, new):
+        return jax.tree.map(lambda o, n: np.asarray(o - n),
+                            (old.g_params, old.d_params),
+                            (new.g_params, new.d_params))
+
+    for gf, ga in zip(jax.tree.leaves(grads(state_full, new_full)),
+                      jax.tree.leaves(grads(state_acc, new_acc))):
+        # atol 2e-5: bias grads are near-cancelling sums of O(1) terms, so
+        # their fp32 noise floor is ~1e-6 absolute however small the grad;
+        # scale/splitting bugs still trip rtol on the large-grad leaves
+        np.testing.assert_allclose(ga, gf, rtol=1e-3, atol=2e-5)
+
+
+def test_grad_accum_indivisible_raises():
+    cfg = tiny_cfg()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, grad_accum=2),
+                      data=dataclasses.replace(cfg.data, batch_size=3))
+    model = create_model(cfg, steps_per_epoch=10)
+    batch = _norm_batch(synthetic_pair_batch(3, 32))
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    with pytest.raises(ValueError, match="grad_accum"):
+        jax.jit(model.train_step)(state, batch)
+
+
+def test_grad_accum_pool_sees_every_micro_batch():
+    """The image pool threads through the micro-batch scan: after one
+    accumulated step on batch 4, all 4 fakes entered the pool."""
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        loss=LossConfig(no_vgg_loss=True, pool_size=8),
+        train=dataclasses.replace(cfg.train, grad_accum=2),
+        data=dataclasses.replace(cfg.data, batch_size=4))
+    model = create_model(cfg, steps_per_epoch=10)
+    batch = _norm_batch(synthetic_pair_batch(4, 32))
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    state, _ = jax.jit(model.train_step)(state, batch)
+    assert int(state.pool.count) == 4
+
+
+def test_grad_accum_temporal_smoke():
+    cfg = Config(
+        model=ModelConfig(model="temporal", net_g="resnet_6blocks",
+                          net_d="n_layers", ngf=8, ndf=8, n_frames_g=2),
+        data=DataConfig(dataset_mode="temporal", crop_size=32,
+                        batch_size=2, n_frames_total=3),
+        loss=LossConfig(no_vgg_loss=True),
+        train=TrainConfig(niter=1, niter_decay=1, grad_accum=2),
+    )
+    model = create_model(cfg, steps_per_epoch=10)
+    a = jnp.asarray(np.random.RandomState(0).rand(2, 3, 32, 32, 3),
+                    jnp.float32) * 2 - 1
+    b = jnp.asarray(np.random.RandomState(1).rand(2, 3, 32, 32, 3),
+                    jnp.float32) * 2 - 1
+    batch = {"a": a, "b": b}
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    state, metrics = jax.jit(model.train_step)(state, batch)
+    assert np.isfinite(float(metrics["G_GAN"]))
+    assert int(state.step) == 1
+
+
+def test_ema_tracks_generator():
+    """ema_decay > 0: state carries an EMA copy updated as
+    d*ema + (1-d)*params every step; decay 0 keeps the field None (old
+    checkpoint layout)."""
+    cfg = tiny_cfg()
+    assert create_model(cfg, steps_per_epoch=10).init_state(
+        jax.random.PRNGKey(0),
+        _norm_batch(synthetic_pair_batch(2, 32))).ema_g is None
+
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, ema_decay=0.5))
+    model = create_model(cfg, steps_per_epoch=10)
+    batch = _norm_batch(synthetic_pair_batch(2, 32))
+    state0 = model.init_state(jax.random.PRNGKey(0), batch)
+    # at init the EMA equals the params (distinct buffers)
+    for e, p in zip(jax.tree.leaves(state0.ema_g),
+                    jax.tree.leaves(state0.g_params)):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+    state1, _ = jax.jit(model.train_step)(state0, batch)
+    expect = jax.tree.map(lambda e, p: 0.5 * e + 0.5 * p,
+                          state0.ema_g, state1.g_params)
+    for e, x in zip(jax.tree.leaves(state1.ema_g),
+                    jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(x),
+                                   rtol=1e-6, atol=1e-7)
+    # the EMA lags the raw params after a step
+    diffs = [float(jnp.abs(e - p).max())
+             for e, p in zip(jax.tree.leaves(state1.ema_g),
+                             jax.tree.leaves(state1.g_params))]
+    assert max(diffs) > 0.0
