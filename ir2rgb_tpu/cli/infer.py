@@ -61,6 +61,10 @@ def main(argv=None) -> int:
                              "checkpoint; --torch_g imports raw reference "
                              "weights (no EMA state)")
         g_params = import_generator(torch_g, model.gen_cfg)
+        if cfg.model.model == "cycle_gan":
+            # a reference CycleGAN checkpoint is per-net
+            # (latest_net_G_A.pth); serving only touches G_A
+            g_params = {"G_A": g_params}
     else:
         ckpt = CheckpointManager(os.path.join(cfg.run_dir(), "ckpt"))
         # reference --which_epoch: infer from a named epoch, not only latest

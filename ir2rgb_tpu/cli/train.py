@@ -45,6 +45,11 @@ def main(argv=None) -> int:
     trainer = Trainer(model, cfg, visualizer=vis)
 
     temporal = cfg.data.dataset_mode == "temporal"
+    unpaired = cfg.data.dataset_mode == "unaligned"
+    if cfg.model.model == "cycle_gan" and temporal:
+        raise SystemExit(
+            "cycle_gan expects frame batches (aligned or unaligned "
+            "dataset_mode), not temporal windows")
     prep = preprocess_sequence_batch if temporal else preprocess_pair_batch
     key = jax.random.PRNGKey(cfg.train.seed)
     aug_key = jax.random.PRNGKey(cfg.train.seed + 1)
@@ -61,6 +66,9 @@ def main(argv=None) -> int:
                 kw["inst"] = jnp.asarray(host_batch["inst"])
             if not temporal and cfg.model.label_nc > 0:
                 kw["label_a"] = True
+            if unpaired:
+                # unrelated A/B frames: independent crop/flip per side
+                kw["unpaired"] = True
             yield prep(jnp.asarray(host_batch["a"]),
                        jnp.asarray(host_batch["b"]), sub,
                        crop_size=crop,

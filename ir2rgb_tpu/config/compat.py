@@ -72,7 +72,12 @@ REFERENCE_FLAG_TABLE: Dict[str, Tuple[str, str, Any]] = {
     "print_freq": ("train", "print_freq", int),
     "display_freq": ("train", "display_freq", int),
     "lambda_L1": ("loss", "lambda_l1", float),
+    # pix2pix-era repos spell the L1 weight --lambda_A; under
+    # --model cycle_gan the same flag is the forward-cycle weight —
+    # from_reference_flags routes it by the model flag
     "lambda_A": ("loss", "lambda_l1", float),
+    "lambda_B": ("loss", "lambda_b", float),
+    "lambda_identity": ("loss", "lambda_identity", float),
     "lambda_feat": ("loss", "lambda_feat", float),
     "no_ganFeat_loss": ("loss", "no_gan_feat_loss", bool),
     "no_vgg_loss": ("loss", "no_vgg_loss", bool),
@@ -123,6 +128,12 @@ def from_reference_flags(flags: Mapping[str, Any],
         per_section.setdefault(section, {})[field_name] = value
     if "which_epoch" in flags:
         per_section.setdefault("infer", {})["which_epoch"] = str(flags["which_epoch"])
+    if "lambda_A" in flags and str(flags.get("model", "")) == "cycle_gan":
+        # CycleGAN semantics: lambda_A/lambda_B are the cycle weights,
+        # not pix2pix's L1 weight
+        loss_sec = per_section.setdefault("loss", {})
+        loss_sec.pop("lambda_l1", None)
+        loss_sec["lambda_a"] = float(flags["lambda_A"])
     updates = {
         section: dataclasses.replace(getattr(cfg, section), **vals)
         for section, vals in per_section.items()

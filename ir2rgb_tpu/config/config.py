@@ -26,7 +26,10 @@ class ModelConfig:
     """Network architecture knobs (reference: --model/--netG/--ngf/... flags)."""
 
     # "pix2pix" (GAN+L1), "pix2pixhd" (multiscale D + FM + VGG),
-    # "temporal" (previous-frame conditioning on top of either).
+    # "temporal" (previous-frame conditioning on top of either),
+    # "cycle_gan" (UNPAIRED: two generators + two discriminators with
+    # cycle-consistency — train IR<->RGB without aligned frame pairs;
+    # pair with --data.dataset_mode unaligned).
     model: str = "pix2pix"
     # Generator: resnet_9blocks | resnet_6blocks | unet_256 | unet_128 |
     #            global | local  (pix2pixHD coarse / coarse-to-fine)
@@ -111,7 +114,9 @@ class DataConfig:
     # reference --which_direction: "AtoB" trains A->B (ir2rgb: IR->RGB);
     # "BtoA" swaps the pair so the model learns the reverse mapping
     direction: str = "AtoB"
-    dataset_mode: str = "aligned"  # aligned | temporal | single (test-only)
+    # aligned | unaligned (unpaired trainA/trainB, cycle_gan) |
+    # temporal | single (test-only)
+    dataset_mode: str = "aligned"
 
 
 @dataclass(frozen=True)
@@ -129,6 +134,14 @@ class LossConfig:
     # string = He-random fallback (create_model warns loudly)
     vgg_weights: str = ""
     pool_size: int = 0  # pix2pixHD default 0; classic pix2pix used 50
+    # cycle_gan weights (the family's --lambda_A/--lambda_B/
+    # --lambda_identity): forward cycle ||G_B(G_A(a)) - a||_1 * lambda_a,
+    # backward cycle * lambda_b, and the identity terms
+    # ||G_A(b) - b||_1 * lambda_b * lambda_identity (ditto mirrored) that
+    # anchor color mapping when both domains share a channel space
+    lambda_a: float = 10.0
+    lambda_b: float = 10.0
+    lambda_identity: float = 0.5
 
 
 @dataclass(frozen=True)
@@ -276,6 +289,17 @@ PRESETS = {
                         load_size=1124, crop_size=1024),
         loss=LossConfig(lambda_l1=0.0),
         train=TrainConfig(niter_fix_global=10),
+    ),
+    # UNPAIRED IR<->RGB (the family's CycleGAN recipe): two ResNet-9
+    # generators + two 70x70 PatchGANs, LSGAN + cycle consistency +
+    # identity, 50-image pools per domain, no paired data needed
+    "cyclegan_256": Config(
+        model=ModelConfig(model="cycle_gan", net_g="resnet_9blocks",
+                          net_d="n_layers", get_interm_feat=False),
+        data=DataConfig(dataset_mode="unaligned", load_size=286,
+                        crop_size=256),
+        loss=LossConfig(no_gan_feat_loss=True, no_vgg_loss=True,
+                        lambda_l1=0.0, pool_size=50),
     ),
     # BASELINE.json:10 — temporal previous-frame conditioning
     "temporal_256": Config(

@@ -130,6 +130,24 @@ def find_aligned_pairs(root: str, phase: str = "train",
     return pairs
 
 
+def find_unaligned_sets(root: str, phase: str = "train",
+                        max_size: Optional[int] = None
+                        ) -> Tuple[List[str], List[str]]:
+    """Independent A-side and B-side path lists for UNPAIRED training
+    (the family's ``--dataset_mode unaligned``, the CycleGAN data layout:
+    ``trainA/`` and ``trainB/`` hold unrelated image sets; no index
+    alignment or count matching — pairing happens randomly at batch
+    time in the loader)."""
+    a_dir, b_dir = _resolve_ab_dirs(root, phase)
+    a_paths = make_dataset(a_dir, max_size)
+    b_paths = make_dataset(b_dir, max_size)
+    if not a_paths or not b_paths:
+        raise FileNotFoundError(
+            f"dataset_mode=unaligned needs images in both {a_dir} "
+            f"({len(a_paths)} found) and {b_dir} ({len(b_paths)} found)")
+    return a_paths, b_paths
+
+
 def find_temporal_sequences(root: str, phase: str = "train",
                             n_frames: int = 4,
                             stride: int = 1,

@@ -92,16 +92,26 @@ class DataLoader:
         # the NEAREST-resize id path (bilinear would blend class ids);
         # the model one-hot encodes on device (train/model.encode_label)
         self.label_a = cfg.model.label_nc > 0
-        if d.dataset_mode not in ("aligned", "temporal", "single"):
+        if d.dataset_mode not in ("aligned", "temporal", "single",
+                                  "unaligned"):
             raise ValueError(
                 f"unknown dataset_mode {d.dataset_mode!r} "
-                "(aligned | temporal | single)")
+                "(aligned | unaligned | temporal | single)")
         self.temporal = d.dataset_mode == "temporal"
         self.single = d.dataset_mode == "single"
+        self.unaligned = d.dataset_mode == "unaligned"
         if self.label_a and self.temporal:
             raise ValueError(
                 "label_nc (semantic-label input) + temporal dataset_mode "
                 "are not combined (matches train/model.create_model)")
+        if d.dataset_mode == "unaligned" and (
+                self.label_a or cfg.model.use_instance_feat
+                or cfg.model.use_instance_edges):
+            raise ValueError(
+                "dataset_mode=unaligned (unpaired CycleGAN data) does "
+                "not combine with label_nc / instance maps (matches "
+                "train/cycle.create_cycle_model)")
+        self.b_items: Optional[List[str]] = None
         if self.temporal:
             self.items: Sequence = find_temporal_sequences(
                 d.dataroot, self.phase, d.n_frames_total,
@@ -110,13 +120,25 @@ class DataLoader:
             from .folder import find_single_images
             self.items = find_single_images(d.dataroot, self.phase,
                                             max_size=d.max_dataset_size)
+        elif self.unaligned:
+            # UNPAIRED sets (CycleGAN layout): epoch indexes the A side;
+            # each item draws an independent B frame — random when
+            # shuffling, index-aligned modulo len(B) under serial_batches
+            # (the family's unaligned_dataset semantics)
+            from .folder import find_unaligned_sets
+            a_paths, b_paths = find_unaligned_sets(
+                d.dataroot, self.phase, max_size=d.max_dataset_size)
+            if d.direction == "BtoA":
+                a_paths, b_paths = b_paths, a_paths
+            self.items = [(p,) for p in a_paths]
+            self.b_items = b_paths
         else:
             self.items = find_aligned_pairs(d.dataroot, self.phase,
                                             max_size=d.max_dataset_size)
         if d.direction not in ("AtoB", "BtoA"):
             raise ValueError(f"unknown direction {d.direction!r} "
                              "(AtoB | BtoA)")
-        if d.direction == "BtoA" and not self.single:
+        if d.direction == "BtoA" and not (self.single or self.unaligned):
             # reference --which_direction BtoA: swap the pair so the
             # model learns the reverse mapping (aligned_dataset swap)
             if self.temporal:
@@ -126,7 +148,7 @@ class DataLoader:
                 self.items = [(pb, pa) for pa, pb in self.items]
         self.inst_paths = None
         if ((cfg.model.use_instance_feat or cfg.model.use_instance_edges)
-                and not self.temporal):
+                and not self.temporal and not self.unaligned):
             from .folder import find_inst_maps
             self.inst_paths = find_inst_maps(d.dataroot, self.phase,
                                              max_size=d.max_dataset_size)
@@ -193,6 +215,8 @@ class DataLoader:
         else:
             paths = list(dict.fromkeys(
                 p for pair in self.items for p in pair))
+            if self.b_items is not None:
+                paths += [p for p in self.b_items if p not in paths]
         self._size_ref_path = paths[0]
         self._size_ref = _native_size(paths[0])
         self._size_checked = {paths[0]}
@@ -251,6 +275,26 @@ class DataLoader:
                     "a": a.reshape(len(windows), t, th, tw, -1),
                     "b": b.reshape(len(windows), t, th, tw, -1),
                     "paths": [[pa for pa, _ in w] for w in windows],
+                }
+            elif self.unaligned:
+                # unpaired draw: A by epoch order, B independently —
+                # uniform-random under shuffle (each A frame meets a
+                # different B every epoch, the CycleGAN regime), or
+                # index mod len(B) under serial_batches (reproducible
+                # fixed pairing, the family's --serial_batches)
+                a_paths = [self.items[j][0] for j in idxs]
+                if self.shuffle:
+                    b_idx = self._rng.randint(0, len(self.b_items),
+                                              size=len(idxs))
+                else:
+                    b_idx = [j % len(self.b_items) for j in idxs]
+                b_paths = [self.b_items[int(j)] for j in b_idx]
+                self._verify_native_sizes(a_paths + b_paths)
+                yield {
+                    "a": _decode_many(a_paths, self.target_hw,
+                                      self.gray_a),
+                    "b": _decode_many(b_paths, self.target_hw),
+                    "paths": [[p] for p in a_paths],
                 }
             else:
                 pairs = [self.items[j] for j in idxs]

@@ -48,13 +48,15 @@ def _paired_crop_flip(a: jax.Array, b: jax.Array, key: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("crop_size", "no_flip",
-                                              "train", "label_a"))
+                                              "train", "label_a",
+                                              "unpaired"))
 def preprocess_pair_batch(a_uint8: jax.Array, b_uint8: jax.Array,
                           key: jax.Array, crop_size: Optional[int],
                           no_flip: bool = False,
                           train: bool = True,
                           inst: Optional[jax.Array] = None,
-                          label_a: bool = False
+                          label_a: bool = False,
+                          unpaired: bool = False
                           ) -> Dict[str, jax.Array]:
     """(B, loadH, loadW, C) uint8 pairs -> augmented normalized batch.
 
@@ -67,8 +69,15 @@ def preprocess_pair_batch(a_uint8: jax.Array, b_uint8: jax.Array,
     ``label_a``: the A side is an integer class-id map (model.label_nc >
     0) — cropped/flipped like the image but NOT normalized; emitted as
     int32 ids for the model's on-device one-hot encode.
+    ``unpaired``: dataset_mode=unaligned (CycleGAN) — the A and B frames
+    are unrelated, so each side draws its OWN crop offset and flip
+    decision (the family applies independent transforms per domain);
+    mutually exclusive with ``inst``/``label_a``.
     """
     bsz = a_uint8.shape[0]
+    if unpaired:
+        assert inst is None and not label_a, \
+            "unpaired transforms do not combine with inst/label maps"
     inst4 = inst[..., None] if inst is not None else None  # (B,H,W,1)
     if crop_size is None:
         a, b = a_uint8, b_uint8
@@ -80,17 +89,27 @@ def preprocess_pair_batch(a_uint8: jax.Array, b_uint8: jax.Array,
                 return (jnp.where(do, ai[:, ::-1, :], ai),
                         jnp.where(do, bi[:, ::-1, :], bi))
 
-            a, b = jax.vmap(flip_fn)(a, b, keys)
-            if inst4 is not None:
-                inst4, _ = jax.vmap(flip_fn)(inst4, inst4, keys)
+            if unpaired:
+                keys_b = jax.random.split(jax.random.fold_in(key, 1), bsz)
+                a, _ = jax.vmap(flip_fn)(a, a, keys)
+                b, _ = jax.vmap(flip_fn)(b, b, keys_b)
+            else:
+                a, b = jax.vmap(flip_fn)(a, b, keys)
+                if inst4 is not None:
+                    inst4, _ = jax.vmap(flip_fn)(inst4, inst4, keys)
     elif train:
         keys = jax.random.split(key, bsz)
         crop_fn = functools.partial(_paired_crop_flip, crop=crop_size,
                                     flip_enabled=not no_flip)
-        a, b = jax.vmap(crop_fn)(a_uint8, b_uint8, keys)
-        if inst4 is not None:
-            # same keys -> same crop offsets + flip decisions (CSE'd)
-            inst4, _ = jax.vmap(crop_fn)(inst4, inst4, keys)
+        if unpaired:
+            keys_b = jax.random.split(jax.random.fold_in(key, 1), bsz)
+            a, _ = jax.vmap(crop_fn)(a_uint8, a_uint8, keys)
+            b, _ = jax.vmap(crop_fn)(b_uint8, b_uint8, keys_b)
+        else:
+            a, b = jax.vmap(crop_fn)(a_uint8, b_uint8, keys)
+            if inst4 is not None:
+                # same keys -> same crop offsets + flip decisions (CSE'd)
+                inst4, _ = jax.vmap(crop_fn)(inst4, inst4, keys)
     else:
         h, w = a_uint8.shape[1], a_uint8.shape[2]
         oy, ox = (h - crop_size) // 2, (w - crop_size) // 2

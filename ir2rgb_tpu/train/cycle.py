@@ -1,0 +1,289 @@
+"""CycleGAN — the family's UNPAIRED model (``models/cycle_gan_model.py``
+in the pytorch-CycleGAN-and-pix2pix lineage SURVEY.md §0 places the
+reference in; reconstructed per the provenance banner, no reference
+citations possible against the empty mount).
+
+Trains IR<->RGB translation WITHOUT aligned frame pairs: two generators
+(``G_A``: A->B, ``G_B``: B->A) and two PatchGAN discriminators (reference
+naming: ``D_A`` judges B-domain images — real B vs ``G_A``'s fakes —
+and ``D_B`` judges A-domain images) with
+
+- adversarial losses per direction (LSGAN default),
+- cycle consistency ``||G_B(G_A(a)) - a||_1 * lambda_a`` (and mirrored),
+- identity terms ``||G_A(b) - b||_1 * lambda_b * lambda_identity`` (ditto
+  mirrored) when both domains share a channel space,
+- one 50-image history pool PER DOMAIN feeding the discriminators.
+
+TPU-first shape: everything lands in ONE fused jitted step via the same
+stop-gradient-wall construction as :class:`GanModel` (whose ``train_step``
+this model inherits, so ``--train.grad_accum`` and ``--train.ema_decay``
+compose for free):
+
+    L = L_G(g_params, sg(d_params)) + L_D(d_params, sg(fakes))
+
+where ``g_params = {"G_A", "G_B"}`` and ``d_params = {"D_A", "D_B"}`` are
+composite pytrees under ONE optax Adam each — the analog of the
+reference's ``itertools.chain`` parameter groups, with XLA CSE sharing
+the four generator forwards between the G and D sides of the loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ir2rgb_tpu.config import Config
+from ir2rgb_tpu.losses import l1_loss
+from ir2rgb_tpu.losses.gan import gan_loss_d_parts, gan_loss_g
+from ir2rgb_tpu.nn import DiscConfig, GenConfig, define_d, define_g
+from ir2rgb_tpu.train.image_pool import init_pool, query_pool
+from ir2rgb_tpu.train.model import (
+    GanModel,
+    Params,
+    TrainState,
+    _dtype_of,
+)
+from ir2rgb_tpu.train.schedule import lr_schedule
+
+
+@dataclasses.dataclass
+class CycleGanModel(GanModel):
+    """Unpaired two-generator model. Inherits the fused ``train_step``
+    (grad-accum scan, EMA, fused G+D update) from :class:`GanModel`;
+    overrides state init, generation, and the loss so the composite
+    G_A/G_B/D_A/D_B parameter trees flow through unchanged.
+
+    Field mapping: ``g_apply``/``gen_cfg`` are the A->B generator (the
+    serving direction), ``d_apply``/``disc_cfg`` the B-domain judge D_A;
+    the extra fields below carry the reverse direction."""
+
+    gb_apply: Any = None       # G_B: B -> A
+    db_apply: Any = None       # D_B: judges A-domain images
+    gen_cfg_b: Optional[GenConfig] = None
+    disc_cfg_b: Optional[DiscConfig] = None
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, key: jax.Array, sample_batch: Dict[str, Any]
+                   ) -> TrainState:
+        kg, kd, krest = jax.random.split(key, 3)
+        g_params = self.g_init(kg)   # {"G_A": ..., "G_B": ...}
+        d_params = self.d_init(kd)   # {"D_A": ..., "D_B": ...}
+        a, b = sample_batch["a"], sample_batch["b"]
+        cdt = self.gen_cfg.compute_dtype
+        # one history pool per domain: D_A draws from generated-B fakes,
+        # D_B from generated-A fakes (reference fake_B_pool/fake_A_pool)
+        pool = {
+            "fake_a": init_pool(self.cfg.loss.pool_size,
+                                tuple(a.shape[-3:]), dtype=cdt),
+            "fake_b": init_pool(self.cfg.loss.pool_size,
+                                tuple(b.shape[-3:]), dtype=cdt),
+        }
+        ema_g = (jax.tree.map(jnp.array, g_params)
+                 if self.cfg.train.ema_decay > 0 else None)
+        return TrainState(
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=self.g_tx.init(g_params),
+            d_opt=self.d_tx.init(d_params),
+            step=jnp.zeros((), jnp.int32),
+            rng=krest,
+            pool=pool,
+            ema_g=ema_g,
+        )
+
+    # ------------------------------------------------------------------
+
+    def generate(self, g_params: Params, a: jax.Array,
+                 prev: Optional[jax.Array] = None,
+                 train: bool = False,
+                 rng: Optional[jax.Array] = None,
+                 feat: Optional[jax.Array] = None,
+                 edges: Optional[jax.Array] = None,
+                 direction: str = "AtoB") -> jax.Array:
+        """Serve one direction. Default A->B through ``G_A`` — the
+        trainer's display hook, ``StreamingGenerator``, and the infer
+        CLI all flow through here unchanged. ``direction="BtoA"`` runs
+        ``G_B`` (e.g. for cycle galleries)."""
+        if direction == "AtoB":
+            return self.g_apply(g_params["G_A"], a, train=train, rng=rng)
+        if direction == "BtoA":
+            return self.gb_apply(g_params["G_B"], a, train=train, rng=rng)
+        raise ValueError(f"unknown direction {direction!r} (AtoB | BtoA)")
+
+    # ------------------------------------------------------------------
+
+    def loss_and_metrics(self, g_params: Params, d_params: Params,
+                         batch: Dict[str, jax.Array], rng: jax.Array,
+                         pool) -> Tuple[jax.Array,
+                                        Tuple[Dict[str, jax.Array], Any]]:
+        loss_cfg = self.cfg.loss
+        mode = loss_cfg.gan_mode
+        sg = jax.lax.stop_gradient
+        a, b = batch["a"], batch["b"]
+        cdt = self.gen_cfg.compute_dtype
+        a_c, b_c = a.astype(cdt), b.astype(cdt)
+        k_da, k_db, k_pa, k_pb = jax.random.split(rng, 4)
+
+        # the four generator forwards (each its own dropout key; the
+        # family's resnet recipe trains dropout-free, but U-Net configs
+        # may not be)
+        fake_b = self.g_apply(g_params["G_A"], a_c, train=True, rng=k_da)
+        fake_a = self.gb_apply(g_params["G_B"], b_c, train=True, rng=k_db)
+        rec_a = self.gb_apply(g_params["G_B"], fake_b, train=True,
+                              rng=jax.random.fold_in(k_db, 1))
+        rec_b = self.g_apply(g_params["G_A"], fake_a, train=True,
+                             rng=jax.random.fold_in(k_da, 1))
+
+        metrics: Dict[str, jax.Array] = {}
+        # --- G side: frozen discriminators
+        d_sg = sg(d_params)
+        g_a = gan_loss_g(self.d_apply(d_sg["D_A"], fake_b), mode)
+        g_b = gan_loss_g(self.db_apply(d_sg["D_B"], fake_a), mode)
+        cyc_a = l1_loss(rec_a, a) * loss_cfg.lambda_a
+        cyc_b = l1_loss(rec_b, b) * loss_cfg.lambda_b
+        metrics["G_A"] = g_a
+        metrics["G_B"] = g_b
+        metrics["Cyc_A"] = cyc_a
+        metrics["Cyc_B"] = cyc_b
+        loss_g = g_a + g_b + cyc_a + cyc_b
+        if loss_cfg.lambda_identity > 0:
+            # G_A should be (near) identity on B-domain inputs — anchors
+            # the color mapping (reference loss_idt_A/B weighting)
+            idt_a = self.g_apply(g_params["G_A"], b_c, train=True,
+                                 rng=jax.random.fold_in(k_da, 2))
+            idt_b = self.gb_apply(g_params["G_B"], a_c, train=True,
+                                  rng=jax.random.fold_in(k_db, 2))
+            i_a = (l1_loss(idt_a, b)
+                   * loss_cfg.lambda_b * loss_cfg.lambda_identity)
+            i_b = (l1_loss(idt_b, a)
+                   * loss_cfg.lambda_a * loss_cfg.lambda_identity)
+            metrics["Idt_A"] = i_a
+            metrics["Idt_B"] = i_b
+            loss_g = loss_g + i_a + i_b
+
+        # --- D side: frozen (pool-mixed) fakes
+        if loss_cfg.pool_size > 0:
+            fb_d, pool_b = query_pool(pool["fake_b"], sg(fake_b), k_pb)
+            fa_d, pool_a = query_pool(pool["fake_a"], sg(fake_a), k_pa)
+            pool = {"fake_a": pool_a, "fake_b": pool_b}
+        else:
+            fb_d, fa_d = fake_b, fake_a
+        da_real, da_fake = gan_loss_d_parts(
+            self.d_apply(d_params["D_A"], b_c),
+            self.d_apply(d_params["D_A"], sg(fb_d.astype(cdt))), mode)
+        db_real, db_fake = gan_loss_d_parts(
+            self.db_apply(d_params["D_B"], a_c),
+            self.db_apply(d_params["D_B"], sg(fa_d.astype(cdt))), mode)
+        metrics["D_A"] = da_real + da_fake
+        metrics["D_B"] = db_real + db_fake
+        loss_d = da_real + da_fake + db_real + db_fake
+
+        metrics["_loss_g"] = loss_g
+        metrics["_loss_d"] = loss_d
+        return loss_g + loss_d, (metrics, pool)
+
+
+# ---------------------------------------------------------------------------
+# Factory
+# ---------------------------------------------------------------------------
+
+def create_cycle_model(cfg: Config,
+                       steps_per_epoch: int = 1000) -> CycleGanModel:
+    """``create_model`` backend for ``--model.model cycle_gan``."""
+    import optax
+
+    m = cfg.model
+    compute_dtype = _dtype_of(m.compute_dtype)
+    for flag, name in ((m.label_nc > 0, "label_nc"),
+                       (m.use_instance_feat, "use_instance_feat"),
+                       (m.use_instance_edges, "use_instance_edges")):
+        if flag:
+            raise ValueError(
+                f"cycle_gan does not combine with {name} (the family "
+                f"keeps unpaired translation and pix2pixHD semantic "
+                f"conditioning separate)")
+    if cfg.loss.gan_mode == "wgangp":
+        raise ValueError(
+            "cycle_gan + wgangp is not offered (the family's CycleGAN "
+            "uses lsgan/vanilla; use one of those, or hinge)")
+    if (cfg.loss.lambda_identity > 0
+            and m.input_nc != m.output_nc):
+        raise ValueError(
+            f"the identity loss feeds B-domain images ({m.output_nc}ch) "
+            f"through G_A (expects {m.input_nc}ch) — set "
+            f"--loss.lambda_identity 0 when input_nc != output_nc, as "
+            f"the reference requires")
+
+    gen_a = GenConfig(
+        net_g=m.net_g, input_nc=m.input_nc, output_nc=m.output_nc,
+        ngf=m.ngf, norm=m.norm, upsample=m.upsample,
+        n_downsample_global=m.n_downsample_global,
+        n_blocks_global=m.n_blocks_global,
+        n_blocks_local=m.n_blocks_local,
+        n_local_enhancers=m.n_local_enhancers,
+        use_dropout=m.use_dropout,
+        compute_dtype=compute_dtype, remat=m.remat)
+    gen_b = dataclasses.replace(gen_a, input_nc=m.output_nc,
+                                output_nc=m.input_nc)
+    # D_A judges B-domain images, D_B judges A-domain (reference naming).
+    # UNCONDITIONAL discriminators — no (input, output) concat pairs:
+    # there is no paired input to condition on.
+    disc_a = DiscConfig(
+        net_d=m.net_d, input_nc=m.output_nc, ndf=m.ndf,
+        n_layers=m.n_layers_d, num_d=m.num_d, norm=m.norm,
+        get_interm_feat=m.get_interm_feat, compute_dtype=compute_dtype)
+    disc_b = dataclasses.replace(disc_a, input_nc=m.input_nc)
+
+    ga_init, ga_apply = define_g(gen_a)
+    gb_init, gb_apply = define_g(gen_b)
+    da_init, da_apply = define_d(disc_a)
+    db_init, db_apply = define_d(disc_b)
+
+    if m.init_type != "normal":
+        from ir2rgb_tpu.nn.ops import apply_init_type
+        _dp = (("up_conv", "up") if m.upsample == "deconv"
+               else ("up_conv",))
+
+        def _rewrap(base, salt, deconv=None):
+            def init(key, _b=base, _s=salt, _d=deconv):
+                return apply_init_type(_b(key),
+                                       jax.random.fold_in(key, _s),
+                                       m.init_type,
+                                       deconv_parents=_d or ())
+            return init
+
+        ga_init = _rewrap(ga_init, 1, _dp)
+        gb_init = _rewrap(gb_init, 2, _dp)
+        da_init = _rewrap(da_init, 3)
+        db_init = _rewrap(db_init, 4)
+
+    def g_init(key):
+        ka, kb = jax.random.split(key)
+        return {"G_A": ga_init(ka), "G_B": gb_init(kb)}
+
+    def d_init(key):
+        ka, kb = jax.random.split(key)
+        return {"D_A": da_init(ka), "D_B": db_init(kb)}
+
+    tcfg = cfg.train
+    schedule = lr_schedule(tcfg.lr_policy, tcfg.lr, tcfg.niter,
+                           tcfg.niter_decay, steps_per_epoch,
+                           tcfg.lr_decay_iters)
+    adam = lambda: optax.adam(learning_rate=schedule, b1=tcfg.beta1,
+                              b2=tcfg.beta2, eps=1e-8)
+
+    return CycleGanModel(
+        cfg=cfg, gen_cfg=gen_a, disc_cfg=disc_a,
+        g_init=g_init, g_apply=ga_apply,
+        d_init=d_init, d_apply=da_apply,
+        vgg_params=None,  # the family's CycleGAN has no VGG loss
+        g_tx=adam(), d_tx=adam(),
+        freeze_gate=lambda g, s: g, steps_per_epoch=steps_per_epoch,
+        enc_cfg=None, fix_steps=0,
+        gb_apply=gb_apply, db_apply=db_apply,
+        gen_cfg_b=gen_b, disc_cfg_b=disc_b,
+    )

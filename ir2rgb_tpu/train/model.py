@@ -495,6 +495,11 @@ class GanModel:
 def create_model(cfg: Config, steps_per_epoch: int = 1000,
                  vgg_weights_npz: Optional[str] = None) -> GanModel:
     m = cfg.model
+    if m.model == "cycle_gan":
+        # unpaired two-generator family — train/cycle.py (shares this
+        # class's fused train_step / grad-accum / EMA machinery)
+        from ir2rgb_tpu.train.cycle import create_cycle_model
+        return create_cycle_model(cfg, steps_per_epoch)
     compute_dtype = _dtype_of(m.compute_dtype)
     n_prev = (m.n_frames_g - 1) if m.model == "temporal" else 0
     # label_nc > 0: G/D consume the one-hot encoded label map instead of
