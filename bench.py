@@ -148,6 +148,18 @@ def main() -> None:
         # batched serving (not the reference's batch-1 streaming headline,
         # but the right way to feed the MXU when latency allows)
         rows.append(measure("pix2pixhd_512", on_tpu, batch=8))
+        # int8 quantized serving (nn/quant.py; trace-time flag — set
+        # before measure() jits, reset after). MFU is still reported
+        # against the bf16 peak, so >1.0 means the int8 MXU rate is
+        # actually being hit.
+        from ir2rgb_tpu.nn import quant
+        quant.set_mode("int8")
+        try:
+            r = measure("pix2pixhd_512", on_tpu)
+            r["preset"] += "_int8"
+            rows.append(r)
+        finally:
+            quant.set_mode("none")
     primary = rows[0]
 
     if on_tpu:

@@ -27,6 +27,13 @@ def main(argv=None) -> int:
     from ir2rgb_tpu.train import Trainer, create_model
 
     cfg = parse_cli(argv)
+    from ir2rgb_tpu.nn import quant
+    if quant.mode() != "none" or cfg.infer.quant != "none":
+        # int8 rounding has zero gradient — a quantized train step would
+        # silently learn nothing (nn/quant.py is a serving-only path)
+        raise SystemExit(
+            "quantized mode is serving-only (IR2RGB_QUANT / "
+            "--infer.quant): unset it to train")
     if cfg.data.dataset_mode == "single":
         raise SystemExit(
             "dataset_mode=single has no ground-truth RGB targets — it is "

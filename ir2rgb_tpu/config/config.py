@@ -213,6 +213,10 @@ class InferConfig:
     # serve the EMA-averaged generator weights (requires the run to have
     # trained with --train.ema_decay > 0)
     use_ema: bool = False
+    # quantized serving: "int8" runs every generator conv/matmul as
+    # dynamic symmetric int8 on the MXU (2x the bf16 rate on v5e, half
+    # the HBM traffic; nn/quant.py). Serving-only — training refuses it.
+    quant: str = "none"
 
 
 @dataclass(frozen=True)

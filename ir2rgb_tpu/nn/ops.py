@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ir2rgb_tpu.nn import quant
+
 Params = Dict[str, Any]
 
 INIT_STD = 0.02  # reference weights_init: N(0, 0.02)
@@ -156,7 +158,7 @@ def conv_apply(p: Params, x: jax.Array, stride: int = 1,
     # HIGHEST: true-f32 conv for f32 inputs (default XLA precision decomposes
     # to bf16 passes and costs ~5e-3 parity error); bf16 inputs still take
     # the native MXU bf16 path.
-    y = lax.conv_general_dilated(
+    y = quant.conv(
         x, w, window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=lax.Precision.HIGHEST,
@@ -256,7 +258,7 @@ def deconv_apply(p: Params, x: jax.Array, stride: int = 2, k: int = 3,
         n, h, wd, ci = x.shape
         co = w.shape[3]
         wk, kk, omin = _subpixel_kernel(w, k, pad)
-        y = lax.conv_general_dilated(
+        y = quant.conv(
             x, wk, window_strides=(1, 1),
             padding=[(-omin, kk - 1 + omin), (-omin, kk - 1 + omin)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -274,7 +276,7 @@ def deconv_apply(p: Params, x: jax.Array, stride: int = 2, k: int = 3,
     else:
         lo = k - 1 - pad
         hi = k - 1 - pad + output_padding
-        y = lax.conv_general_dilated(
+        y = quant.conv(
             x, w, window_strides=(1, 1), padding=[(lo, hi), (lo, hi)],
             lhs_dilation=(stride, stride),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -301,7 +303,7 @@ def deconv_apply_s2d_out(p: Params, x: jax.Array, k: int = 3, pad: int = 1,
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     wk, kk, omin = _subpixel_kernel(w, k, pad)
-    y = lax.conv_general_dilated(
+    y = quant.conv(
         x, wk, window_strides=(1, 1),
         padding=[(-omin, kk - 1 + omin), (-omin, kk - 1 + omin)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

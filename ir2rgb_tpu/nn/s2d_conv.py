@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ir2rgb_tpu.nn import quant
+
 
 @functools.lru_cache(maxsize=None)
 def _plan(k: int, pad: int, stride: int) -> Tuple:
@@ -114,7 +116,7 @@ def _d2s_conv_kernel(c4: int, co: int, dtype_name: str) -> np.ndarray:
 
 def _d2s_conv(y: jax.Array, co: int) -> jax.Array:
     w = jnp.asarray(_d2s_conv_kernel(y.shape[3], co, y.dtype.name))
-    return lax.conv_general_dilated(
+    return quant.conv(
         y, w, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
@@ -211,7 +213,7 @@ def conv_s2d(x: jax.Array, w: jax.Array, stride: int, pad: int
     lo = -omin
     hi_h = max((jh - 1) + (kk - 1 + omin) - (xs.shape[1] - 1), 0)
     hi_w = max((jw - 1) + (kk - 1 + omin) - (xs.shape[2] - 1), 0)
-    y = lax.conv_general_dilated(
+    y = quant.conv(
         xs, wk, window_strides=(1, 1),
         padding=[(lo, hi_h), (lo, hi_w)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .s2d_conv import depth_to_space, space_to_depth
+from ir2rgb_tpu.nn import quant
 
 
 def to_s2d(x: jax.Array) -> jax.Array:
@@ -144,7 +145,7 @@ def conv_on_s2d(xs: jax.Array, w: jax.Array, stride: int = 1, pad: int = 0,
     h_out, jh, cs, hi_h = dim_plan(hs)
     w_out, jw, _, hi_w = dim_plan(ws)
     lo = -omin
-    y = lax.conv_general_dilated(
+    y = quant.conv(
         xs, wk, window_strides=(cs, cs),
         padding=[(lo, hi_h), (lo, hi_w)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -237,7 +238,7 @@ def _conv_i2s_direct(x: jax.Array, w: jax.Array, stride: int, pad: int,
     lo = pad
     hi_h = max((h_out // 2 - 1) * 2 * stride + kk - 1 - pad - (h - 1), 0)
     hi_w = max((w_out // 2 - 1) * 2 * stride + kk - 1 - pad - (wd - 1), 0)
-    y = lax.conv_general_dilated(
+    y = quant.conv(
         x, wk, window_strides=(2 * stride, 2 * stride),
         padding=[(lo, hi_h), (lo, hi_w)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -347,7 +348,7 @@ def conv_image_to_s2d_im2col(x: jax.Array, w: jax.Array, pad: int = 0,
     # (sh,sw,qh,qw,dh,dw,ci,co) -> (sh,sw,qh,qw,ci,dh,dw,co)
     wk = wk.transpose(0, 1, 2, 3, 6, 4, 5, 7)
     wk = wk.reshape(kk2 * kk2 * 4 * ci, 4 * co).astype(x.dtype)
-    y = lax.dot_general(patches, wk, (((3,), (0,)), ((), ())),
+    y = quant.dot(patches, wk, (((3,), (0,)), ((), ())),
                         precision=precision,
                         preferred_element_type=jnp.float32
                         if x.dtype == jnp.float32 else None)
@@ -426,7 +427,7 @@ def head_fold4_in_act_s2d(x: jax.Array, w: jax.Array, b=None,
     wk = wk.transpose(0, 1, 2, 3, 8, 4, 5, 6, 7, 9)
     wk = wk.reshape(kk, kk, 16 * ci, 16 * co).astype(x.dtype)
 
-    y = lax.conv_general_dilated(
+    y = quant.conv(
         xs4, wk, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
@@ -494,7 +495,7 @@ def tail_fold4_body(y4: jax.Array, w: jax.Array) -> jax.Array:
     wk = wk.reshape(kk, kk, 16 * ci, 16 * co).astype(y4.dtype)
     prec = (lax.Precision.DEFAULT if y4.dtype == jnp.bfloat16
             else lax.Precision.HIGHEST)
-    return lax.conv_general_dilated(
+    return quant.conv(
         y4, wk, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=prec,
@@ -673,7 +674,7 @@ def tail_from_fold4(y4: jax.Array, w: jax.Array, b=None,
     def reflect_conv(sub):
         subp = jnp.pad(sub, ((0, 0), (p, p), (p, p), (0, 0)),
                        mode="reflect")
-        y = lax.conv_general_dilated(
+        y = quant.conv(
             subp, w.astype(sub.dtype), (1, 1), [(0, 0), (0, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=(lax.Precision.DEFAULT
@@ -748,7 +749,7 @@ def head_fold4_reflect_in_act_s2d(x: jax.Array, w: jax.Array, b=None,
     wk = jnp.where(jnp.asarray(M)[..., None, None], wk, 0)
     wk = wk.transpose(0, 1, 2, 3, 8, 4, 5, 6, 7, 9)
     wk = wk.reshape(kk, kk, 16 * ci, 16 * co).astype(x.dtype)
-    body = lax.conv_general_dilated(
+    body = quant.conv(
         xs4, wk, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
@@ -769,7 +770,7 @@ def head_fold4_reflect_in_act_s2d(x: jax.Array, w: jax.Array, b=None,
     def conv_strip(sub):
         subp = jnp.pad(sub, ((0, 0), (p, p), (p, p), (0, 0)),
                        mode="reflect")
-        return lax.conv_general_dilated(
+        return quant.conv(
             subp, w.astype(sub.dtype), (1, 1), [(0, 0), (0, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=precision)
@@ -846,7 +847,7 @@ def conv_fold4_to_s2d(y4: jax.Array, w: jax.Array, pad: int = 1,
     wk = wk.reshape(kk, kk, 16 * ci, 4 * co).astype(y4.dtype)
     lo = -omin
     hi = max(kk - 1 + omin, 0)
-    return lax.conv_general_dilated(
+    return quant.conv(
         y4, wk, window_strides=(1, 1), padding=[(lo, hi), (lo, hi)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
@@ -932,7 +933,7 @@ def _deconv_wk(w: jax.Array, k: int, pad: int) -> jax.Array:
 def _deconv_conv(xs: jax.Array, wk: jax.Array, k: int, pad: int,
                  precision) -> jax.Array:
     _, _, _, kk, omin = _deconv_s2d_maps(k, pad)
-    return lax.conv_general_dilated(
+    return quant.conv(
         xs, wk, window_strides=(1, 1),
         padding=[(-omin, kk - 1 + omin), (-omin, kk - 1 + omin)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -1119,7 +1120,7 @@ def conv_on_s2d_wide(xs: jax.Array, w: jax.Array, pad: int,
     jw, hi_w = dim_plan(ws)
 
     wide = wk.transpose(2, 0, 1, 3).reshape(4 * ci, kk * kk * P * co)
-    y = lax.dot_general(xs, wide, (((3,), (0,)), ((), ())),
+    y = quant.dot(xs, wide, (((3,), (0,)), ((), ())),
                         precision=precision,
                         preferred_element_type=jnp.float32 if
                         xs.dtype == jnp.float32 else None)

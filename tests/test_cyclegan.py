@@ -215,6 +215,38 @@ def test_cycle_overfit_smoke():
     assert last < first, (first, last)
 
 
+def test_cycle_dp_matches_single_device():
+    """The composite G_A/G_B/D_A/D_B trees replicate over a DP mesh and
+    the batch-sharded fused step reproduces the single-device metrics
+    and gradients (XLA all-reduce == single-device sum)."""
+    from ir2rgb_tpu.parallel import (
+        batch_sharding,
+        data_parallel_mesh,
+        replicate,
+        shard_batch,
+    )
+    cfg = cycle_cfg()
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=8))
+    model = create_model(cfg, steps_per_epoch=10)
+    batch = _rand_batch(bsz=8)
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    s1, m1 = jax.jit(model.train_step)(state, batch)
+
+    mesh = data_parallel_mesh(8)
+    rep = replicate(mesh)
+    state8 = jax.device_put(state, rep)
+    batch8 = shard_batch(batch, mesh)
+    s8, m8 = jax.jit(model.train_step,
+                     in_shardings=(rep, batch_sharding(mesh)),
+                     out_shardings=(rep, rep))(state8, batch8)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=2e-3,
+                                   err_msg=k)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.g_params)),
+                    jax.tree.leaves(jax.device_get(s8.g_params))):
+        np.testing.assert_allclose(a, b, atol=5e-4)
+
+
 # ---------------------------------------------------------------------------
 # Unaligned data path
 # ---------------------------------------------------------------------------
