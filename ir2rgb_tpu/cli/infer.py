@@ -135,6 +135,16 @@ def main(argv=None) -> int:
         from ir2rgb_tpu.nn.encoders import instance_edges
         edges_jit = jax.jit(instance_edges)
 
+    # cycle_gan galleries mirror the reference test driver's
+    # real/fake/rec columns: the B->A generator reconstructs the input
+    # from the translation (needs G_B in the checkpoint — the --torch_g
+    # single-net import serves fake-only galleries)
+    rec_jit = None
+    if (cfg.model.model == "cycle_gan" and isinstance(g_params, dict)
+            and "G_B" in g_params):
+        rec_jit = jax.jit(
+            lambda p, x: model.generate(p, x, direction="BtoA"))
+
     psnrs, ssims = [], []
     how_many = cfg.infer.how_many or float("inf")
     count = 0
@@ -199,6 +209,9 @@ def main(argv=None) -> int:
 
         visuals = {"input": _ar(input_img),
                    "generated": _ar(tensor2im(fake))}
+        if rec_jit is not None:
+            visuals["reconstructed"] = _ar(
+                tensor2im(rec_jit(g_params, fake)))
         if not single:
             visuals["target"] = _ar(tensor2im(batch["b"]))
         vis.save_images(page, visuals, host_batch["paths"][0][0])

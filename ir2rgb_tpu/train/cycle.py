@@ -231,10 +231,12 @@ def create_cycle_model(cfg: Config,
                                 output_nc=m.input_nc)
     # D_A judges B-domain images, D_B judges A-domain (reference naming).
     # UNCONDITIONAL discriminators — no (input, output) concat pairs:
-    # there is no paired input to condition on.
+    # there is no paired input to condition on. d_pad=1: the CycleGAN
+    # family uses the pix2pix 4x4-conv padding convention (padw=1), not
+    # pix2pixHD's padw=2 the paired models here default to.
     disc_a = DiscConfig(
         net_d=m.net_d, input_nc=m.output_nc, ndf=m.ndf,
-        n_layers=m.n_layers_d, num_d=m.num_d, norm=m.norm,
+        n_layers=m.n_layers_d, num_d=m.num_d, norm=m.norm, d_pad=1,
         get_interm_feat=m.get_interm_feat, compute_dtype=compute_dtype)
     disc_b = dataclasses.replace(disc_a, input_nc=m.input_nc)
 
