@@ -45,6 +45,10 @@ def main(argv=None) -> int:
         sp.add_argument("--preset", default="",
                         help="override architecture; default: the run's "
                              "own config.json")
+        sp.add_argument("--net", default="",
+                        help="cycle_gan runs hold two nets per side: "
+                             "G_A (A->B, default) | G_B for export-g, "
+                             "D_A (judges B) | D_B for export-d")
         sp.add_argument("--out", required=True)
     spv = sub.add_parser("vgg19")
     spv.add_argument("--pth", required=True)
@@ -81,16 +85,35 @@ def main(argv=None) -> int:
         ckpt = CheckpointManager(os.path.join(args.run, "ckpt"))
         step = ckpt.step_for_label(args.epoch)
         state = ckpt.restore(step)
+        cycle = cfg.model.model == "cycle_gan"
         if args.cmd == "export-g":
             params = (state["g_params"] if isinstance(state, dict)
                       else state.g_params)
+            gen_cfg = model.gen_cfg
+            if cycle:
+                net = args.net or "G_A"
+                if net not in ("G_A", "G_B"):
+                    p.error("--net must be G_A or G_B for export-g on a "
+                            "cycle_gan run")
+                params = params[net]
+                gen_cfg = (model.gen_cfg if net == "G_A"
+                           else model.gen_cfg_b)
             out_sd = export_generator(jax.device_get(params),
-                                      model.gen_cfg, args.template)
+                                      gen_cfg, args.template)
         else:
             params = (state["d_params"] if isinstance(state, dict)
                       else state.d_params)
+            disc_cfg = model.disc_cfg
+            if cycle:
+                net = args.net or "D_A"
+                if net not in ("D_A", "D_B"):
+                    p.error("--net must be D_A or D_B for export-d on a "
+                            "cycle_gan run")
+                params = params[net]
+                disc_cfg = (model.disc_cfg if net == "D_A"
+                            else model.disc_cfg_b)
             out_sd = export_discriminator(jax.device_get(params),
-                                          model.disc_cfg, args.template)
+                                          disc_cfg, args.template)
         save_torch_state_dict(out_sd, args.out)
         n = sum(int(v.size) for v in out_sd.values())
         print(f"exported {n:,} params (epoch {args.epoch}, step {step}) "

@@ -329,6 +329,92 @@ def test_cycle_dp_matches_single_device():
         np.testing.assert_allclose(a, b, atol=5e-4)
 
 
+def test_cycle_trainer_fit_and_resume(tmp_path):
+    """The real Trainer over the composite trees: fit on the 8-device
+    mesh (dict-of-pools + EMA-of-both-Gs through orbax), then
+    continue_train picks the state back up."""
+    from ir2rgb_tpu.train import Trainer
+
+    def mk_cfg(**train_kw):
+        defaults = dict(name="cyc_trainer", checkpoints_dir=str(tmp_path),
+                        niter=1, niter_decay=0, print_freq=2,
+                        save_latest_freq=100, ema_decay=0.5)
+        defaults.update(train_kw)
+        cfg = cycle_cfg()
+        return cfg.replace(
+            data=dataclasses.replace(cfg.data, batch_size=8),
+            loss=dataclasses.replace(cfg.loss, pool_size=4),
+            train=TrainConfig(**defaults))
+
+    def batches(n):
+        b = _rand_batch(bsz=8)
+        for _ in range(n):
+            yield b
+
+    cfg = mk_cfg()
+    model = create_model(cfg, steps_per_epoch=3)
+    trainer = Trainer(model, cfg)
+    state = trainer.init_or_restore(jax.random.PRNGKey(0),
+                                    next(batches(1)))
+    state = trainer.fit(state, batches(10))
+    assert int(jax.device_get(state.step)) == 3
+    trainer.ckpt.close()
+
+    cfg2 = mk_cfg(continue_train=True, niter=2)
+    model2 = create_model(cfg2, steps_per_epoch=3)
+    trainer2 = Trainer(model2, cfg2)
+    state2 = trainer2.init_or_restore(jax.random.PRNGKey(1),
+                                      next(batches(1)))
+    assert int(jax.device_get(state2.step)) == 3
+    assert sorted(state2.ema_g) == ["G_A", "G_B"]
+    assert int(jax.device_get(state2.pool["fake_a"].count)) > 0
+    state2 = trainer2.fit(state2, batches(10))
+    assert int(jax.device_get(state2.step)) == 6
+    trainer2.ckpt.close()
+
+
+def test_cycle_export_g_cli(tmp_path):
+    """ir2rgb-convert export-g --net G_B deploys the B->A generator of a
+    cycle run back into the torch reference stack (strict load, matching
+    outputs)."""
+    import torch
+    import torch_refs
+    from ir2rgb_tpu.checkpoint import CheckpointManager
+    from ir2rgb_tpu.cli.convert import main as convert_main
+    from ir2rgb_tpu.config import save_config
+
+    cfg = cycle_cfg()
+    model = create_model(cfg, steps_per_epoch=1)
+    batch = _rand_batch()
+    state = model.init_state(jax.random.PRNGKey(4), batch)
+    run = str(tmp_path / "run")
+    save_config(cfg, os.path.join(run, "config.json"))
+    mgr = CheckpointManager(os.path.join(run, "ckpt"), async_save=False)
+    mgr.save(1, jax.device_get(state), force=True)
+    mgr.wait()
+    mgr.close()
+
+    tpl = torch_refs.ResnetGenerator(ngf=4, n_blocks=6, norm="instance")
+    tpl_path = str(tmp_path / "tpl_net_G.pth")
+    torch.save(tpl.state_dict(), tpl_path)
+    out_path = str(tmp_path / "exported_net_G_B.pth")
+    rc = convert_main(["export-g", "--run", run, "--template", tpl_path,
+                       "--net", "G_B", "--out", out_path])
+    assert rc == 0 and os.path.exists(out_path)
+
+    tpl.load_state_dict(torch.load(out_path, weights_only=True),
+                        strict=True)
+    tpl.eval()
+    torch.manual_seed(0)
+    x_t = torch.randn(1, 3, 32, 32)
+    with torch.no_grad():
+        y_t = tpl(x_t).numpy()
+    y_j = np.asarray(model.gb_apply(
+        jax.device_get(state.g_params)["G_B"],
+        jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(y_j.transpose(0, 3, 1, 2), y_t, atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # Unaligned data path
 # ---------------------------------------------------------------------------
