@@ -145,6 +145,23 @@ def main(argv=None) -> int:
         rec_jit = jax.jit(
             lambda p, x: model.generate(p, x, direction="BtoA"))
 
+    # --infer.video: assemble generated frames into MJPEG/AVI file(s),
+    # one per source sequence (multi-video dataroots get one file each,
+    # suffixed by the sequence directory name)
+    video_writer = None
+    video_paths = []
+
+    def _open_video(video_dir: str):
+        from ir2rgb_tpu.obs.video import MJPEGAviWriter
+        base = cfg.infer.video
+        if video_paths:  # 2nd+ sequence: suffix with the sequence dir
+            root, ext = os.path.splitext(base)
+            base = f"{root}_{os.path.basename(video_dir)}{ext or '.avi'}"
+        w = MJPEGAviWriter(base, fps=cfg.infer.video_fps,
+                           quality=cfg.infer.video_quality)
+        video_paths.append(base)
+        return w
+
     psnrs, ssims = [], []
     how_many = cfg.infer.how_many or float("inf")
     count = 0
@@ -160,6 +177,11 @@ def main(argv=None) -> int:
         video = os.path.dirname(host_batch["paths"][0][0])
         if prev_video is not None and video != prev_video:
             stream.reset()
+            if video_writer is not None:
+                video_writer.close()
+                video_writer = _open_video(video)
+        if cfg.infer.video and video_writer is None:
+            video_writer = _open_video(video)
         prev_video = video
         batch = preprocess_pair_batch(
             jnp.asarray(host_batch["a"]), jnp.asarray(host_batch["b"]),
@@ -209,6 +231,8 @@ def main(argv=None) -> int:
 
         visuals = {"input": _ar(input_img),
                    "generated": _ar(tensor2im(fake))}
+        if video_writer is not None:
+            video_writer.add(visuals["generated"])
         if rec_jit is not None:
             visuals["reconstructed"] = _ar(
                 tensor2im(rec_jit(g_params, fake)))
@@ -218,6 +242,9 @@ def main(argv=None) -> int:
         count += 1
     vis.flush()  # async gallery writes hit disk before the page references them
     page.save()
+    if video_writer is not None:
+        video_writer.close()
+        print(f"video: {', '.join(video_paths)}", flush=True)
     if psnrs:
         print(f"frames: {count}  PSNR: {np.mean(psnrs):.2f} dB  "
               f"SSIM: {np.mean(ssims):.4f}", flush=True)

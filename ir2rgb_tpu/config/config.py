@@ -217,6 +217,13 @@ class InferConfig:
     # dynamic symmetric int8 on the MXU (2x the bf16 rate on v5e, half
     # the HBM traffic; nn/quant.py). Serving-only — training refuses it.
     quant: str = "none"
+    # write generated frames to an MJPEG/AVI video file (obs/video.py;
+    # dependency-free container + native libjpeg frames). Empty = off.
+    # Multi-video dataroots write one file per source sequence, suffixed
+    # with the sequence directory name.
+    video: str = ""
+    video_fps: float = 30.0
+    video_quality: int = 90
 
 
 @dataclass(frozen=True)

@@ -64,6 +64,13 @@ def _load() -> Optional[ctypes.CDLL]:
                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
                     ctypes.POINTER(ctypes.c_int32),
                 ]
+            if hasattr(lib, "i2r_encode_jpeg_mem"):  # older cached .so
+                lib.i2r_encode_jpeg_mem.restype = ctypes.c_long
+                lib.i2r_encode_jpeg_mem.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+                ]
             _LIB = lib
         except Exception:
             _LIB_FAILED = True
@@ -181,6 +188,36 @@ def encode_png(path: str, img: np.ndarray) -> None:
         arr.shape[0], arr.shape[1], arr.shape[2])
     if rc:
         raise IOError(f"native PNG encode failed: {path}")
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an HWC (or HW) uint8 image to JPEG bytes in memory —
+    libjpeg-turbo without the GIL when the native lib is available, PIL
+    otherwise. Frame payload for the MJPEG/AVI video writer
+    (obs.video.MJPEGAviWriter)."""
+    arr = np.ascontiguousarray(img, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    lib = _load()
+    if lib is not None and hasattr(lib, "i2r_encode_jpeg_mem") \
+            and arr.shape[2] in (1, 3):
+        # worst-case JPEG output is bounded well under raw + header slack
+        cap = arr.size * 2 + (1 << 16)
+        out = np.empty(cap, np.uint8)
+        n = lib.i2r_encode_jpeg_mem(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            arr.shape[0], arr.shape[1], arr.shape[2], int(quality),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n > 0:
+            return out[:n].tobytes()
+        # fall through to PIL on error (e.g. zero-sized image)
+    import io
+
+    from PIL import Image
+    pil_arr = arr[..., 0] if arr.shape[2] == 1 else arr
+    buf = io.BytesIO()
+    Image.fromarray(pil_arr).save(buf, "JPEG", quality=int(quality))
+    return buf.getvalue()
 
 
 def encode_png_batch(paths: List[str], imgs: np.ndarray,

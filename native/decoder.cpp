@@ -441,6 +441,53 @@ int i2r_encode_png(const char* path, const uint8_t* data, int h, int w,
   return encode_png(path, data, h, w, c) ? 0 : 1;
 }
 
+// Encode one HWC uint8 image (c = 1 or 3) as a JFIF JPEG into a
+// caller-provided buffer (the MJPEG/AVI writer assembles the container
+// in Python around these frames). Returns the byte count written, or
+// -1 on error / buffer too small. Thread-safe (no shared state).
+long i2r_encode_jpeg_mem(const uint8_t* data, int h, int w, int c,
+                         int quality, uint8_t* out, long out_cap) {
+  if (c != 1 && c != 3) return -1;
+  jpeg_compress_struct cinfo;
+  jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jerr.error_exit = [](j_common_ptr ci) { longjmp(*(jmp_buf*)ci->client_data, 1); };
+  jmp_buf env;
+  cinfo.client_data = &env;
+  jpeg_create_compress(&cinfo);
+  unsigned char* mem = nullptr;
+  unsigned long mem_size = 0;
+  if (setjmp(env)) {
+    jpeg_destroy_compress(&cinfo);
+    if (mem) free(mem);
+    return -1;
+  }
+  // jpeg_mem_dest allocates/grows its own buffer; copy out afterwards
+  jpeg_mem_dest(&cinfo, &mem, &mem_size);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = c;
+  cinfo.in_color_space = (c == 3) ? JCS_RGB : JCS_GRAYSCALE;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  const size_t stride = size_t(w) * c;
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(data + cinfo.next_scanline * stride);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  long n = long(mem_size);
+  if (n > out_cap) {
+    free(mem);
+    return -1;
+  }
+  memcpy(out, mem, size_t(n));
+  free(mem);
+  return n;
+}
+
 // Thread-pooled batch encode: data is (n, h, w, c) uint8 contiguous.
 // Returns the number of failed writes.
 int i2r_encode_png_batch(const char** paths, const uint8_t* data, int n,
