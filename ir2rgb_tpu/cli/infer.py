@@ -174,7 +174,10 @@ def main(argv=None) -> int:
         # the carry at each video boundary or vid001's first frames are
         # conditioned on vid000's last outputs (reference test.py
         # processes sequences independently).
-        video = os.path.dirname(host_batch["paths"][0][0])
+        # sequence identity: the container file for AVI virtual frames,
+        # the directory for frame folders
+        from ir2rgb_tpu.data.video import sequence_key
+        video = sequence_key(host_batch["paths"][0][0])
         if prev_video is not None and video != prev_video:
             stream.reset()
             if video_writer is not None:

@@ -26,12 +26,21 @@ def is_image_file(name: str) -> bool:
 
 def make_dataset(directory: str,
                  max_size: Optional[int] = None) -> List[str]:
-    """Sorted recursive list of image paths (reference make_dataset)."""
+    """Sorted recursive list of frame paths (reference make_dataset).
+
+    MJPEG/AVI video files count as frame folders: each ``clip.avi``
+    expands into virtual per-frame paths ``clip.avi#000042`` that the
+    decode funnel resolves through data/video.py — IR cameras commonly
+    record MJPEG AVI, and the reference required pre-extracting frames
+    with ffmpeg first."""
+    from .video import frame_paths, is_avi_file
     paths: List[str] = []
     for root, _, files in sorted(os.walk(directory)):
         for f in sorted(files):
             if is_image_file(f):
                 paths.append(os.path.join(root, f))
+            elif is_avi_file(f):
+                paths.extend(frame_paths(os.path.join(root, f)))
     if max_size is not None:
         paths = paths[:max_size]
     return paths
@@ -174,7 +183,15 @@ def find_temporal_sequences(root: str, phase: str = "train",
         a_paths = make_dataset(a_dir)
         b_paths = make_dataset(b_dir)
         _check_counts_match(a_paths, b_paths, a_dir, b_dir)
-        videos.append(list(zip(a_paths, b_paths)))
+        # a flat folder is one video — unless it holds .avi containers,
+        # where each file is its own sequence (frames from different
+        # videos must never share a temporal window)
+        from .video import sequence_key
+        pairs = list(zip(a_paths, b_paths))
+        groups: dict = {}
+        for pa, pb in pairs:
+            groups.setdefault(sequence_key(pa), []).append((pa, pb))
+        videos.extend(groups[k] for k in sorted(groups))
     windows: List[List[Tuple[str, str]]] = []
     for frames in videos:
         for start in range(0, len(frames) - n_frames + 1, stride):

@@ -40,6 +40,13 @@ def _decode_many(paths: List[str], target_hw,
 
 
 def _native_size(path: str):
+    from .video import avi_native_size, is_avi_file, is_virtual_frame, \
+        split_virtual
+    if is_virtual_frame(path):
+        # one header parse per container (cached) covers all its frames
+        path = split_virtual(path)[0]
+    if is_avi_file(path):
+        return avi_native_size(path)
     from PIL import Image
     with Image.open(path) as im:
         return im.size[1], im.size[0]  # (H, W)
@@ -226,6 +233,11 @@ class DataLoader:
             self._verify_one_size(p)
 
     def _verify_one_size(self, path: str) -> None:
+        from .video import is_virtual_frame, split_virtual
+        if is_virtual_frame(path):
+            # all frames of one container share its strf geometry —
+            # check (and record) per file, not per frame
+            path = split_virtual(path)[0]
         if path in self._size_checked:
             return
         size = _native_size(path)

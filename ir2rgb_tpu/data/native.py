@@ -71,6 +71,16 @@ def _load() -> Optional[ctypes.CDLL]:
                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
                 ]
+            if hasattr(lib, "i2r_decode_jpeg_mem_batch"):  # older .so
+                lib.i2r_decode_jpeg_mem_batch.restype = ctypes.c_int
+                lib.i2r_decode_jpeg_mem_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_long),
+                    ctypes.POINTER(ctypes.c_long),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8),
+                ]
             _LIB = lib
         except Exception:
             _LIB_FAILED = True
@@ -88,6 +98,12 @@ def decode_batch(paths: List[str], out_h: int, out_w: int,
     Uses the C++ thread pool when available; PIL otherwise. Failed decodes
     raise (native path zeroes the slot and reports a count)."""
     c = 1 if gray else 3
+    if any("#" in p for p in paths):
+        # MJPEG/AVI virtual frame paths ("clip.avi#000042") — route to
+        # the container reader (which calls back into the in-memory
+        # JPEG decoder below); plain file paths decode as usual
+        from .video import decode_mixed_batch
+        return decode_mixed_batch(paths, out_h, out_w, gray, threads)
     lib = _load()
     if lib is None:
         return _decode_batch_pil(paths, out_h, out_w, gray)
@@ -188,6 +204,46 @@ def encode_png(path: str, img: np.ndarray) -> None:
         arr.shape[0], arr.shape[1], arr.shape[2])
     if rc:
         raise IOError(f"native PNG encode failed: {path}")
+
+
+def decode_jpeg_mem_batch(blob: np.ndarray, offsets: np.ndarray,
+                          sizes: np.ndarray, out_h: int, out_w: int,
+                          gray: bool = False, threads: int = 0
+                          ) -> np.ndarray:
+    """Decode JPEG byte ranges inside one uint8 blob to (N, H, W, C)
+    uint8 — MJPEG/AVI frames read in a single file pass (data/video.py).
+    C++ thread pool when available; PIL otherwise. Raises on any failed
+    frame (a video with an undecodable frame is corrupt, not sparse)."""
+    n = len(offsets)
+    c = 1 if gray else 3
+    offs = np.ascontiguousarray(offsets, np.int64)
+    szs = np.ascontiguousarray(sizes, np.int64)
+    blob = np.ascontiguousarray(blob, np.uint8)
+    lib = _load()
+    if lib is not None and hasattr(lib, "i2r_decode_jpeg_mem_batch") and n:
+        out = np.empty((n, out_h, out_w, c), np.uint8)
+        failures = lib.i2r_decode_jpeg_mem_batch(
+            blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            szs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            n, out_h, out_w, int(gray), threads,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if failures:
+            raise IOError(f"native MJPEG decode failed on {failures}/{n} "
+                          f"frames (corrupt video stream?)")
+        return out
+    import io
+
+    from PIL import Image
+    out = np.empty((n, out_h, out_w, c), np.uint8)
+    for i, (o, s) in enumerate(zip(offs, szs)):
+        with Image.open(io.BytesIO(blob[o:o + s].tobytes())) as im:
+            im = im.convert("L" if gray else "RGB")
+            if im.size != (out_w, out_h):
+                im = im.resize((out_w, out_h), Image.BILINEAR)
+            a = np.asarray(im, np.uint8)
+        out[i] = a[..., None] if gray else a
+    return out
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:

@@ -94,6 +94,15 @@ class Visualizer:
         multi-video dataroot (A/vid000/0001.png, A/vid001/0001.png) has
         colliding basenames, and keying on the basename alone silently
         overwrote earlier videos' gallery images."""
+        from ir2rgb_tpu.data.video import is_virtual_frame, split_virtual
+        if is_virtual_frame(image_path):
+            # AVI virtual frames ("clip.avi#000042"): splitext would
+            # collapse every frame to "clip", and '#' is an URL fragment
+            # separator — key as clip_000042 instead
+            file, idx = split_virtual(image_path)
+            image_path = os.path.join(
+                os.path.dirname(file),
+                f"{os.path.splitext(os.path.basename(file))[0]}_{idx:06d}")
         base = os.path.splitext(os.path.basename(image_path))[0]
         parent = os.path.basename(os.path.dirname(image_path))
         short = f"{parent}_{base}" if parent not in ("", "A", "testA",

@@ -132,6 +132,36 @@ bool decode_jpeg(FILE* f, Image* im) {
   return true;
 }
 
+// Decode a JPEG already in memory (an MJPEG/AVI frame payload — the
+// data/video.py input path hands byte ranges out of the container).
+bool decode_jpeg_mem(const uint8_t* buf, unsigned long nbytes, Image* im) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), nbytes);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  im->h = cinfo.output_height;
+  im->w = cinfo.output_width;
+  im->c = 3;
+  im->data.resize(size_t(im->h) * im->w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row =
+        im->data.data() + size_t(cinfo.output_scanline) * im->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
 // ------------------------------------------------------------- resize ----
 
 // bilinear, half-pixel centers, RGB in -> (gray ? 1 : 3) channels out
@@ -310,6 +340,27 @@ void resize_nearest_ids(const int32_t* src, int sh, int sw, int oh, int ow,
   }
 }
 
+// Deliver a decoded RGB image at the target geometry/channels: memcpy /
+// luma-convert when already sized (the pre-sized-dataset common case),
+// bilinear otherwise. Shared by the file and in-memory decode entries.
+void emit_resized(const Image& im, int out_h, int out_w, int gray,
+                  uint8_t* out) {
+  if (im.h == out_h && im.w == out_w) {
+    if (!gray) {
+      std::memcpy(out, im.data.data(), size_t(out_h) * out_w * 3);
+    } else {
+      const uint8_t* src = im.data.data();
+      for (size_t i = 0, n = size_t(out_h) * out_w; i < n; ++i) {
+        const uint8_t* p = src + i * 3;
+        float l = 0.299f * p[0] + 0.587f * p[1] + 0.114f * p[2];
+        out[i] = uint8_t(l + 0.5f);
+      }
+    }
+    return;
+  }
+  resize_bilinear(im, out_h, out_w, gray, out);
+}
+
 bool decode_file(const char* path, Image* im) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
@@ -336,23 +387,53 @@ int i2r_decode_resize(const char* path, int out_h, int out_w, int gray,
                       uint8_t* out) {
   Image im;
   if (!decode_file(path, &im) || im.h == 0 || im.w == 0) return 1;
-  if (im.h == out_h && im.w == out_w) {
-    // already target geometry: skip the bilinear pass entirely (the
-    // common serving/training case — datasets pre-sized to crop_size)
-    if (!gray) {
-      std::memcpy(out, im.data.data(), size_t(out_h) * out_w * 3);
-    } else {
-      const uint8_t* src = im.data.data();
-      for (size_t i = 0, n = size_t(out_h) * out_w; i < n; ++i) {
-        const uint8_t* p = src + i * 3;
-        float l = 0.299f * p[0] + 0.587f * p[1] + 0.114f * p[2];
-        out[i] = uint8_t(l + 0.5f);
+  emit_resized(im, out_h, out_w, gray, out);
+  return 0;
+}
+
+// Decode one in-memory JPEG (MJPEG/AVI frame) and deliver at the target
+// geometry. Returns 0 on success, 1 on failure.
+int i2r_decode_jpeg_mem(const uint8_t* buf, long nbytes, int out_h,
+                        int out_w, int gray, uint8_t* out) {
+  Image im;
+  if (nbytes <= 0 ||
+      !decode_jpeg_mem(buf, (unsigned long)nbytes, &im) ||
+      im.h == 0 || im.w == 0)
+    return 1;
+  emit_resized(im, out_h, out_w, gray, out);
+  return 0;
+}
+
+// Thread-pooled batch decode of JPEG byte ranges inside one blob (the
+// frames of an MJPEG AVI read in a single pass): blob + offsets[n] +
+// sizes[n] -> out (n, out_h, out_w, C) uint8. Returns the number of
+// failed decodes (their slots are zeroed).
+int i2r_decode_jpeg_mem_batch(const uint8_t* blob, const long* offsets,
+                              const long* sizes, int n, int out_h,
+                              int out_w, int gray, int threads,
+                              uint8_t* out) {
+  const size_t stride = size_t(out_h) * out_w * (gray ? 1 : 3);
+  std::atomic<int> next(0), failures(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      uint8_t* slot = out + size_t(i) * stride;
+      if (i2r_decode_jpeg_mem(blob + offsets[i], sizes[i], out_h, out_w,
+                              gray, slot) != 0) {
+        std::memset(slot, 0, stride);
+        failures.fetch_add(1);
       }
     }
-    return 0;
-  }
-  resize_bilinear(im, out_h, out_w, gray, out);
-  return 0;
+  };
+  int t = threads > 0 ? threads : int(std::thread::hardware_concurrency());
+  if (t < 1) t = 1;
+  if (t > n) t = n;
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  for (int i = 0; i < t; ++i) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
 }
 
 // Thread-pooled batch decode: paths[n] -> out (n, out_h, out_w, C) uint8.

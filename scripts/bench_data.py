@@ -85,6 +85,26 @@ def main() -> None:
             rows.append({"path": name, "images": n, "size": size,
                          "ms_per_image": round(best / n * 1e3, 3),
                          "images_per_sec": round(n / best, 1)})
+        # MJPEG/AVI ingest (data/video.py): one container, buffered span
+        # reads + in-memory JPEG thread-pool decode — the video-dataroot
+        # path vs per-file decode above
+        from ir2rgb_tpu.data.video import decode_mixed_batch, frame_paths
+        from ir2rgb_tpu.obs.video import MJPEGAviWriter
+        avi = os.path.join(d, "clip.avi")
+        with MJPEGAviWriter(avi, fps=30, quality=92) as w:
+            for im in imgs:
+                w.add(im)
+        vp = frame_paths(avi)
+        decode_mixed_batch(vp, size, size)  # warm cache + index
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = decode_mixed_batch(vp, size, size)
+            best = min(best, time.perf_counter() - t0)
+        assert out.shape == (n, size, size, 3)
+        rows.append({"path": "native_avi", "images": n, "size": size,
+                     "ms_per_image": round(best / n * 1e3, 3),
+                     "images_per_sec": round(n / best, 1)})
         for r in rows:
             print(json.dumps(r), flush=True)
 
