@@ -127,6 +127,14 @@ def decode_ids_batch(paths: List[str], out_h: int, out_w: int,
     input path. Native thread pool for PNGs; PIL for anything else (and
     for any file the native path rejects), preserving the file's native
     id space: gray values, palette indices, or folded 24-bit RGB."""
+    virtual = [p for p in paths if "#" in p and ".avi" in p.lower()]
+    if virtual:
+        # id maps must be lossless — JPEG (the only AVI codec here)
+        # would blend/shift class ids at block boundaries
+        raise ValueError(
+            f"instance/label id maps cannot come from MJPEG video "
+            f"(lossy JPEG frames corrupt integer ids): {virtual[0]}. "
+            f"Provide id maps as PNG frame folders.")
     lib = _load()
     if lib is not None and hasattr(lib, "i2r_decode_ids_batch") and paths:
         out = np.empty((len(paths), out_h, out_w), np.int32)

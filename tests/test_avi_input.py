@@ -284,3 +284,9 @@ def test_infer_cli_avi_in_avi_out(tmp_path):
     pngs = sorted(p.name for p in gallery.glob("*generated*"))
     assert len(pngs) == 4  # distinct names per frame (no '#' collisions)
     assert all("#" not in p for p in pngs)
+
+
+def test_id_maps_refuse_avi_frames(clip):
+    path, _ = clip
+    with pytest.raises(ValueError, match="id maps cannot come from"):
+        native.decode_ids_batch([f"{path}#000000"], 32, 32)
