@@ -18,7 +18,6 @@ import numpy as np
 
 
 def main(argv=None) -> int:
-    from ir2rgb_tpu.checkpoint import CheckpointManager, import_generator
     from ir2rgb_tpu.config import parse_cli
     from ir2rgb_tpu.data import DataLoader, preprocess_pair_batch
     from ir2rgb_tpu.infer import (
@@ -31,12 +30,10 @@ def main(argv=None) -> int:
     from ir2rgb_tpu.obs.html import HTMLPage
     from ir2rgb_tpu.train import create_model
 
+    from ir2rgb_tpu.cli.common import load_generator_params, pop_flag
+
     argv = list(sys.argv[1:] if argv is None else argv)
-    torch_g = None
-    if "--torch_g" in argv:
-        i = argv.index("--torch_g")
-        torch_g = argv[i + 1]
-        del argv[i:i + 2]
+    torch_g = pop_flag(argv, "--torch_g")
     cfg = parse_cli(argv)
     import dataclasses
     # test-time invariants (reference TestOptions): sequential batch-1
@@ -55,31 +52,7 @@ def main(argv=None) -> int:
     loader = DataLoader(cfg, phase="test", shuffle=False)
     model = create_model(cfg, steps_per_epoch=max(len(loader), 1))
 
-    if torch_g is not None:
-        if cfg.infer.use_ema:
-            raise SystemExit("--infer.use_ema needs an Orbax run "
-                             "checkpoint; --torch_g imports raw reference "
-                             "weights (no EMA state)")
-        g_params = import_generator(torch_g, model.gen_cfg)
-        if cfg.model.model == "cycle_gan":
-            # a reference CycleGAN checkpoint is per-net
-            # (latest_net_G_A.pth); serving only touches G_A
-            g_params = {"G_A": g_params}
-    else:
-        ckpt = CheckpointManager(os.path.join(cfg.run_dir(), "ckpt"))
-        # reference --which_epoch: infer from a named epoch, not only latest
-        step = ckpt.step_for_label(cfg.infer.which_epoch)
-        state = ckpt.restore(step)
-        if cfg.infer.use_ema:
-            g_params = (state.get("ema_g") if isinstance(state, dict)
-                        else getattr(state, "ema_g", None))
-            if not g_params:
-                raise SystemExit(
-                    "--infer.use_ema: this checkpoint has no EMA weights "
-                    "(train with --train.ema_decay > 0)")
-        else:
-            g_params = state["g_params"] if isinstance(state, dict) else \
-                state.g_params
+    g_params = load_generator_params(cfg, model, torch_g)
 
     # Crop only in crop-style preprocess modes (mirrors cli/train.py and
     # the reference test path): scale_width/none run the full decoded

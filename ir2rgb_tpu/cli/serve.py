@@ -1,0 +1,77 @@
+"""ir2rgb-serve — long-lived network serving daemon.
+
+The production counterpart of ``test.py`` (SURVEY.md §3.2 serves a frame
+folder and exits): load generator weights once, compile ONE batched step
+for N slots, then translate frames arriving over TCP from up to N
+concurrent clients, each with its own temporal carry. Protocol + client
+in ``infer/server.py``.
+
+    ir2rgb-serve --preset temporal_512 --train.name run1 \\
+        --infer.serve_port 7788 --infer.serve_slots 8 \\
+        [--infer.quant int8] [--infer.use_ema] [--torch_g G.pth] \\
+        [--serve.hw 512x512]
+
+Frame geometry defaults to ``--data.crop_size`` square; override with
+``--serve.hw HxW`` for non-square streams.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None) -> int:
+    from ir2rgb_tpu.cli.common import load_generator_params, pop_flag
+    from ir2rgb_tpu.config import parse_cli
+    from ir2rgb_tpu.infer.multistream import MultiStreamServer
+    from ir2rgb_tpu.infer.server import FrameServer
+    from ir2rgb_tpu.train import create_model
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    torch_g = pop_flag(argv, "--torch_g")
+    hw_flag = pop_flag(argv, "--serve.hw")
+    cfg = parse_cli(argv)
+
+    if hw_flag:
+        try:
+            h, w = (int(v) for v in hw_flag.lower().split("x"))
+        except ValueError:
+            raise SystemExit(f"--serve.hw expects HxW (e.g. 512x512), "
+                             f"got {hw_flag!r}")
+    else:
+        h = w = cfg.data.crop_size
+
+    model = create_model(cfg, steps_per_epoch=1)
+    g_params = load_generator_params(cfg, model, torch_g)
+    if cfg.infer.quant != "none":
+        # trace-time flag: set BEFORE the server jits its batched tick
+        from ir2rgb_tpu.nn import quant
+        quant.set_mode(cfg.infer.quant)
+
+    srv = MultiStreamServer(model, g_params, (h, w),
+                            n_slots=cfg.infer.serve_slots)
+    fs = FrameServer(srv, host=cfg.infer.serve_host,
+                     port=cfg.infer.serve_port,
+                     encode=cfg.infer.serve_encode,
+                     quality=cfg.infer.serve_quality,
+                     tick_ms=cfg.infer.serve_tick_ms)
+    fs.start()
+    print(f"serving {cfg.model.model}/{cfg.model.net_g} at "
+          f"{fs.host}:{fs.port}  frame {h}x{w}x{srv.in_nc} -> "
+          f"{fs.out_nc}ch  slots {srv.n_slots} "
+          f"(physical {srv.physical_slots})  encode {fs.encode}",
+          flush=True)
+    try:
+        while True:
+            fs._stop.wait(0.5)
+            if fs._stop.is_set():
+                break
+    except KeyboardInterrupt:
+        print("stopping", flush=True)
+    finally:
+        fs.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -224,6 +224,15 @@ class InferConfig:
     video: str = ""
     video_fps: float = 30.0
     video_quality: int = 90
+    # ir2rgb-serve network daemon (infer/server.py): TCP endpoint, slot
+    # count for the batched MultiStreamServer step, reply encoding
+    # (raw | jpeg) and the batching window in milliseconds
+    serve_host: str = "127.0.0.1"
+    serve_port: int = 7788
+    serve_slots: int = 8
+    serve_encode: str = "raw"
+    serve_quality: int = 90
+    serve_tick_ms: float = 5.0
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,398 @@
+"""Network serving daemon: N TCP clients -> one batched TPU step.
+
+The reference family's serving story ends at ``test.py`` walking a frame
+folder (SURVEY.md §3.2); production serving needs a long-lived process
+that accepts frames over the network. This daemon fronts
+:class:`~ir2rgb_tpu.infer.multistream.MultiStreamServer`: every client
+connection attaches to one server slot (its own temporal carry in HBM),
+and a single tick loop batches whatever frames arrived across all
+connections into ONE compiled generator step — the measured 512p knee
+serves 8 streams at ~1.5x the aggregate fps of one (DESIGN.md bench
+table), so batching across connections is where the chip earns its keep.
+
+Wire protocol (version 1, little-endian, dependency-free):
+
+- On accept, the server sends a 12-byte hello:
+  ``b"I2RS" | u8 version | u8 in_nc | u8 out_nc | u8 flags | u16 h | u16 w``
+  (flags bit 0: replies are JPEG). Frames are h x w, in_nc channels.
+- Every subsequent message both ways is ``fourcc | u32 length | payload``:
+  - client->server  ``FRMR`` raw HWC uint8 (h*w*in_nc bytes) or
+    ``FRMJ`` a JPEG (decoded + resized server-side; gray for in_nc=1);
+    ``BYE!`` (length 0) for a clean close.
+  - server->client  ``OUTR`` raw h*w*out_nc uint8 or ``OUTJ`` a JPEG
+    (per ``encode=``), in frame order per connection; ``ERR!`` + utf-8
+    message before a protocol-error close.
+
+Clients may pipeline frames; per-connection output order matches input
+order. One frame per connection joins each tick (FIFO), so a pipelining
+client's backlog drains one frame per tick while OTHER connections'
+frames still batch into the same step.
+
+Threading: one reader + one writer thread per connection, one tick-loop
+thread, one accept thread. Only the tick loop touches the
+MultiStreamServer (slot open/close included — readers enqueue control
+events), so the JAX side stays single-threaded. The batching window
+(``tick_ms``) bounds added latency: the loop blocks for the first
+pending frame, then sleeps at most tick_ms to let concurrent
+connections' frames join the batch.
+"""
+
+from __future__ import annotations
+
+import queue
+import socket
+import struct
+import threading
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+_MAGIC = b"I2RS"
+_VERSION = 1
+_HELLO = struct.Struct("<4sBBBBHH")
+_HDR = struct.Struct("<4sI")
+_MAX_PAYLOAD = 64 << 20  # 64 MB: > any 8K raw frame; rejects garbage lengths
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed mid-message")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _send_msg(sock: socket.socket, fourcc: bytes, payload: bytes) -> None:
+    sock.sendall(_HDR.pack(fourcc, len(payload)) + payload)
+
+
+class FrameServer:
+    """Serve a MultiStreamServer over TCP (see module docstring).
+
+    >>> srv = MultiStreamServer(model, g_params, (512, 512), n_slots=8)
+    >>> fs = FrameServer(srv, port=0)        # 0 = ephemeral
+    >>> fs.start()
+    >>> ...                                   # clients connect/stream
+    >>> fs.stop()
+    """
+
+    def __init__(self, srv, host: str = "127.0.0.1", port: int = 7788,
+                 encode: str = "raw", quality: int = 90,
+                 tick_ms: float = 5.0):
+        if encode not in ("raw", "jpeg"):
+            raise ValueError(f"encode must be raw|jpeg, got {encode!r}")
+        self.srv = srv
+        self.host, self.port = host, int(port)
+        self.encode = encode
+        self.quality = int(quality)
+        self.tick_ms = float(tick_ms)
+        self.out_nc = srv.model.cfg.model.output_nc
+        self._listener: Optional[socket.socket] = None
+        self._threads: list = []
+        self._conns: Dict[int, "_Conn"] = {}  # sid -> connection
+        self._events: "queue.Queue" = queue.Queue()  # readers -> tick loop
+        self._stop = threading.Event()
+        self.ticks_served = 0
+        self.frames_served = 0
+
+    # -- lifecycle -------------------------------------------------------
+
+    def start(self) -> None:
+        self._listener = socket.create_server((self.host, self.port))
+        self.port = self._listener.getsockname()[1]  # resolve port 0
+        self._listener.settimeout(0.2)
+        t_acc = threading.Thread(target=self._accept_loop,
+                                 name="i2rs-accept", daemon=True)
+        t_tick = threading.Thread(target=self._tick_loop,
+                                  name="i2rs-tick", daemon=True)
+        self._threads = [t_acc, t_tick]
+        for t in self._threads:
+            t.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=10)
+        for conn in list(self._conns.values()):
+            conn.shutdown()
+        if self._listener is not None:
+            self._listener.close()
+
+    def serve_forever(self) -> None:
+        """Blocking run (the CLI entry); Ctrl-C stops cleanly."""
+        self.start()
+        try:
+            while not self._stop.is_set():
+                self._stop.wait(0.5)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()
+
+    # -- accept / per-connection IO ---------------------------------------
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                sock, _addr = self._listener.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            conn = _Conn(self, sock)
+            self._events.put(("open", conn, None))
+
+    def _hello(self) -> bytes:
+        h, w = self.srv.frame_hw
+        flags = 1 if self.encode == "jpeg" else 0
+        return _HELLO.pack(_MAGIC, _VERSION, self.srv.in_nc, self.out_nc,
+                           flags, h, w)
+
+    # -- the single JAX-owning thread -------------------------------------
+
+    def _tick_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                ev = self._events.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            events = [ev]
+            if ev[0] == "frame" and self.tick_ms > 0:
+                # batching window: let other connections' frames join
+                self._stop.wait(self.tick_ms / 1e3)
+            while True:
+                try:
+                    events.append(self._events.get_nowait())
+                except queue.Empty:
+                    break
+            frames: Dict[int, Tuple["_Conn", np.ndarray]] = {}
+            requeue = []
+            for kind, conn, frame in events:
+                if kind == "open":
+                    self._handle_open(conn)
+                elif kind == "close":
+                    self._handle_close(conn)
+                elif kind == "frame":
+                    if conn.sid in frames:
+                        # one frame per slot per tick — keep FIFO order
+                        requeue.append((kind, conn, frame))
+                    elif conn.sid is not None:
+                        frames[conn.sid] = (conn, frame)
+            for ev in requeue:
+                self._events.put(ev)
+            if not frames:
+                continue
+            outs = self.srv.step({sid: f for sid, (_, f) in frames.items()})
+            self.ticks_served += 1
+            self.frames_served += len(outs)
+            for sid, out in outs.items():
+                frames[sid][0].send_output(out)
+
+    def _handle_open(self, conn: "_Conn") -> None:
+        try:
+            sid = self.srv.open()
+        except RuntimeError as e:
+            # no writer thread yet — flush the refusal directly
+            try:
+                conn.sock.sendall(self._hello())
+                _send_msg(conn.sock, b"ERR!", str(e).encode())
+            except OSError:
+                pass
+            conn.shutdown()
+            return
+        conn.sid = sid
+        self._conns[sid] = conn
+        conn.start(self._hello())
+
+    def _handle_close(self, conn: "_Conn") -> None:
+        if conn.sid is not None and conn.sid in self._conns:
+            del self._conns[conn.sid]
+            self.srv.close(conn.sid)
+            conn.sid = None
+        conn.shutdown()
+
+
+class _Conn:
+    """One client connection: reader thread parses frames into the
+    server's event queue; writer thread drains the outbox."""
+
+    def __init__(self, server: FrameServer, sock: socket.socket):
+        self.server = server
+        self.sock = sock
+        self.sid: Optional[int] = None
+        self.outbox: "queue.Queue" = queue.Queue()
+        self._dead = threading.Event()
+        # serializes the writer thread with synchronous error sends
+        # (reader-thread protocol errors must flush BEFORE the close
+        # event tears the socket down)
+        self._wlock = threading.Lock()
+
+    def start(self, hello: bytes) -> None:
+        try:
+            self.sock.sendall(hello)
+        except OSError:
+            self._dead.set()
+            return
+        threading.Thread(target=self._read_loop, daemon=True,
+                         name=f"i2rs-read-{self.sid}").start()
+        threading.Thread(target=self._write_loop, daemon=True,
+                         name=f"i2rs-write-{self.sid}").start()
+
+    # reader -> event queue
+    def _read_loop(self) -> None:
+        srv = self.server.srv
+        h, w = srv.frame_hw
+        raw_len = h * w * srv.in_nc
+        try:
+            while not self._dead.is_set():
+                fourcc, length = _HDR.unpack(_recv_exact(self.sock, 8))
+                if length > _MAX_PAYLOAD:
+                    raise ValueError(f"payload length {length} exceeds "
+                                     f"{_MAX_PAYLOAD}")
+                payload = _recv_exact(self.sock, length) if length else b""
+                if fourcc == b"BYE!":
+                    break
+                if fourcc == b"FRMR":
+                    if length != raw_len:
+                        raise ValueError(
+                            f"raw frame is {length} bytes, expected "
+                            f"{raw_len} ({h}x{w}x{srv.in_nc})")
+                    frame = np.frombuffer(payload, np.uint8).reshape(
+                        h, w, srv.in_nc)
+                elif fourcc == b"FRMJ":
+                    from ir2rgb_tpu.data import native
+                    frame = native.decode_jpeg_mem_batch(
+                        np.frombuffer(payload, np.uint8),
+                        np.array([0]), np.array([length]), h, w,
+                        gray=srv.in_nc == 1)[0]
+                else:
+                    raise ValueError(f"unknown message {fourcc!r}")
+                self.server._events.put(("frame", self, frame))
+        except (ConnectionError, OSError):
+            pass
+        except Exception as e:  # protocol error: tell the client why
+            self.send_error(str(e))
+        finally:
+            self.server._events.put(("close", self, None))
+
+    # outbox -> socket
+    def _write_loop(self) -> None:
+        while not self._dead.is_set():
+            try:
+                item = self.outbox.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            if item is None:
+                return
+            fourcc, payload = item
+            try:
+                with self._wlock:
+                    _send_msg(self.sock, fourcc, payload)
+            except OSError:
+                return
+
+    def send_output(self, out: np.ndarray) -> None:
+        if self.server.encode == "jpeg":
+            from ir2rgb_tpu.data import native
+            self.outbox.put(
+                (b"OUTJ", native.encode_jpeg(out, self.server.quality)))
+        else:
+            self.outbox.put((b"OUTR", np.ascontiguousarray(out).tobytes()))
+
+    def send_error(self, msg: str) -> None:
+        """Synchronous: flushes before the caller proceeds to teardown."""
+        try:
+            with self._wlock:
+                _send_msg(self.sock, b"ERR!", msg.encode())
+        except OSError:
+            pass
+
+    def shutdown(self) -> None:
+        self._dead.set()
+        self.outbox.put(None)
+        try:
+            self.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        self.sock.close()
+
+
+class FrameClient:
+    """Minimal protocol client (tests, demos, load generators).
+
+    >>> with FrameClient("127.0.0.1", port) as c:
+    ...     rgb = c.push(ir_frame)            # (h, w, 3) uint8
+    """
+
+    def __init__(self, host: str, port: int, jpeg: bool = False,
+                 quality: int = 90, timeout: float = 120.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        magic, ver, in_nc, out_nc, flags, h, w = _HELLO.unpack(
+            _recv_exact(self.sock, _HELLO.size))
+        if magic != _MAGIC or ver != _VERSION:
+            raise ConnectionError(f"not an ir2rgb-serve endpoint "
+                                  f"(magic={magic!r} version={ver})")
+        self.in_nc, self.out_nc = in_nc, out_nc
+        self.frame_hw = (h, w)
+        self.reply_jpeg = bool(flags & 1)
+        self.jpeg = jpeg
+        self.quality = quality
+
+    def send(self, frame: np.ndarray) -> None:
+        """Send one frame without waiting for the reply (pipelining)."""
+        arr = np.ascontiguousarray(frame, np.uint8)
+        if self.jpeg:
+            from ir2rgb_tpu.data import native
+            _send_msg(self.sock, b"FRMJ",
+                      native.encode_jpeg(arr, self.quality))
+        else:
+            _send_msg(self.sock, b"FRMR", arr.tobytes())
+
+    def recv(self) -> np.ndarray:
+        fourcc, length = _HDR.unpack(_recv_exact(self.sock, 8))
+        payload = _recv_exact(self.sock, length)
+        if fourcc == b"ERR!":
+            raise RuntimeError(f"server error: {payload.decode()}")
+        h, w = self.frame_hw
+        if fourcc == b"OUTJ":
+            import io
+
+            from PIL import Image
+            a = np.asarray(Image.open(io.BytesIO(payload)), np.uint8)
+            return a[..., None] if a.ndim == 2 else a
+        if fourcc != b"OUTR":
+            raise RuntimeError(f"unexpected message {fourcc!r}")
+        return np.frombuffer(payload, np.uint8).reshape(h, w, self.out_nc)
+
+    def push(self, frame: np.ndarray) -> np.ndarray:
+        self.send(frame)
+        return self.recv()
+
+    def stream(self, frames) -> Iterator[np.ndarray]:
+        """Depth-1 pipelined request stream (send t+1 before recv t)."""
+        it = iter(frames)
+        try:
+            self.send(next(it))
+        except StopIteration:
+            return
+        for f in it:
+            self.send(f)
+            yield self.recv()
+        yield self.recv()
+
+    def close(self) -> None:
+        try:
+            _send_msg(self.sock, b"BYE!", b"")
+        except OSError:
+            pass
+        self.sock.close()
+
+    def __enter__(self) -> "FrameClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

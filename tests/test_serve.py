@@ -1,0 +1,233 @@
+"""ir2rgb-serve network daemon (infer/server.py): the TCP protocol,
+batching tick loop, per-connection carry isolation, JPEG wire mode,
+error paths, and the CLI entry point end-to-end in a subprocess."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from ir2rgb_tpu.config import (
+    Config,
+    DataConfig,
+    LossConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from ir2rgb_tpu.infer import MultiStreamServer, StreamingGenerator
+from ir2rgb_tpu.infer.server import FrameClient, FrameServer
+from ir2rgb_tpu.train import create_model
+
+
+def _model(temporal=True):
+    cfg = Config(
+        model=ModelConfig(model="temporal" if temporal else "pix2pix",
+                          net_g="resnet_6blocks", net_d="n_layers",
+                          ngf=8, ndf=8, n_frames_g=2),
+        data=DataConfig(crop_size=32),
+        loss=LossConfig(no_vgg_loss=True),
+        train=TrainConfig(),
+    )
+    model = create_model(cfg, steps_per_epoch=10)
+    g_params = model.g_init(jax.random.PRNGKey(0))
+    return model, g_params
+
+
+def _frames(seed, n, smooth=False):
+    if smooth:  # JPEG-friendly for wire-codec tests
+        yy, xx = np.mgrid[0:32, 0:32].astype(np.float32)
+        return [np.stack([(xx * 4 + 9 * t) % 256, (yy * 4) % 256,
+                          (xx + yy + 5 * t) % 256, ], -1).astype(np.uint8)
+                for t in range(n)]
+    rng = np.random.RandomState(seed)
+    return [(rng.rand(32, 32, 3) * 255).astype(np.uint8)
+            for _ in range(n)]
+
+
+def _assert_lsb(a, b, tol=1):
+    assert np.max(np.abs(a.astype(np.int16) - b.astype(np.int16))) <= tol
+
+
+@pytest.fixture(scope="module")
+def served():
+    """One running FrameServer shared by the in-process tests."""
+    model, g_params = _model()
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=4)
+    fs = FrameServer(srv, port=0, tick_ms=2.0)
+    fs.start()
+    yield fs, model, g_params
+    fs.stop()
+
+
+def test_single_client_matches_streaming_generator(served):
+    fs, model, g_params = served
+    frames = _frames(1, 4)
+    ref_s = StreamingGenerator(model, g_params, (32, 32))
+    ref = [ref_s.push(f) for f in frames]
+    with FrameClient("127.0.0.1", fs.port) as c:
+        assert c.frame_hw == (32, 32)
+        assert (c.in_nc, c.out_nc) == (3, 3)
+        for f, r in zip(frames, ref):
+            _assert_lsb(c.push(f), r)
+
+
+def test_two_clients_batched_with_isolated_carries(served):
+    """Two concurrent connections: each stream's outputs equal its own
+    dedicated single-stream run (temporal carries never mix), while the
+    server batches their frames into shared ticks."""
+    fs, model, g_params = served
+    fa, fb = _frames(2, 3), _frames(3, 3)
+    ref = {}
+    for k, frames in (("a", fa), ("b", fb)):
+        s = StreamingGenerator(model, g_params, (32, 32))
+        ref[k] = [s.push(f) for f in frames]
+    ca = FrameClient("127.0.0.1", fs.port)
+    cb = FrameClient("127.0.0.1", fs.port)
+    try:
+        for t in range(3):
+            # send both before receiving either so the tick loop can
+            # batch them into one step
+            ca.send(fa[t])
+            cb.send(fb[t])
+            _assert_lsb(ca.recv(), ref["a"][t])
+            _assert_lsb(cb.recv(), ref["b"][t])
+    finally:
+        ca.close()
+        cb.close()
+
+
+def test_pipelined_stream(served):
+    fs, model, g_params = served
+    frames = _frames(4, 5)
+    s = StreamingGenerator(model, g_params, (32, 32))
+    ref = [s.push(f) for f in frames]
+    with FrameClient("127.0.0.1", fs.port) as c:
+        outs = list(c.stream(frames))
+    assert len(outs) == len(ref)
+    for o, r in zip(outs, ref):
+        _assert_lsb(o, r)
+
+
+def test_reconnect_gets_fresh_carry(served):
+    """Closing and reconnecting must restart temporal context — the
+    reused slot's carry resets (no bleed from the previous client)."""
+    fs, model, g_params = served
+    frames = _frames(5, 2)
+    with FrameClient("127.0.0.1", fs.port) as c:
+        first = [c.push(f) for f in frames]
+    with FrameClient("127.0.0.1", fs.port) as c:
+        again = [c.push(f) for f in frames]
+    for a, b in zip(first, again):
+        _assert_lsb(a, b)
+
+
+def test_bad_frame_size_errors(served):
+    fs, _, _ = served
+    with FrameClient("127.0.0.1", fs.port) as c:
+        c.send(np.zeros((16, 16, 3), np.uint8))
+        with pytest.raises(RuntimeError, match="expected 3072"):
+            c.recv()
+
+
+def test_jpeg_wire_mode():
+    """JPEG in both directions: lossy but close (smooth frames)."""
+    model, g_params = _model(temporal=False)
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=2)
+    fs = FrameServer(srv, port=0, encode="jpeg", quality=95, tick_ms=0)
+    fs.start()
+    try:
+        frames = _frames(0, 2, smooth=True)
+        ref_srv = MultiStreamServer(model, g_params, (32, 32), n_slots=1)
+        sid = ref_srv.open()
+        with FrameClient("127.0.0.1", fs.port, jpeg=True,
+                         quality=95) as c:
+            assert c.reply_jpeg
+            for f in frames:
+                out = c.push(f)
+                # the reference must see the SAME lossy input the server
+                # decoded (a random-weight net amplifies input deltas);
+                # the remaining gap is the reply-side JPEG only
+                from ir2rgb_tpu.data import native
+                jpg = np.frombuffer(native.encode_jpeg(f, 95), np.uint8)
+                f_wire = native.decode_jpeg_mem_batch(
+                    jpg, np.array([0]), np.array([len(jpg)]), 32, 32)[0]
+                ref = ref_srv.step({sid: f_wire})[sid]
+                # ... and the expected OUTPUT is the reply-side JPEG
+                # round-trip of that reference (a random-weight net
+                # emits noise-like frames JPEG can't hold to 30 dB —
+                # the codec path, not compressibility, is under test)
+                rj = np.frombuffer(native.encode_jpeg(ref, 95), np.uint8)
+                expected = native.decode_jpeg_mem_batch(
+                    rj, np.array([0]), np.array([len(rj)]), 32, 32)[0]
+                err = out.astype(np.float32) - expected.astype(np.float32)
+                psnr = 10 * np.log10(255.0 ** 2
+                                     / max(float(np.mean(err ** 2)), 1e-9))
+                assert psnr > 35, psnr
+    finally:
+        fs.stop()
+
+
+def test_slot_exhaustion_refused():
+    model, g_params = _model(temporal=False)
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=1)
+    fs = FrameServer(srv, port=0, tick_ms=0)
+    fs.start()
+    try:
+        with FrameClient("127.0.0.1", fs.port) as c1:
+            c1.push(_frames(1, 1)[0])
+            c2 = FrameClient("127.0.0.1", fs.port)
+            with pytest.raises(RuntimeError, match="slots busy"):
+                c2.send(_frames(2, 1)[0])
+                c2.recv()
+        # after c1 closes, the slot frees up for a new connection
+        import time
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            c3 = FrameClient("127.0.0.1", fs.port)
+            try:
+                c3.push(_frames(3, 1)[0])
+                break
+            except RuntimeError:
+                c3.close()
+                time.sleep(0.05)
+        else:
+            pytest.fail("slot never freed after client close")
+        c3.close()
+    finally:
+        fs.stop()
+
+
+def test_serve_cli_e2e(tmp_path):
+    """ir2rgb-serve end-to-end: subprocess with --torch_g weights, a
+    client pushes frames, clean shutdown."""
+    import torch
+
+    import torch_refs
+    t = torch_refs.ResnetGenerator(ngf=8, n_blocks=6, norm="instance")
+    ckpt = str(tmp_path / "latest_net_G.pth")
+    torch.save(t.state_dict(), ckpt)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ir2rgb_tpu.cli.serve",
+         "--model.model", "pix2pix",
+         "--model.net_g", "resnet_6blocks", "--model.ngf", "8",
+         "--model.ndf", "8", "--loss.no_vgg_loss", "true",
+         "--data.crop_size", "32",
+         "--infer.serve_port", "0", "--infer.serve_slots", "2",
+         "--torch_g", ckpt],
+        stdout=subprocess.PIPE, text=True, cwd="/root/repo", env=env)
+    try:
+        line = proc.stdout.readline()
+        assert "serving pix2pix/resnet_6blocks at" in line, line
+        port = int(line.split(" at ")[1].split()[0].rsplit(":", 1)[1])
+        with FrameClient("127.0.0.1", port, timeout=300) as c:
+            out = c.push(_frames(7, 1)[0])
+        assert out.shape == (32, 32, 3)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
