@@ -17,6 +17,8 @@ def pop_flag(argv: list, name: str) -> Optional[str]:
     config surface (e.g. --torch_g) from an argv list, in place."""
     if name in argv:
         i = argv.index(name)
+        if i + 1 >= len(argv):
+            raise SystemExit(f"{name} requires a value")
         value = argv[i + 1]
         del argv[i:i + 2]
         return value

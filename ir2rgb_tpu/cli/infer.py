@@ -127,9 +127,15 @@ def main(argv=None) -> int:
     def _open_video(video_dir: str):
         from ir2rgb_tpu.obs.video import MJPEGAviWriter
         base = cfg.infer.video
-        if video_paths:  # 2nd+ sequence: suffix with the sequence dir
+        if video_paths:  # 2nd+ sequence: suffix with the sequence name
+            # (directory basename for frame folders; for AVI sources the
+            # sequence key is the container file — strip its extension
+            # so clip2.avi yields out_clip2.avi, not out_clip2.avi.avi)
+            seq = os.path.basename(video_dir)
+            if seq.lower().endswith(".avi"):
+                seq = os.path.splitext(seq)[0]
             root, ext = os.path.splitext(base)
-            base = f"{root}_{os.path.basename(video_dir)}{ext or '.avi'}"
+            base = f"{root}_{seq}{ext or '.avi'}"
         w = MJPEGAviWriter(base, fps=cfg.infer.video_fps,
                            quality=cfg.infer.video_quality)
         video_paths.append(base)

@@ -55,21 +55,13 @@ def main(argv=None) -> int:
                      encode=cfg.infer.serve_encode,
                      quality=cfg.infer.serve_quality,
                      tick_ms=cfg.infer.serve_tick_ms)
-    fs.start()
+    fs.start()  # resolves an ephemeral port before the banner
     print(f"serving {cfg.model.model}/{cfg.model.net_g} at "
           f"{fs.host}:{fs.port}  frame {h}x{w}x{srv.in_nc} -> "
           f"{fs.out_nc}ch  slots {srv.n_slots} "
           f"(physical {srv.physical_slots})  encode {fs.encode}",
           flush=True)
-    try:
-        while True:
-            fs._stop.wait(0.5)
-            if fs._stop.is_set():
-                break
-    except KeyboardInterrupt:
-        print("stopping", flush=True)
-    finally:
-        fs.stop()
+    fs.serve_forever()
     return 0
 
 

@@ -219,8 +219,9 @@ class InferConfig:
     quant: str = "none"
     # write generated frames to an MJPEG/AVI video file (obs/video.py;
     # dependency-free container + native libjpeg frames). Empty = off.
-    # Multi-video dataroots write one file per source sequence, suffixed
-    # with the sequence directory name.
+    # Multi-video dataroots write one file per source sequence: the
+    # first at this exact path, the rest suffixed with the sequence name
+    # (its directory or .avi-file basename).
     video: str = ""
     video_fps: float = 30.0
     video_quality: int = 90

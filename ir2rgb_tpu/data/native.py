@@ -97,13 +97,22 @@ def decode_batch(paths: List[str], out_h: int, out_w: int,
 
     Uses the C++ thread pool when available; PIL otherwise. Failed decodes
     raise (native path zeroes the slot and reports a count)."""
-    c = 1 if gray else 3
     if any("#" in p for p in paths):
-        # MJPEG/AVI virtual frame paths ("clip.avi#000042") — route to
-        # the container reader (which calls back into the in-memory
-        # JPEG decoder below); plain file paths decode as usual
-        from .video import decode_mixed_batch
-        return decode_mixed_batch(paths, out_h, out_w, gray, threads)
+        from .video import decode_mixed_batch, is_virtual_frame
+        if any(is_virtual_frame(p) for p in paths):
+            # MJPEG/AVI virtual frame paths ("clip.avi#000042") — route
+            # to the container reader (which decodes plain paths in the
+            # batch via _decode_plain_batch, never back through here)
+            return decode_mixed_batch(paths, out_h, out_w, gray, threads)
+        # just an image file with '#' in its name — decode normally
+    return _decode_plain_batch(paths, out_h, out_w, gray, threads)
+
+
+def _decode_plain_batch(paths: List[str], out_h: int, out_w: int,
+                        gray: bool, threads: int = 0) -> np.ndarray:
+    """File-path decode (no virtual-frame dispatch) — decode_batch's
+    engine, also called directly by video.decode_mixed_batch."""
+    c = 1 if gray else 3
     lib = _load()
     if lib is None:
         return _decode_batch_pil(paths, out_h, out_w, gray)

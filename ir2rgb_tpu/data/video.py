@@ -102,6 +102,7 @@ def _parse_avi(path: str) -> AviIndex:
             raise ValueError(f"{path}: not a RIFF AVI file")
         fps = 0.0
         hw = (0, 0)
+        stream = 0
         movi_pos = movi_size = None
         idx1 = None
         # walk top-level chunks; descend only into the LISTs we need
@@ -114,7 +115,7 @@ def _parse_avi(path: str) -> AviIndex:
             if fourcc == b"LIST":
                 kind = f.read(4)
                 if kind == b"hdrl":
-                    fps, hw = _parse_hdrl(f.read(size - 4), path)
+                    fps, hw, stream = _parse_hdrl(f.read(size - 4), path)
                     f.seek(start + size + (size & 1))
                     continue
                 if kind == b"movi":
@@ -129,56 +130,67 @@ def _parse_avi(path: str) -> AviIndex:
                 f.seek(start + size + (size & 1))
         if movi_pos is None:
             raise ValueError(f"{path}: no movi list (truncated AVI?)")
+        ids = (b"%02ddc" % stream, b"%02ddb" % stream)
         if idx1:
-            offs, sizes = _index_from_idx1(f, idx1, movi_pos)
+            offs, sizes = _index_from_idx1(f, idx1, movi_pos, ids)
         else:
-            offs, sizes = _index_from_movi(f, movi_pos, movi_size)
+            offs, sizes = _index_from_movi(f, movi_pos, movi_size, ids)
     return AviIndex(np.asarray(offs, np.int64), np.asarray(sizes, np.int64),
                     fps, hw)
 
 
-def _parse_hdrl(data: bytes, path: str) -> Tuple[float, Tuple[int, int]]:
-    """fps from strh scale/rate, geometry from strf, MJPEG check."""
-    fps, hw = 0.0, (0, 0)
+def _parse_hdrl(data: bytes, path: str
+                ) -> Tuple[float, Tuple[int, int], int]:
+    """Find the VIDEO stream among the hdrl's strh entries (a camera
+    MJPEG often carries an audio track, sometimes listed first): fps
+    from its strh scale/rate, geometry from the strf that follows it,
+    and the stream's index (movi chunk ids are '<NN>dc'). MJPEG check
+    on that stream only."""
+    streams = []
     i = data.find(b"strh")
-    if i >= 0:
-        fcc = data[i + 8:i + 12]
+    while i >= 0:
+        streams.append(i)
+        i = data.find(b"strh", i + 4)
+    for n, i in enumerate(streams):
+        if data[i + 8:i + 12] != b"vids":
+            continue
         handler = data[i + 12:i + 16]
-        if fcc == b"vids" and handler not in (
-                b"MJPG", b"mjpg", b"dmb1", b"\x00\x00\x00\x00", b"    "):
+        if handler not in (b"MJPG", b"mjpg", b"dmb1",
+                           b"\x00\x00\x00\x00", b"    "):
             raise ValueError(
                 f"{path}: video stream is {handler!r}, not MJPG — only "
                 f"Motion-JPEG AVIs decode here (re-encode with e.g. "
                 f"ffmpeg -c:v mjpeg, or extract frames to a folder)")
         scale, rate = struct.unpack_from("<2I", data, i + 28)
-        if scale:
-            fps = rate / scale
-    j = data.find(b"strf")
-    if j >= 0:
-        w, h = struct.unpack_from("<2i", data, j + 12)
-        hw = (abs(h), abs(w))  # negative biHeight = top-down, same frames
-    return fps, hw
+        fps = rate / scale if scale else 0.0
+        hw = (0, 0)
+        j = data.find(b"strf", i)  # this stream's format chunk
+        if j >= 0:
+            w, h = struct.unpack_from("<2i", data, j + 12)
+            hw = (abs(h), abs(w))  # negative biHeight = top-down
+        return fps, hw, n
+    raise ValueError(f"{path}: no video ('vids') stream in the AVI "
+                     f"header ({len(streams)} stream(s) found)")
 
 
-def _index_from_idx1(f, idx1: bytes, movi_pos: int
+def _index_from_idx1(f, idx1: bytes, movi_pos: int, ids: Tuple[bytes, bytes]
                      ) -> Tuple[List[int], List[int]]:
-    """idx1 entries -> absolute payload ranges. The offset convention is
-    ambiguous in the wild (relative to the 'movi' fourcc vs absolute
-    file offsets); disambiguate by checking where a chunk header
-    actually sits, the way ffmpeg does."""
+    """idx1 entries -> absolute payload ranges for the video stream's
+    chunk ids. The offset convention is ambiguous in the wild (relative
+    to the 'movi' fourcc vs absolute file offsets); disambiguate by
+    checking where a chunk header actually sits, the way ffmpeg does."""
     entries = [struct.unpack_from("<4s3I", idx1, k)
                for k in range(0, len(idx1) - 15, 16)]
-    entries = [(ck, off, sz) for ck, fl, off, sz in entries
-               if ck[2:4] in (b"dc", b"db") and ck[:2] == b"00"]
+    entries = [(ck, off, sz) for ck, fl, off, sz in entries if ck in ids]
     if not entries:
         return [], []
     base = movi_pos + 8  # offsets measured from the 'movi' fourcc
     _, off0, _ = entries[0]
     f.seek(base + off0)
-    if f.read(4) not in (b"00dc", b"00db"):
+    if f.read(4) not in ids:
         base = 0  # absolute-offset variant
         f.seek(off0)
-        if f.read(4) not in (b"00dc", b"00db"):
+        if f.read(4) not in ids:
             raise ValueError("idx1 offsets match neither convention; "
                              "falling back to a movi scan would hide real "
                              "corruption — refusing")
@@ -187,7 +199,8 @@ def _index_from_idx1(f, idx1: bytes, movi_pos: int
     return offs, sizes
 
 
-def _index_from_movi(f, movi_pos: int, movi_size: int
+def _index_from_movi(f, movi_pos: int, movi_size: int,
+                     ids: Tuple[bytes, bytes]
                      ) -> Tuple[List[int], List[int]]:
     """No idx1: scan the movi list chunk-by-chunk (header reads only)."""
     offs, sizes = [], []
@@ -199,7 +212,7 @@ def _index_from_movi(f, movi_pos: int, movi_size: int
         if len(hdr) < 8:
             break
         fourcc, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
-        if fourcc in (b"00dc", b"00db") and size:
+        if fourcc in ids and size:
             offs.append(p + 8)
             sizes.append(size)
         p += 8 + size + (size & 1)
@@ -236,8 +249,8 @@ def decode_mixed_batch(paths: List[str], out_h: int, out_w: int,
     out = np.empty((len(paths), out_h, out_w, c), np.uint8)
     plain = [(i, p) for i, p in enumerate(paths) if not is_virtual_frame(p)]
     if plain:
-        dec = native.decode_batch([p for _, p in plain], out_h, out_w,
-                                  gray=gray, threads=threads)
+        dec = native._decode_plain_batch([p for _, p in plain], out_h,
+                                         out_w, gray, threads)
         for (i, _), img in zip(plain, dec):
             out[i] = img
     by_file: Dict[str, List[Tuple[int, int]]] = {}

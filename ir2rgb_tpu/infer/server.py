@@ -43,6 +43,7 @@ import queue
 import socket
 import struct
 import threading
+from collections import deque
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
@@ -121,8 +122,11 @@ class FrameServer:
             self._listener.close()
 
     def serve_forever(self) -> None:
-        """Blocking run (the CLI entry); Ctrl-C stops cleanly."""
-        self.start()
+        """Blocking run (the CLI entry); Ctrl-C stops cleanly. Safe to
+        call after an explicit start() (e.g. to resolve an ephemeral
+        port first)."""
+        if self._listener is None:
+            self.start()
         try:
             while not self._stop.is_set():
                 self._stop.wait(0.5)
@@ -155,12 +159,16 @@ class FrameServer:
 
     def _tick_loop(self) -> None:
         while not self._stop.is_set():
+            # a pipelining client may have frames parked in its pending
+            # deque from the last tick: don't block on new events then
+            backlog = any(c.pending for c in self._conns.values())
             try:
-                ev = self._events.get(timeout=0.2)
+                ev = self._events.get(timeout=0 if backlog else 0.2)
+                events = [ev]
             except queue.Empty:
-                continue
-            events = [ev]
-            if ev[0] == "frame" and self.tick_ms > 0:
+                events = []
+            if (events and events[0][0] == "frame" and self.tick_ms > 0
+                    and not backlog):
                 # batching window: let other connections' frames join
                 self._stop.wait(self.tick_ms / 1e3)
             while True:
@@ -168,28 +176,36 @@ class FrameServer:
                     events.append(self._events.get_nowait())
                 except queue.Empty:
                     break
-            frames: Dict[int, Tuple["_Conn", np.ndarray]] = {}
-            requeue = []
+            # route events IN ORDER: frames land on their connection's
+            # pending deque (per-connection FIFO regardless of how ticks
+            # slice the shared queue); a close drops that connection's
+            # parked frames along with its slot
             for kind, conn, frame in events:
                 if kind == "open":
                     self._handle_open(conn)
                 elif kind == "close":
                     self._handle_close(conn)
-                elif kind == "frame":
-                    if conn.sid in frames:
-                        # one frame per slot per tick — keep FIFO order
-                        requeue.append((kind, conn, frame))
-                    elif conn.sid is not None:
-                        frames[conn.sid] = (conn, frame)
-            for ev in requeue:
-                self._events.put(ev)
-            if not frames:
+                elif kind == "frame" and conn.sid is not None:
+                    conn.pending.append(frame)
+            # one frame per attached connection per tick
+            frames: Dict[int, "_Conn"] = {}
+            batch: Dict[int, np.ndarray] = {}
+            for sid, conn in self._conns.items():
+                if conn.pending:
+                    frames[sid] = conn
+                    batch[sid] = conn.pending.popleft()
+            if not batch:
                 continue
-            outs = self.srv.step({sid: f for sid, (_, f) in frames.items()})
+            try:
+                outs = self.srv.step(batch)
+            except Exception as e:  # keep the serving thread alive
+                for conn in frames.values():
+                    conn.send_error(f"tick failed: {e}")
+                continue
             self.ticks_served += 1
             self.frames_served += len(outs)
             for sid, out in outs.items():
-                frames[sid][0].send_output(out)
+                frames[sid].send_output(out)
 
     def _handle_open(self, conn: "_Conn") -> None:
         try:
@@ -205,7 +221,10 @@ class FrameServer:
             return
         conn.sid = sid
         self._conns[sid] = conn
-        conn.start(self._hello())
+        if not conn.start(self._hello()):
+            # hello never reached the peer and no reader thread exists
+            # to emit a close event — release the slot here or it leaks
+            self._handle_close(conn)
 
     def _handle_close(self, conn: "_Conn") -> None:
         if conn.sid is not None and conn.sid in self._conns:
@@ -224,22 +243,29 @@ class _Conn:
         self.sock = sock
         self.sid: Optional[int] = None
         self.outbox: "queue.Queue" = queue.Queue()
+        # frames parsed but not yet served, in arrival order; owned by
+        # the tick loop (readers hand frames over via the event queue)
+        self.pending = deque()
         self._dead = threading.Event()
         # serializes the writer thread with synchronous error sends
         # (reader-thread protocol errors must flush BEFORE the close
         # event tears the socket down)
         self._wlock = threading.Lock()
 
-    def start(self, hello: bytes) -> None:
+    def start(self, hello: bytes) -> bool:
+        """Send the hello and spin up IO threads; False if the peer was
+        already gone (caller must release the slot — no reader thread
+        exists to emit the close event)."""
         try:
             self.sock.sendall(hello)
         except OSError:
             self._dead.set()
-            return
+            return False
         threading.Thread(target=self._read_loop, daemon=True,
                          name=f"i2rs-read-{self.sid}").start()
         threading.Thread(target=self._write_loop, daemon=True,
                          name=f"i2rs-write-{self.sid}").start()
+        return True
 
     # reader -> event queue
     def _read_loop(self) -> None:

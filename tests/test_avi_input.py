@@ -290,3 +290,100 @@ def test_id_maps_refuse_avi_frames(clip):
     path, _ = clip
     with pytest.raises(ValueError, match="id maps cannot come from"):
         native.decode_ids_batch([f"{path}#000000"], 32, 32)
+
+
+def test_hash_named_plain_image_decodes(tmp_path):
+    """A plain image whose NAME contains '#' must decode normally (the
+    virtual-path dispatch must not recurse or misroute it)."""
+    img = _frames(1)[0]
+    p = str(tmp_path / "frame#1.png")
+    native.encode_png(p, img)
+    out = native.decode_batch([p], *img.shape[:2])
+    assert np.array_equal(out[0], img)
+
+
+def test_audio_first_avi_indexes_video_stream(clip, tmp_path):
+    """Camera AVIs often carry an audio track, sometimes listed FIRST:
+    the index must find the 'vids' stream (chunk ids '01dc'), take fps
+    and geometry from IT, and skip the audio chunks."""
+    from ir2rgb_tpu.obs.video import _chunk, _list
+    path, frames = clip
+    h, w = frames.shape[1:3]
+    # audio strl: 'auds' strh (rate 44100 — must NOT become fps) + strf
+    auds_strh = struct.pack(
+        "<4s4s10I4h", b"auds", b"\x00" * 4, 0, 0, 0,
+        1, 44100, 0, 44100, 0, 0xFFFFFFFF, 2, 0, 0, 0, 0)
+    auds_strf = struct.pack("<2H2I2H", 1, 1, 44100, 88200, 2, 16)
+    vids_strh = struct.pack(
+        "<4s4s10I4h", b"vids", b"MJPG", 0, 0, 0,
+        1, 20, 0, len(frames), 0, 0xFFFFFFFF, 0, 0, 0, w, h)
+    vids_strf = struct.pack(
+        "<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D, w * h * 3,
+        0, 0, 0, 0)
+    avih = struct.pack("<14I", 50000, 0, 0, 0x10, len(frames), 0, 2,
+                       0, w, h, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", auds_strh)
+                         + _chunk(b"strf", auds_strf))
+                 + _list(b"strl", _chunk(b"strh", vids_strh)
+                         + _chunk(b"strf", vids_strf)))
+    movi_payload = b"movi"
+    entries = []
+    for i, fr in enumerate(frames):
+        if i % 2 == 0:  # interleave fake audio chunks
+            movi_payload += _chunk(b"00wb", b"\x00" * 10)
+        off = len(movi_payload)
+        jpg = native.encode_jpeg(fr, 95)
+        entries.append((b"01dc", off, len(jpg)))
+        movi_payload += _chunk(b"01dc", jpg)
+    idx1 = b"".join(b"%s%s" % (ck, struct.pack("<3I", 0x10, off, sz))
+                    for ck, off, sz in entries)
+    body = hdrl + b"LIST" + struct.pack(
+        "<I", len(movi_payload)) + movi_payload + _chunk(b"idx1", idx1)
+    data = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    p2 = str(tmp_path / "withaudio.avi")
+    open(p2, "wb").write(data)
+
+    idx = avi_index(p2)
+    assert idx.n == len(frames)
+    assert idx.fps == 20.0           # from the vids strh, not 44100
+    assert idx.hw == (h, w)
+    dec = decode_mixed_batch(frame_paths(p2)[:3], h, w)
+    assert _psnr(dec, frames[:3]) > 35
+
+
+def test_infer_cli_multi_avi_suffixed_outputs(tmp_path):
+    """Two source videos with --infer.video: first file at the exact
+    path, second suffixed with the container basename (no double
+    extension), carry reset at the boundary."""
+    import torch
+
+    import torch_refs
+    from ir2rgb_tpu.obs.video import read_mjpeg_avi
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo"
+    root = str(tmp_path / "in")
+    os.makedirs(root)
+    _write(os.path.join(root, "cam1.avi"), _frames(3, h=48, w=48))
+    _write(os.path.join(root, "cam2.avi"), _frames(2, h=48, w=48))
+    t = torch_refs.ResnetGenerator(ngf=8, n_blocks=6, norm="instance")
+    ckpt = str(tmp_path / "latest_net_G.pth")
+    torch.save(t.state_dict(), ckpt)
+    avi_out = str(tmp_path / "out" / "gen.avi")
+    out = subprocess.run(
+        [sys.executable, "test.py",
+         "--model.net_g", "resnet_6blocks", "--model.ngf", "8",
+         "--loss.no_vgg_loss", "true",
+         "--data.dataroot", root, "--data.dataset_mode", "single",
+         "--data.load_size", "48", "--data.crop_size", "32",
+         "--train.name", "cli_avi2",
+         "--infer.results_dir", str(tmp_path / "results"),
+         "--infer.video", avi_out,
+         "--torch_g", ckpt],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    first, _ = read_mjpeg_avi(avi_out)
+    second, _ = read_mjpeg_avi(str(tmp_path / "out" / "gen_cam2.avi"))
+    assert first.shape[0] == 3 and second.shape[0] == 2

@@ -231,3 +231,63 @@ def test_serve_cli_e2e(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_frame_then_instant_disconnect_keeps_server_alive(served):
+    """A client that sends a frame and vanishes without reading the
+    reply must not kill the tick loop (frame+close can drain in one
+    tick; the closed connection's parked frames are dropped)."""
+    fs, model, g_params = served
+    import socket as _socket
+    from ir2rgb_tpu.infer.server import _HDR, _HELLO, _recv_exact
+    s = _socket.create_connection(("127.0.0.1", fs.port), timeout=30)
+    _recv_exact(s, _HELLO.size)
+    payload = np.zeros(32 * 32 * 3, np.uint8).tobytes()
+    s.sendall(_HDR.pack(b"FRMR", len(payload)) + payload)
+    s.close()  # no recv — close races the tick
+    # the server must still serve a fresh client afterwards
+    frames = _frames(8, 2)
+    ref_s = StreamingGenerator(model, g_params, (32, 32))
+    ref = [ref_s.push(f) for f in frames]
+    with FrameClient("127.0.0.1", fs.port) as c:
+        for f, r in zip(frames, ref):
+            _assert_lsb(c.push(f), r)
+
+
+def test_connect_and_reset_does_not_leak_slots():
+    """Peers that vanish before the hello reaches them must not leak
+    slots (no reader thread exists to emit the close event)."""
+    model, g_params = _model(temporal=False)
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=1)
+    fs = FrameServer(srv, port=0, tick_ms=0)
+    fs.start()
+    try:
+        import socket as _socket
+        import time
+        for _ in range(4):  # > n_slots abrupt connects
+            s = _socket.create_connection(("127.0.0.1", fs.port))
+            # RST instead of FIN: SO_LINGER with zero timeout
+            s.setsockopt(_socket.SOL_SOCKET, _socket.SO_LINGER,
+                         __import__("struct").pack("ii", 1, 0))
+            s.close()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            try:
+                with FrameClient("127.0.0.1", fs.port) as c:
+                    out = c.push(_frames(9, 1)[0])
+                assert out.shape == (32, 32, 3)
+                break
+            except (RuntimeError, ConnectionError):
+                time.sleep(0.1)
+        else:
+            pytest.fail("slot leaked: server refuses clients after "
+                        "connect-and-reset peers")
+    finally:
+        fs.stop()
+
+
+def test_pop_flag_missing_value_is_usage_error():
+    from ir2rgb_tpu.cli.common import pop_flag
+    argv = ["--model.ngf", "8", "--torch_g"]
+    with pytest.raises(SystemExit, match="requires a value"):
+        pop_flag(argv, "--torch_g")
