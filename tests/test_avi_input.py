@@ -387,3 +387,31 @@ def test_infer_cli_multi_avi_suffixed_outputs(tmp_path):
     first, _ = read_mjpeg_avi(avi_out)
     second, _ = read_mjpeg_avi(str(tmp_path / "out" / "gen_cam2.avi"))
     assert first.shape[0] == 3 and second.shape[0] == 2
+
+
+def test_avi_roundtrip_fuzz_geometries(tmp_path):
+    """Writer->index->decode across odd/tiny geometries and frame
+    counts (exercises RIFF even-padding when a JPEG payload is odd)."""
+    rng = np.random.RandomState(0)
+    for trial, (h, w, n) in enumerate([(1, 1, 1), (3, 5, 2), (17, 13, 4),
+                                       (24, 31, 7), (63, 1, 3)]):
+        frames = (rng.rand(n, h, w, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"f{trial}.avi")
+        _write(p, frames, quality=90)
+        idx = avi_index(p)
+        assert idx.n == n, (h, w, n)
+        dec = decode_mixed_batch(frame_paths(p), h, w)
+        assert dec.shape == (n, h, w, 3)
+
+
+def test_avi_parser_rejects_garbage(tmp_path):
+    """Random bytes behind a RIFF/AVI magic must error, not hang or
+    index garbage silently."""
+    rng = np.random.RandomState(1)
+    for trial in range(8):
+        junk = rng.bytes(rng.randint(20, 4000))
+        data = b"RIFF" + struct.pack("<I", len(junk) + 4) + b"AVI " + junk
+        p = str(tmp_path / f"junk{trial}.avi")
+        open(p, "wb").write(data)
+        with pytest.raises((ValueError, struct.error)):
+            avi_index(p)
