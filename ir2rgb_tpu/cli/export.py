@@ -36,6 +36,7 @@ def main(argv=None) -> int:
     torch_g = _pop("--torch_g")
     out = _pop("--out")
     batch = int(_pop("--batch", "1"))
+    slots = _pop("--slots")  # multi-stream artifact (per-slot carries)
     platforms = tuple(_pop("--platforms", "tpu,cpu").split(","))
     size_flag = _pop("--size")
     cfg = parse_cli(argv)
@@ -74,10 +75,21 @@ def main(argv=None) -> int:
             f"--data.preprocess {cfg.data.preprocess} serves at the "
             f"dataset's native geometry, which export cannot infer; "
             f"pass --size HxW (the frame size the artifact will serve)")
-    export_serving_artifact(model, g_params, size_hw, out,
-                            batch=batch, platforms=platforms)
+    if slots is not None:
+        # multi-stream artifact: the batched tick with per-slot carries
+        # + join/leave masks; serve with ir2rgb-serve --artifact (no
+        # model code, no trace at daemon start)
+        from ir2rgb_tpu.infer import export_multistream_artifact
+        export_multistream_artifact(model, g_params, size_hw, out,
+                                    n_slots=int(slots),
+                                    platforms=platforms)
+        kind = f"multistream slots {slots}"
+    else:
+        export_serving_artifact(model, g_params, size_hw, out,
+                                batch=batch, platforms=platforms)
+        kind = f"batch {batch}"
     print(f"exported {out} ({os.path.getsize(out)} bytes, "
-          f"{size_hw[0]}x{size_hw[1]} batch {batch}, "
+          f"{size_hw[0]}x{size_hw[1]} {kind}, "
           f"platforms {','.join(platforms)})",
           flush=True)
     return 0

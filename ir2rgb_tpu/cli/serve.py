@@ -17,6 +17,7 @@ Frame geometry defaults to ``--data.crop_size`` square; override with
 
 from __future__ import annotations
 
+import os
 import sys
 
 
@@ -29,34 +30,56 @@ def main(argv=None) -> int:
 
     argv = list(sys.argv[1:] if argv is None else argv)
     torch_g = pop_flag(argv, "--torch_g")
+    artifact = pop_flag(argv, "--artifact")
     hw_flag = pop_flag(argv, "--serve.hw")
     cfg = parse_cli(argv)
 
-    if hw_flag:
-        try:
-            h, w = (int(v) for v in hw_flag.lower().split("x"))
-        except ValueError:
-            raise SystemExit(f"--serve.hw expects HxW (e.g. 512x512), "
-                             f"got {hw_flag!r}")
+    if artifact is not None:
+        # sealed multi-stream .ir2rgb (ir2rgb-export --slots N): no
+        # model code, no trace at daemon start. Geometry, slot count
+        # and quantization are baked into the program — flags that
+        # would silently not apply are refused.
+        if torch_g is not None:
+            raise SystemExit("--artifact and --torch_g are mutually "
+                             "exclusive (the artifact seals its weights)")
+        if cfg.infer.quant != "none":
+            raise SystemExit(
+                "--infer.quant has no effect on a sealed artifact "
+                "(quantization is baked at export: ir2rgb-export "
+                "--infer.quant int8 --slots N)")
+        if hw_flag:
+            raise SystemExit("--serve.hw has no effect on a sealed "
+                             "artifact (geometry is baked at export)")
+        srv = MultiStreamServer.from_artifact(artifact)
+        h, w = srv.frame_hw
+        label = f"artifact {os.path.basename(artifact)}"
     else:
-        h = w = cfg.data.crop_size
+        if hw_flag:
+            try:
+                h, w = (int(v) for v in hw_flag.lower().split("x"))
+            except ValueError:
+                raise SystemExit(f"--serve.hw expects HxW (e.g. "
+                                 f"512x512), got {hw_flag!r}")
+        else:
+            h = w = cfg.data.crop_size
 
-    model = create_model(cfg, steps_per_epoch=1)
-    g_params = load_generator_params(cfg, model, torch_g)
-    if cfg.infer.quant != "none":
-        # trace-time flag: set BEFORE the server jits its batched tick
-        from ir2rgb_tpu.nn import quant
-        quant.set_mode(cfg.infer.quant)
+        model = create_model(cfg, steps_per_epoch=1)
+        g_params = load_generator_params(cfg, model, torch_g)
+        if cfg.infer.quant != "none":
+            # trace-time flag: set BEFORE the server jits its tick
+            from ir2rgb_tpu.nn import quant
+            quant.set_mode(cfg.infer.quant)
+        srv = MultiStreamServer(model, g_params, (h, w),
+                                n_slots=cfg.infer.serve_slots)
+        label = f"{cfg.model.model}/{cfg.model.net_g}"
 
-    srv = MultiStreamServer(model, g_params, (h, w),
-                            n_slots=cfg.infer.serve_slots)
     fs = FrameServer(srv, host=cfg.infer.serve_host,
                      port=cfg.infer.serve_port,
                      encode=cfg.infer.serve_encode,
                      quality=cfg.infer.serve_quality,
                      tick_ms=cfg.infer.serve_tick_ms)
     fs.start()  # resolves an ephemeral port before the banner
-    print(f"serving {cfg.model.model}/{cfg.model.net_g} at "
+    print(f"serving {label} at "
           f"{fs.host}:{fs.port}  frame {h}x{w}x{srv.in_nc} -> "
           f"{fs.out_nc}ch  slots {srv.n_slots} "
           f"(physical {srv.physical_slots})  encode {fs.encode}",

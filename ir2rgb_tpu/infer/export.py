@@ -119,17 +119,7 @@ def _build_step(model, temporal: bool, carry_c: int):
     return step
 
 
-def export_serving_artifact(model, g_params, frame_hw: Tuple[int, int],
-                            path: str, batch: int = 1,
-                            platforms: Optional[Sequence[str]] = None
-                            ) -> None:
-    """Export ``model``'s serving step + ``g_params`` to ``path``.
-
-    ``platforms`` defaults to ``('tpu', 'cpu')`` — one artifact for
-    production and CPU CI. ``batch`` fixes the slot count (use >1 for
-    multi-stream serving geometry; see infer/multistream.py).
-    """
-    cfgm = model.cfg.model
+def _check_exportable(cfgm, model) -> None:
     if model.enc_cfg is not None or cfgm.use_instance_edges:
         # the sealed wire is uint8 frames only; exporting a
         # feature/edge-conditioned model would bake the zeros prior in
@@ -143,6 +133,37 @@ def export_serving_artifact(model, g_params, frame_hw: Tuple[int, int],
         raise ValueError(
             f"label_nc={cfgm.label_nc} class ids do not fit the uint8 "
             "serving wire; serve through cli/infer.py instead")
+
+
+def _write_artifact(path: str, exported, g_params, meta: dict) -> None:
+    paths, leaves = _flatten_params(g_params)
+    meta = dict(meta,
+                format_version=_FORMAT_VERSION,
+                param_paths=paths,
+                param_dtypes=[str(l.dtype) for l in leaves],
+                empty_param_paths=_empty_dict_paths(g_params))
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("program.bin", bytes(exported.serialize()))
+        zf.writestr("meta.json", json.dumps(meta))
+        for i, leaf in enumerate(leaves):
+            buf = io.BytesIO()
+            np.save(buf, np.asarray(leaf).astype(np.float32))
+            zf.writestr(f"param_{i}.npy", buf.getvalue())
+
+
+def export_serving_artifact(model, g_params, frame_hw: Tuple[int, int],
+                            path: str, batch: int = 1,
+                            platforms: Optional[Sequence[str]] = None
+                            ) -> None:
+    """Export ``model``'s serving step + ``g_params`` to ``path``.
+
+    ``platforms`` defaults to ``('tpu', 'cpu')`` — one artifact for
+    production and CPU CI. ``batch`` fixes the slot count; for true
+    multi-stream serving (independent carries, join/leave masks) use
+    :func:`export_multistream_artifact` instead.
+    """
+    cfgm = model.cfg.model
+    _check_exportable(cfgm, model)
     temporal = cfgm.model == "temporal"
     n_prev = (cfgm.n_frames_g - 1) if temporal else 0
     carry_c = cfgm.output_nc * n_prev
@@ -151,7 +172,6 @@ def export_serving_artifact(model, g_params, frame_hw: Tuple[int, int],
         platforms = ("tpu", "cpu")
 
     step = _build_step(model, temporal, carry_c)
-    paths, leaves = _flatten_params(g_params)
     p_struct = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), g_params)
     wire_nc = 1 if cfgm.label_nc > 0 else cfgm.input_nc
@@ -164,8 +184,7 @@ def export_serving_artifact(model, g_params, frame_hw: Tuple[int, int],
     exported = jax.export.export(jax.jit(step),
                                  platforms=list(platforms))(*args)
 
-    meta = {
-        "format_version": _FORMAT_VERSION,
+    _write_artifact(path, exported, g_params, {
         "temporal": temporal,
         "frame_hw": [h, w],
         "batch": batch,
@@ -174,17 +193,60 @@ def export_serving_artifact(model, g_params, frame_hw: Tuple[int, int],
         "output_nc": cfgm.output_nc,
         "carry_c": carry_c,
         "platforms": list(platforms),
-        "param_paths": paths,
-        "param_dtypes": [str(l.dtype) for l in leaves],
-        "empty_param_paths": _empty_dict_paths(g_params),
-    }
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("program.bin", bytes(exported.serialize()))
-        zf.writestr("meta.json", json.dumps(meta))
-        for i, leaf in enumerate(leaves):
-            buf = io.BytesIO()
-            np.save(buf, np.asarray(leaf).astype(np.float32))
-            zf.writestr(f"param_{i}.npy", buf.getvalue())
+    })
+
+
+def export_multistream_artifact(model, g_params,
+                                frame_hw: Tuple[int, int], path: str,
+                                n_slots: int = 8,
+                                platforms: Optional[Sequence[str]] = None
+                                ) -> None:
+    """Seal the MULTI-STREAM batched tick (infer/multistream.py) into a
+    ``.ir2rgb`` artifact: N independent streams with per-slot carries
+    and join/leave/skip masks, servable by
+    ``MultiStreamServer.from_artifact`` (and therefore ``ir2rgb-serve
+    --artifact``) with no model code and no trace at startup — the
+    cold-start cut matters most for a long-lived daemon.
+
+    ``n_slots`` is the sealed physical batch; pick a measured-good size
+    (1, 2, or a multiple of 8 on TPU — DESIGN.md §6's mid-batch cliff).
+    """
+    from ir2rgb_tpu.infer.multistream import build_tick
+    cfgm = model.cfg.model
+    _check_exportable(cfgm, model)
+    temporal = cfgm.model == "temporal"
+    n_prev = (cfgm.n_frames_g - 1) if temporal else 0
+    carry_c = cfgm.output_nc * n_prev
+    h, w = frame_hw
+    if platforms is None:
+        platforms = ("tpu", "cpu")
+
+    tick = build_tick(model, temporal, carry_c)
+    p_struct = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), g_params)
+    wire_nc = 1 if cfgm.label_nc > 0 else cfgm.input_nc
+    s = int(n_slots)
+    frames = jax.ShapeDtypeStruct((s, h, w, wire_nc), jnp.uint8)
+    mask = jax.ShapeDtypeStruct((s,), jnp.bool_)
+    if temporal:
+        carry = jax.ShapeDtypeStruct((s, h, w, carry_c), jnp.float32)
+        args = (p_struct, frames, carry, mask, mask)
+    else:
+        args = (p_struct, frames, mask, mask)
+    exported = jax.export.export(jax.jit(tick),
+                                 platforms=list(platforms))(*args)
+
+    _write_artifact(path, exported, g_params, {
+        "multistream": True,
+        "temporal": temporal,
+        "frame_hw": [h, w],
+        "batch": s,
+        "input_nc": wire_nc,
+        "label_nc": cfgm.label_nc,
+        "output_nc": cfgm.output_nc,
+        "carry_c": carry_c,
+        "platforms": list(platforms),
+    })
 
 
 class ExportedStream:
@@ -242,9 +304,7 @@ class ExportedStream:
             yield self._fetch(pending)
 
 
-def load_serving_artifact(path: str) -> ExportedStream:
-    """Load an ``.ir2rgb`` artifact written by
-    :func:`export_serving_artifact` and return a ready serving stream."""
+def _read_artifact(path: str):
     with zipfile.ZipFile(path, "r") as zf:
         meta = json.loads(zf.read("meta.json"))
         if meta["format_version"] != _FORMAT_VERSION:
@@ -258,4 +318,29 @@ def load_serving_artifact(path: str) -> ExportedStream:
             leaves.append(jnp.asarray(arr, dtype=jnp.dtype(dt)))
     params = _unflatten_params(meta["param_paths"], leaves,
                                meta.get("empty_param_paths", ()))
+    return exported, params, meta
+
+
+def load_serving_artifact(path: str) -> ExportedStream:
+    """Load an ``.ir2rgb`` artifact written by
+    :func:`export_serving_artifact` and return a ready serving stream."""
+    exported, params, meta = _read_artifact(path)
+    if meta.get("multistream"):
+        raise ValueError(
+            f"{path} is a MULTI-STREAM artifact (per-slot carries + "
+            f"masks); load it with MultiStreamServer.from_artifact "
+            f"(or serve it with ir2rgb-serve --artifact)")
     return ExportedStream(exported, params, meta)
+
+
+def load_multistream_artifact(path: str):
+    """Load a multi-stream artifact written by
+    :func:`export_multistream_artifact`; returns ``(tick_callable,
+    params, meta)`` for ``MultiStreamServer.from_artifact``."""
+    exported, params, meta = _read_artifact(path)
+    if not meta.get("multistream"):
+        raise ValueError(
+            f"{path} is a single-stream artifact; load it with "
+            f"load_serving_artifact (or re-export with "
+            f"export_multistream_artifact / ir2rgb-export --slots N)")
+    return exported.call, params, meta

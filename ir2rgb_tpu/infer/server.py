@@ -89,7 +89,7 @@ class FrameServer:
         self.encode = encode
         self.quality = int(quality)
         self.tick_ms = float(tick_ms)
-        self.out_nc = srv.model.cfg.model.output_nc
+        self.out_nc = srv.out_nc
         self._listener: Optional[socket.socket] = None
         self._threads: list = []
         self._conns: Dict[int, "_Conn"] = {}  # sid -> connection

@@ -291,3 +291,120 @@ def test_pop_flag_missing_value_is_usage_error():
     argv = ["--model.ngf", "8", "--torch_g"]
     with pytest.raises(SystemExit, match="requires a value"):
         pop_flag(argv, "--torch_g")
+
+
+# ------------------------------------------------- multistream artifacts
+
+
+def test_multistream_artifact_matches_live_server(tmp_path):
+    """A sealed multi-stream artifact serves identically to the live
+    MultiStreamServer: batched ticks, carry holds on skipped slots,
+    reset on slot reuse — with no model behind it (srv.model is None)."""
+    from ir2rgb_tpu.infer import export_multistream_artifact
+    model, g_params = _model()
+    path = str(tmp_path / "ms.ir2rgb")
+    export_multistream_artifact(model, g_params, (32, 32), path,
+                                n_slots=3, platforms=("cpu",))
+
+    live = MultiStreamServer(model, g_params, (32, 32), n_slots=3)
+    sealed = MultiStreamServer.from_artifact(path)
+    assert sealed.model is None
+    assert sealed.physical_slots == 3 and sealed.n_slots == 3
+    assert (sealed.in_nc, sealed.out_nc) == (3, 3)
+
+    fa, fb = _frames(20, 3), _frames(21, 3)
+    la, lb = live.open(), live.open()
+    sa, sb = sealed.open(), sealed.open()
+    # tick 0: both streams; tick 1: only a (b holds carry); tick 2: both
+    feeds = [{0: fa[0], 1: fb[0]}, {0: fa[1]}, {0: fa[2], 1: fb[1]}]
+    for feed in feeds:
+        lo = live.step({(la if k == 0 else lb): v for k, v in feed.items()})
+        so = sealed.step({(sa if k == 0 else sb): v
+                          for k, v in feed.items()})
+        for k in feed:
+            _assert_lsb(lo[la if k == 0 else lb], so[sa if k == 0 else sb])
+    # close + reopen: fresh carry on the reused slot, both servers
+    live.close(lb), sealed.close(sb)
+    lb2, sb2 = live.open(), sealed.open()
+    lo = live.step({lb2: fb[2]})
+    so = sealed.step({sb2: fb[2]})
+    _assert_lsb(lo[lb2], so[sb2])
+
+
+def test_multistream_artifact_loader_guards(tmp_path):
+    from ir2rgb_tpu.infer import (
+        export_multistream_artifact,
+        export_serving_artifact,
+        load_multistream_artifact,
+        load_serving_artifact,
+    )
+    model, g_params = _model(temporal=False)
+    single = str(tmp_path / "single.ir2rgb")
+    multi = str(tmp_path / "multi.ir2rgb")
+    export_serving_artifact(model, g_params, (32, 32), single,
+                            platforms=("cpu",))
+    export_multistream_artifact(model, g_params, (32, 32), multi,
+                                n_slots=2, platforms=("cpu",))
+    with pytest.raises(ValueError, match="MULTI-STREAM artifact"):
+        load_serving_artifact(multi)
+    with pytest.raises(ValueError, match="single-stream artifact"):
+        load_multistream_artifact(single)
+    with pytest.raises(ValueError, match="exceeds the artifact"):
+        MultiStreamServer.from_artifact(multi, n_slots=5)
+
+
+def test_serve_cli_artifact_e2e(tmp_path):
+    """ir2rgb-export --slots -> ir2rgb-serve --artifact -> client."""
+    from ir2rgb_tpu.infer import export_multistream_artifact
+    model, g_params = _model(temporal=False)
+    art = str(tmp_path / "m.ir2rgb")
+    export_multistream_artifact(model, g_params, (32, 32), art,
+                                n_slots=2, platforms=("cpu",))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ir2rgb_tpu.cli.serve",
+         "--infer.serve_port", "0", "--artifact", art],
+        stdout=subprocess.PIPE, text=True, cwd="/root/repo", env=env)
+    try:
+        line = proc.stdout.readline()
+        assert "serving artifact m.ir2rgb at" in line, line
+        port = int(line.split(" at ")[1].split()[0].rsplit(":", 1)[1])
+        ref = MultiStreamServer(model, g_params, (32, 32), n_slots=1)
+        sid = ref.open()
+        with FrameClient("127.0.0.1", port, timeout=300) as c:
+            for f in _frames(30, 2):
+                _assert_lsb(c.push(f), ref.step({sid: f})[sid])
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
+def test_export_cli_slots_flag(tmp_path):
+    """ir2rgb-export --slots produces a loadable multistream artifact."""
+    import torch
+
+    import torch_refs
+    from ir2rgb_tpu.infer import load_multistream_artifact
+    t = torch_refs.ResnetGenerator(ngf=8, n_blocks=6, norm="instance")
+    ckpt = str(tmp_path / "latest_net_G.pth")
+    torch.save(t.state_dict(), ckpt)
+    art = str(tmp_path / "cli.ir2rgb")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo"
+    out = subprocess.run(
+        [sys.executable, "-m", "ir2rgb_tpu.cli.export",
+         "--model.model", "pix2pix",
+         "--model.net_g", "resnet_6blocks", "--model.ngf", "8",
+         "--model.ndf", "8", "--loss.no_vgg_loss", "true",
+         "--data.crop_size", "32",
+         "--torch_g", ckpt, "--out", art,
+         "--slots", "2", "--platforms", "cpu"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "multistream slots 2" in out.stdout
+    _, _, meta = load_multistream_artifact(art)
+    assert meta["batch"] == 2 and meta["multistream"]
