@@ -18,10 +18,12 @@ Wire protocol (version 1, little-endian, dependency-free):
 - Every subsequent message both ways is ``fourcc | u32 length | payload``:
   - client->server  ``FRMR`` raw HWC uint8 (h*w*in_nc bytes) or
     ``FRMJ`` a JPEG (decoded + resized server-side; gray for in_nc=1);
-    ``BYE!`` (length 0) for a clean close.
+    ``STAT`` (length 0) requests server stats; ``BYE!`` (length 0) for
+    a clean close.
   - server->client  ``OUTR`` raw h*w*out_nc uint8 or ``OUTJ`` a JPEG
-    (per ``encode=``), in frame order per connection; ``ERR!`` + utf-8
-    message before a protocol-error close.
+    (per ``encode=``), in frame order per connection; ``STAT`` + a JSON
+    object (ticks/frames served, slot occupancy) answering a stats
+    request; ``ERR!`` + utf-8 message before a protocol-error close.
 
 Clients may pipeline frames; per-connection output order matches input
 order. One frame per connection joins each tick (FIFO), so a pipelining
@@ -281,6 +283,22 @@ class _Conn:
                 payload = _recv_exact(self.sock, length) if length else b""
                 if fourcc == b"BYE!":
                     break
+                if fourcc == b"STAT":
+                    # answered from the reader thread (read-only host
+                    # state; ordering vs in-flight frames is not
+                    # promised) via the outbox so it can't interleave
+                    # mid-OUTR
+                    import json
+                    fs = self.server
+                    self.outbox.put((b"STAT", json.dumps({
+                        "ticks_served": fs.ticks_served,
+                        "frames_served": fs.frames_served,
+                        "slots_total": fs.srv.n_slots,
+                        "slots_active": len(fs.srv.active_slots),
+                        "physical_slots": fs.srv.physical_slots,
+                        "encode": fs.encode,
+                    }).encode()))
+                    continue
                 if fourcc == b"FRMR":
                     if length != raw_len:
                         raise ValueError(
@@ -397,6 +415,22 @@ class FrameClient:
     def push(self, frame: np.ndarray) -> np.ndarray:
         self.send(frame)
         return self.recv()
+
+    def stats(self) -> dict:
+        """Server-side counters (ticks/frames served, slot occupancy).
+        Call with no frames in flight — replies are FIFO per
+        connection, so a pending frame's output would arrive first."""
+        import json
+        _send_msg(self.sock, b"STAT", b"")
+        fourcc, length = _HDR.unpack(_recv_exact(self.sock, 8))
+        payload = _recv_exact(self.sock, length)
+        if fourcc == b"ERR!":
+            raise RuntimeError(f"server error: {payload.decode()}")
+        if fourcc != b"STAT":
+            raise RuntimeError(
+                f"expected STAT reply, got {fourcc!r} — stats() must "
+                f"not race in-flight frames on this connection")
+        return json.loads(payload.decode())
 
     def stream(self, frames) -> Iterator[np.ndarray]:
         """Depth-1 pipelined request stream (send t+1 before recv t)."""

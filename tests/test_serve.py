@@ -408,3 +408,13 @@ def test_export_cli_slots_flag(tmp_path):
     assert "multistream slots 2" in out.stdout
     _, _, meta = load_multistream_artifact(art)
     assert meta["batch"] == 2 and meta["multistream"]
+
+
+def test_stats_message(served):
+    fs, _, _ = served
+    with FrameClient("127.0.0.1", fs.port) as c:
+        c.push(_frames(40, 1)[0])
+        st = c.stats()
+    assert st["slots_total"] == 4
+    assert st["frames_served"] >= 1 and st["ticks_served"] >= 1
+    assert st["slots_active"] >= 1  # this connection holds a slot
