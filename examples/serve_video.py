@@ -39,7 +39,9 @@ def main() -> int:
                    help="JPEG-encode frames on the wire (thin links)")
     args = p.parse_args()
 
-    # only the light IO pieces are imported — no jax, no model code
+    # only the light IO pieces are imported — the package __init__s are
+    # lazy (PEP 562), so neither jax nor any model code loads in this
+    # process (numpy + libjpeg only; ~70 ms import)
     from ir2rgb_tpu.data.video import avi_index, decode_mixed_batch, \
         frame_paths
     from ir2rgb_tpu.infer.server import FrameClient

@@ -35,8 +35,12 @@ def main(argv=None) -> int:
 
     torch_g = _pop("--torch_g")
     out = _pop("--out")
-    batch = int(_pop("--batch", "1"))
+    batch_flag = _pop("--batch")
     slots = _pop("--slots")  # multi-stream artifact (per-slot carries)
+    if batch_flag is not None and slots is not None:
+        raise SystemExit("--batch and --slots are mutually exclusive "
+                         "(--slots IS the multi-stream batch)")
+    batch = int(batch_flag or 1)
     platforms = tuple(_pop("--platforms", "tpu,cpu").split(","))
     size_flag = _pop("--size")
     cfg = parse_cli(argv)

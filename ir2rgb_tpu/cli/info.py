@@ -38,6 +38,11 @@ def inspect_path(path: str) -> dict:
 
 
 def _inspect_run_dir(path: str) -> dict:
+    if not (os.path.exists(os.path.join(path, "config.json"))
+            or os.path.isdir(os.path.join(path, "ckpt"))):
+        raise SystemExit(
+            f"{path} is a directory but not an ir2rgb run dir (no "
+            f"config.json or ckpt/ inside)")
     out: dict = {"kind": "run_dir", "path": path}
     cfg_path = os.path.join(path, "config.json")
     if os.path.exists(cfg_path):

@@ -50,7 +50,21 @@ def main(argv=None) -> int:
         if hw_flag:
             raise SystemExit("--serve.hw has no effect on a sealed "
                              "artifact (geometry is baked at export)")
-        srv = MultiStreamServer.from_artifact(artifact)
+        if cfg.infer.use_ema:
+            raise SystemExit("--infer.use_ema has no effect on a sealed "
+                             "artifact (export the EMA weights instead)")
+        if cfg.infer.which_epoch != "latest":
+            raise SystemExit("--infer.which_epoch has no effect on a "
+                             "sealed artifact (it has no checkpoint "
+                             "directory; export the epoch you want)")
+        # --infer.serve_slots caps attachable streams below the sealed
+        # physical batch (a cap above it just serves every sealed slot)
+        import json
+        import zipfile
+        with zipfile.ZipFile(artifact) as zf:
+            sealed = json.loads(zf.read("meta.json")).get("batch", 1)
+        srv = MultiStreamServer.from_artifact(
+            artifact, n_slots=min(cfg.infer.serve_slots, sealed))
         h, w = srv.frame_hw
         label = f"artifact {os.path.basename(artifact)}"
     else:

@@ -1,22 +1,31 @@
-from .folder import (
-    IMG_EXTENSIONS,
-    find_aligned_pairs,
-    find_temporal_sequences,
-    make_dataset,
-)
-from .loader import DataLoader, create_dataloader
-from .synthetic import synthetic_pair_batch, write_synthetic_dataset
-from .transforms import preprocess_pair_batch, preprocess_sequence_batch
+"""Data pipeline package.
 
-__all__ = [
-    "IMG_EXTENSIONS",
-    "make_dataset",
-    "find_aligned_pairs",
-    "find_temporal_sequences",
-    "DataLoader",
-    "create_dataloader",
-    "preprocess_pair_batch",
-    "preprocess_sequence_batch",
-    "synthetic_pair_batch",
-    "write_synthetic_dataset",
-]
+Lazy exports (PEP 562): thin-client processes (the serving protocol
+client, video IO — see examples/serve_video.py) import submodules like
+``ir2rgb_tpu.data.video`` without paying for the loader/transform
+stack's jax import (which, on a shared dev box, can also claim the
+accelerator)."""
+
+_EXPORTS = {
+    "IMG_EXTENSIONS": ".folder",
+    "make_dataset": ".folder",
+    "find_aligned_pairs": ".folder",
+    "find_temporal_sequences": ".folder",
+    "DataLoader": ".loader",
+    "create_dataloader": ".loader",
+    "preprocess_pair_batch": ".transforms",
+    "preprocess_sequence_batch": ".transforms",
+    "synthetic_pair_batch": ".synthetic",
+    "write_synthetic_dataset": ".synthetic",
+}
+
+__all__ = list(_EXPORTS)
+
+
+def __getattr__(name):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute "
+                             f"{name!r}")
+    import importlib
+    return getattr(importlib.import_module(mod, __name__), name)

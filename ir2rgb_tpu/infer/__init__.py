@@ -1,30 +1,38 @@
-from .export import (
-    ExportedStream,
-    export_multistream_artifact,
-    export_serving_artifact,
-    load_multistream_artifact,
-    load_serving_artifact,
-)
-from .features import (
-    collect_dataset_features,
-    kmeans,
-    load_clusters,
-    sample_feature_map,
-    save_clusters,
-)
-from .metrics import flicker, psnr, ssim
-from .multistream import MultiStreamServer
-from .stream import (
-    StreamingGenerator,
-    label2im,
-    single_frame_infer,
-    tensor2im,
-    translate_clip,
-)
+"""Inference/serving package. Lazy exports (PEP 562) — the network
+protocol pieces (``infer.server``) import without jax; see
+data/__init__ for the rationale."""
 
-__all__ = ["StreamingGenerator", "MultiStreamServer", "single_frame_infer",
-           "translate_clip", "tensor2im", "label2im", "psnr", "ssim", "flicker",
-           "export_serving_artifact", "load_serving_artifact",
-           "export_multistream_artifact", "load_multistream_artifact",
-           "ExportedStream", "collect_dataset_features", "kmeans",
-           "save_clusters", "load_clusters", "sample_feature_map"]
+_EXPORTS = {
+    "ExportedStream": ".export",
+    "export_multistream_artifact": ".export",
+    "export_serving_artifact": ".export",
+    "load_multistream_artifact": ".export",
+    "load_serving_artifact": ".export",
+    "collect_dataset_features": ".features",
+    "kmeans": ".features",
+    "load_clusters": ".features",
+    "sample_feature_map": ".features",
+    "save_clusters": ".features",
+    "flicker": ".metrics",
+    "psnr": ".metrics",
+    "ssim": ".metrics",
+    "MultiStreamServer": ".multistream",
+    "FrameServer": ".server",
+    "FrameClient": ".server",
+    "StreamingGenerator": ".stream",
+    "label2im": ".stream",
+    "single_frame_infer": ".stream",
+    "tensor2im": ".stream",
+    "translate_clip": ".stream",
+}
+
+__all__ = list(_EXPORTS)
+
+
+def __getattr__(name):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute "
+                             f"{name!r}")
+    import importlib
+    return getattr(importlib.import_module(mod, __name__), name)

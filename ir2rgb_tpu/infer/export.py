@@ -48,6 +48,11 @@ import numpy as np
 from ir2rgb_tpu.infer.stream import _dev_normalize, _dev_quantize
 
 _FORMAT_VERSION = 1
+# multi-stream artifacts carry a DIFFERENT program signature (masks +
+# per-slot carry); they get their own version so a pre-multistream
+# loader refuses them cleanly instead of failing with an arity error
+_FORMAT_VERSION_MULTI = 2
+_KNOWN_VERSIONS = (_FORMAT_VERSION, _FORMAT_VERSION_MULTI)
 
 
 def _flatten_params(params):
@@ -135,10 +140,11 @@ def _check_exportable(cfgm, model) -> None:
             "serving wire; serve through cli/infer.py instead")
 
 
-def _write_artifact(path: str, exported, g_params, meta: dict) -> None:
+def _write_artifact(path: str, exported, g_params, meta: dict,
+                    version: int = _FORMAT_VERSION) -> None:
     paths, leaves = _flatten_params(g_params)
     meta = dict(meta,
-                format_version=_FORMAT_VERSION,
+                format_version=version,
                 param_paths=paths,
                 param_dtypes=[str(l.dtype) for l in leaves],
                 empty_param_paths=_empty_dict_paths(g_params))
@@ -149,6 +155,36 @@ def _write_artifact(path: str, exported, g_params, meta: dict) -> None:
             buf = io.BytesIO()
             np.save(buf, np.asarray(leaf).astype(np.float32))
             zf.writestr(f"param_{i}.npy", buf.getvalue())
+
+
+def _export_prologue(model, g_params, platforms):
+    """The shared derivations both exporters must agree on (exportability
+    rules, wire channels, carry spec, param structs) — one definition so
+    the two artifact kinds cannot drift."""
+    cfgm = model.cfg.model
+    _check_exportable(cfgm, model)
+    temporal = cfgm.model == "temporal"
+    n_prev = (cfgm.n_frames_g - 1) if temporal else 0
+    carry_c = cfgm.output_nc * n_prev
+    wire_nc = 1 if cfgm.label_nc > 0 else cfgm.input_nc
+    platforms = list(("tpu", "cpu") if platforms is None else platforms)
+    p_struct = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), g_params)
+    return cfgm, temporal, carry_c, wire_nc, platforms, p_struct
+
+
+def _base_meta(cfgm, temporal, carry_c, wire_nc, h, w, batch, platforms
+               ) -> dict:
+    return {
+        "temporal": temporal,
+        "frame_hw": [h, w],
+        "batch": batch,
+        "input_nc": wire_nc,
+        "label_nc": cfgm.label_nc,
+        "output_nc": cfgm.output_nc,
+        "carry_c": carry_c,
+        "platforms": platforms,
+    }
 
 
 def export_serving_artifact(model, g_params, frame_hw: Tuple[int, int],
@@ -162,38 +198,20 @@ def export_serving_artifact(model, g_params, frame_hw: Tuple[int, int],
     multi-stream serving (independent carries, join/leave masks) use
     :func:`export_multistream_artifact` instead.
     """
-    cfgm = model.cfg.model
-    _check_exportable(cfgm, model)
-    temporal = cfgm.model == "temporal"
-    n_prev = (cfgm.n_frames_g - 1) if temporal else 0
-    carry_c = cfgm.output_nc * n_prev
+    cfgm, temporal, carry_c, wire_nc, platforms, p_struct = \
+        _export_prologue(model, g_params, platforms)
     h, w = frame_hw
-    if platforms is None:
-        platforms = ("tpu", "cpu")
-
     step = _build_step(model, temporal, carry_c)
-    p_struct = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), g_params)
-    wire_nc = 1 if cfgm.label_nc > 0 else cfgm.input_nc
-    a_struct = jax.ShapeDtypeStruct((batch, h, w, wire_nc),
-                                    jnp.uint8)
+    a_struct = jax.ShapeDtypeStruct((batch, h, w, wire_nc), jnp.uint8)
     args = (p_struct, a_struct)
     if temporal:
         args += (jax.ShapeDtypeStruct((batch, h, w, carry_c),
                                       jnp.float32),)
     exported = jax.export.export(jax.jit(step),
-                                 platforms=list(platforms))(*args)
-
-    _write_artifact(path, exported, g_params, {
-        "temporal": temporal,
-        "frame_hw": [h, w],
-        "batch": batch,
-        "input_nc": wire_nc,
-        "label_nc": cfgm.label_nc,
-        "output_nc": cfgm.output_nc,
-        "carry_c": carry_c,
-        "platforms": list(platforms),
-    })
+                                 platforms=platforms)(*args)
+    _write_artifact(path, exported, g_params,
+                    _base_meta(cfgm, temporal, carry_c, wire_nc, h, w,
+                               batch, platforms))
 
 
 def export_multistream_artifact(model, g_params,
@@ -212,20 +230,11 @@ def export_multistream_artifact(model, g_params,
     (1, 2, or a multiple of 8 on TPU — DESIGN.md §6's mid-batch cliff).
     """
     from ir2rgb_tpu.infer.multistream import build_tick
-    cfgm = model.cfg.model
-    _check_exportable(cfgm, model)
-    temporal = cfgm.model == "temporal"
-    n_prev = (cfgm.n_frames_g - 1) if temporal else 0
-    carry_c = cfgm.output_nc * n_prev
+    cfgm, temporal, carry_c, wire_nc, platforms, p_struct = \
+        _export_prologue(model, g_params, platforms)
     h, w = frame_hw
-    if platforms is None:
-        platforms = ("tpu", "cpu")
-
-    tick = build_tick(model, temporal, carry_c)
-    p_struct = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), g_params)
-    wire_nc = 1 if cfgm.label_nc > 0 else cfgm.input_nc
     s = int(n_slots)
+    tick = build_tick(model, temporal, carry_c)
     frames = jax.ShapeDtypeStruct((s, h, w, wire_nc), jnp.uint8)
     mask = jax.ShapeDtypeStruct((s,), jnp.bool_)
     if temporal:
@@ -234,19 +243,12 @@ def export_multistream_artifact(model, g_params,
     else:
         args = (p_struct, frames, mask, mask)
     exported = jax.export.export(jax.jit(tick),
-                                 platforms=list(platforms))(*args)
-
-    _write_artifact(path, exported, g_params, {
-        "multistream": True,
-        "temporal": temporal,
-        "frame_hw": [h, w],
-        "batch": s,
-        "input_nc": wire_nc,
-        "label_nc": cfgm.label_nc,
-        "output_nc": cfgm.output_nc,
-        "carry_c": carry_c,
-        "platforms": list(platforms),
-    })
+                                 platforms=platforms)(*args)
+    meta = _base_meta(cfgm, temporal, carry_c, wire_nc, h, w, s,
+                      platforms)
+    meta["multistream"] = True
+    _write_artifact(path, exported, g_params, meta,
+                    version=_FORMAT_VERSION_MULTI)
 
 
 class ExportedStream:
@@ -307,10 +309,10 @@ class ExportedStream:
 def _read_artifact(path: str):
     with zipfile.ZipFile(path, "r") as zf:
         meta = json.loads(zf.read("meta.json"))
-        if meta["format_version"] != _FORMAT_VERSION:
+        if meta["format_version"] not in _KNOWN_VERSIONS:
             raise ValueError(
-                f"artifact format v{meta['format_version']} != "
-                f"v{_FORMAT_VERSION} supported by this loader")
+                f"artifact format v{meta['format_version']} not in "
+                f"{_KNOWN_VERSIONS} supported by this loader")
         exported = jax.export.deserialize(bytearray(zf.read("program.bin")))
         leaves: List[jax.Array] = []
         for i, dt in enumerate(meta["param_dtypes"]):

@@ -187,6 +187,8 @@ class FrameServer:
                     self._handle_open(conn)
                 elif kind == "close":
                     self._handle_close(conn)
+                elif kind == "stat":
+                    self._handle_stat(conn)
                 elif kind == "frame" and conn.sid is not None:
                     conn.pending.append(frame)
             # one frame per attached connection per tick
@@ -227,6 +229,17 @@ class FrameServer:
             # hello never reached the peer and no reader thread exists
             # to emit a close event — release the slot here or it leaks
             self._handle_close(conn)
+
+    def _handle_stat(self, conn: "_Conn") -> None:
+        import json
+        conn.outbox.put((b"STAT", json.dumps({
+            "ticks_served": self.ticks_served,
+            "frames_served": self.frames_served,
+            "slots_total": self.srv.n_slots,
+            "slots_active": len(self.srv.active_slots),
+            "physical_slots": self.srv.physical_slots,
+            "encode": self.encode,
+        }).encode()))
 
     def _handle_close(self, conn: "_Conn") -> None:
         if conn.sid is not None and conn.sid in self._conns:
@@ -284,20 +297,11 @@ class _Conn:
                 if fourcc == b"BYE!":
                     break
                 if fourcc == b"STAT":
-                    # answered from the reader thread (read-only host
-                    # state; ordering vs in-flight frames is not
-                    # promised) via the outbox so it can't interleave
-                    # mid-OUTR
-                    import json
-                    fs = self.server
-                    self.outbox.put((b"STAT", json.dumps({
-                        "ticks_served": fs.ticks_served,
-                        "frames_served": fs.frames_served,
-                        "slots_total": fs.srv.n_slots,
-                        "slots_active": len(fs.srv.active_slots),
-                        "physical_slots": fs.srv.physical_slots,
-                        "encode": fs.encode,
-                    }).encode()))
+                    # answered by the tick loop — it owns the slot set
+                    # (reading _attached here would race _handle_open/
+                    # _handle_close on the tick thread); reply goes out
+                    # through the outbox like any output
+                    self.server._events.put(("stat", self, None))
                     continue
                 if fourcc == b"FRMR":
                     if length != raw_len:

@@ -1,7 +1,20 @@
-from .html import HTMLPage
-from .video import MJPEGAviWriter, read_mjpeg_avi
-from .visualizer import Visualizer
-from .writer import AsyncImageWriter
+"""Observability package. Lazy exports (PEP 562) — see data/__init__."""
 
-__all__ = ["Visualizer", "HTMLPage", "AsyncImageWriter",
-           "MJPEGAviWriter", "read_mjpeg_avi"]
+_EXPORTS = {
+    "HTMLPage": ".html",
+    "Visualizer": ".visualizer",
+    "AsyncImageWriter": ".writer",
+    "MJPEGAviWriter": ".video",
+    "read_mjpeg_avi": ".video",
+}
+
+__all__ = list(_EXPORTS)
+
+
+def __getattr__(name):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute "
+                             f"{name!r}")
+    import importlib
+    return getattr(importlib.import_module(mod, __name__), name)

@@ -101,3 +101,10 @@ def test_inspect_unknown_kind(tmp_path):
     open(p, "w").write("hi")
     with pytest.raises(SystemExit, match="don't know how"):
         inspect_path(p)
+
+
+def test_inspect_plain_directory_rejected(tmp_path):
+    d = str(tmp_path / "notarun")
+    os.makedirs(d)
+    with pytest.raises(SystemExit, match="not an ir2rgb run dir"):
+        inspect_path(d)

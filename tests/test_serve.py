@@ -418,3 +418,56 @@ def test_stats_message(served):
     assert st["slots_total"] == 4
     assert st["frames_served"] >= 1 and st["ticks_served"] >= 1
     assert st["slots_active"] >= 1  # this connection holds a slot
+
+
+def test_thin_client_imports_no_framework(tmp_path):
+    """The protocol client and video IO import without the model stack
+    (lazy package __init__s) — the thin-deployment claim in
+    examples/serve_video.py."""
+    code = (
+        "import sys\n"
+        "import ir2rgb_tpu.infer.server, ir2rgb_tpu.data.video, "
+        "ir2rgb_tpu.obs.video\n"
+        "heavy = [m for m in sys.modules if m.startswith('ir2rgb_tpu')"
+        " and any(k in m for k in ('loader', 'transforms', 'stream',"
+        " 'multistream', 'export', 'train', 'nn.', 'checkpoint'))]\n"
+        "assert not heavy, heavy\n"
+        "assert 'torch' not in sys.modules\n")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, env=env,
+                         timeout=120)
+    assert out.returncode == 0, out.stderr[-1500:]
+
+
+def test_serve_cli_artifact_flag_refusals(tmp_path):
+    from ir2rgb_tpu.cli.serve import main
+    art = str(tmp_path / "x.ir2rgb")  # never opened: refusals come first
+    with pytest.raises(SystemExit, match="use_ema has no effect"):
+        main(["--artifact", art, "--infer.use_ema", "true"])
+    with pytest.raises(SystemExit, match="which_epoch has no effect"):
+        main(["--artifact", art, "--infer.which_epoch", "30"])
+    with pytest.raises(SystemExit, match="quant has no effect"):
+        main(["--artifact", art, "--infer.quant", "int8"])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["--artifact", art, "--torch_g", "g.pth"])
+
+
+def test_export_cli_batch_slots_exclusive():
+    from ir2rgb_tpu.cli.export import main
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["--batch", "4", "--slots", "8"])
+
+
+def test_multistream_artifact_version_guards_old_loaders(tmp_path):
+    """Multi-stream artifacts carry format v2 so a pre-multistream
+    loader (which knows only v1) refuses them cleanly."""
+    from ir2rgb_tpu.infer import export_multistream_artifact
+    from ir2rgb_tpu.infer.export import _read_artifact
+    model, g_params = _model(temporal=False)
+    p = str(tmp_path / "m.ir2rgb")
+    export_multistream_artifact(model, g_params, (32, 32), p,
+                                n_slots=2, platforms=("cpu",))
+    _, _, meta = _read_artifact(p)
+    assert meta["format_version"] == 2
