@@ -40,7 +40,20 @@ def main(argv=None) -> int:
     if batch_flag is not None and slots is not None:
         raise SystemExit("--batch and --slots are mutually exclusive "
                          "(--slots IS the multi-stream batch)")
-    batch = int(batch_flag or 1)
+
+    def _positive_int(flag: str, val: str) -> int:
+        try:
+            n = int(val)
+        except ValueError:
+            raise SystemExit(f"{flag} expects an integer, got {val!r}")
+        if n < 1:
+            raise SystemExit(f"{flag} must be >= 1, got {n}")
+        return n
+
+    batch = (_positive_int("--batch", batch_flag)
+             if batch_flag is not None else 1)
+    if slots is not None:
+        slots = _positive_int("--slots", slots)
     platforms = tuple(_pop("--platforms", "tpu,cpu").split(","))
     size_flag = _pop("--size")
     cfg = parse_cli(argv)
@@ -85,7 +98,7 @@ def main(argv=None) -> int:
         # model code, no trace at daemon start)
         from ir2rgb_tpu.infer import export_multistream_artifact
         export_multistream_artifact(model, g_params, size_hw, out,
-                                    n_slots=int(slots),
+                                    n_slots=slots,
                                     platforms=platforms)
         kind = f"multistream slots {slots}"
     else:

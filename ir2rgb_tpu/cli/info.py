@@ -106,9 +106,20 @@ def _inspect_artifact(path: str) -> dict:
 
 def _inspect_torch(path: str) -> dict:
     import torch
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        # weights_only refuses full pickled nn.Modules (torch.save(model))
+        # — unpickling those executes arbitrary code, which an inspection
+        # tool must never do on an untrusted file
+        raise SystemExit(
+            f"{path} is not a plain state_dict checkpoint (torch.load"
+            f"(weights_only=True) failed: {e}). If it is a whole pickled "
+            f"module, re-save its weights in a trusted environment with "
+            f"torch.save(model.state_dict(), ...) and inspect that.")
+    if not isinstance(sd, dict):
+        raise SystemExit(f"{path} unpickled to {type(sd).__name__}, not "
+                         f"a state_dict")
     n_params = sum(int(v.numel()) for v in sd.values()
                    if hasattr(v, "numel"))
     convs = [k for k in sd if k.endswith(".weight")

@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     torch_g = pop_flag(argv, "--torch_g")
     artifact = pop_flag(argv, "--artifact")
     hw_flag = pop_flag(argv, "--serve.hw")
+    # the config default (8) must not silently cap a sealed artifact
+    # with more slots — only an EXPLICIT flag caps (see below)
+    slots_explicit = any(a.split("=", 1)[0] == "--infer.serve_slots"
+                         for a in argv)
     cfg = parse_cli(argv)
 
     if artifact is not None:
@@ -57,14 +61,13 @@ def main(argv=None) -> int:
             raise SystemExit("--infer.which_epoch has no effect on a "
                              "sealed artifact (it has no checkpoint "
                              "directory; export the epoch you want)")
-        # --infer.serve_slots caps attachable streams below the sealed
-        # physical batch (a cap above it just serves every sealed slot)
-        import json
-        import zipfile
-        with zipfile.ZipFile(artifact) as zf:
-            sealed = json.loads(zf.read("meta.json")).get("batch", 1)
+        # an explicit --infer.serve_slots caps attachable streams below
+        # the sealed physical batch (a cap above it just serves every
+        # sealed slot, via clamp); unset serves every sealed slot
         srv = MultiStreamServer.from_artifact(
-            artifact, n_slots=min(cfg.infer.serve_slots, sealed))
+            artifact,
+            n_slots=cfg.infer.serve_slots if slots_explicit else None,
+            clamp=True)
         h, w = srv.frame_hw
         label = f"artifact {os.path.basename(artifact)}"
     else:

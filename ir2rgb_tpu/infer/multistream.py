@@ -166,8 +166,8 @@ class MultiStreamServer:
             self._tick = jax.jit(tick)
 
     @classmethod
-    def from_artifact(cls, path: str, n_slots: Optional[int] = None
-                      ) -> "MultiStreamServer":
+    def from_artifact(cls, path: str, n_slots: Optional[int] = None,
+                      clamp: bool = False) -> "MultiStreamServer":
         """Serve a sealed multi-stream ``.ir2rgb`` artifact
         (infer/export.py::export_multistream_artifact): the same slot
         lifecycle and step() surface with NO model code behind it and no
@@ -176,7 +176,9 @@ class MultiStreamServer:
         artifact; a long-lived daemon restart rides the same path).
 
         The physical batch is sealed at export time; ``n_slots`` may
-        cap the attachable streams below it (default: all of them)."""
+        cap the attachable streams below it (default: all of them). A
+        cap above the sealed batch raises, unless ``clamp=True`` (the
+        CLI's forgiving mode) clips it to the sealed batch instead."""
         from ir2rgb_tpu.infer.export import load_multistream_artifact
         tick, params, meta = load_multistream_artifact(path)
         self = cls.__new__(cls)
@@ -184,10 +186,15 @@ class MultiStreamServer:
         self.physical_slots = int(meta["batch"])
         self.n_slots = int(n_slots if n_slots is not None
                            else meta["batch"])
+        if self.n_slots < 1:
+            raise ValueError(f"n_slots={self.n_slots} must be >= 1")
         if self.n_slots > self.physical_slots:
-            raise ValueError(
-                f"n_slots={self.n_slots} exceeds the artifact's sealed "
-                f"batch {self.physical_slots}; re-export with more slots")
+            if not clamp:
+                raise ValueError(
+                    f"n_slots={self.n_slots} exceeds the artifact's "
+                    f"sealed batch {self.physical_slots}; re-export "
+                    f"with more slots")
+            self.n_slots = self.physical_slots
         self.temporal = bool(meta["temporal"])
         self.carry_c = int(meta["carry_c"])
         h, w = meta["frame_hw"]

@@ -23,7 +23,10 @@ Wire protocol (version 1, little-endian, dependency-free):
   - server->client  ``OUTR`` raw h*w*out_nc uint8 or ``OUTJ`` a JPEG
     (per ``encode=``), in frame order per connection; ``STAT`` + a JSON
     object (ticks/frames served, slot occupancy) answering a stats
-    request; ``ERR!`` + utf-8 message before a protocol-error close.
+    request — answered out of band, so it may overtake frame outputs
+    still queued for a tick (FrameClient.stats() parks any OUT*
+    messages it reads while waiting); ``ERR!`` + utf-8 message before a
+    protocol-error close.
 
 Clients may pipeline frames; per-connection output order matches input
 order. One frame per connection joins each tick (FIFO), so a pipelining
@@ -99,6 +102,14 @@ class FrameServer:
         self._stop = threading.Event()
         self.ticks_served = 0
         self.frames_served = 0
+
+    @property
+    def slots_active(self) -> int:
+        """Attached-slot count, safe to read from any thread (a bare
+        ``len`` on the slot set is atomic under the GIL — unlike
+        ``srv.active_slots``, which iterates the set and may only be
+        called from the tick loop)."""
+        return len(self.srv._attached)
 
     # -- lifecycle -------------------------------------------------------
 
@@ -389,6 +400,11 @@ class FrameClient:
         self.reply_jpeg = bool(flags & 1)
         self.jpeg = jpeg
         self.quality = quality
+        # frame outputs that arrived while waiting for a STAT reply
+        # (the server may answer STAT before OR after in-flight frames
+        # — no cross-kind ordering is promised); recv() drains these
+        # first so pipelining + stats() compose safely
+        self._parked: deque = deque()
 
     def send(self, frame: np.ndarray) -> None:
         """Send one frame without waiting for the reply (pipelining)."""
@@ -401,8 +417,11 @@ class FrameClient:
             _send_msg(self.sock, b"FRMR", arr.tobytes())
 
     def recv(self) -> np.ndarray:
-        fourcc, length = _HDR.unpack(_recv_exact(self.sock, 8))
-        payload = _recv_exact(self.sock, length)
+        if self._parked:
+            fourcc, payload = self._parked.popleft()
+        else:
+            fourcc, length = _HDR.unpack(_recv_exact(self.sock, 8))
+            payload = _recv_exact(self.sock, length)
         if fourcc == b"ERR!":
             raise RuntimeError(f"server error: {payload.decode()}")
         h, w = self.frame_hw
@@ -422,19 +441,25 @@ class FrameClient:
 
     def stats(self) -> dict:
         """Server-side counters (ticks/frames served, slot occupancy).
-        Call with no frames in flight — replies are FIFO per
-        connection, so a pending frame's output would arrive first."""
+
+        Safe with frames in flight: the server answers STAT out of band
+        with frame outputs (it may overtake frames still queued for a
+        tick), so any OUT* messages read while waiting are parked for
+        the next recv() in order."""
         import json
         _send_msg(self.sock, b"STAT", b"")
-        fourcc, length = _HDR.unpack(_recv_exact(self.sock, 8))
-        payload = _recv_exact(self.sock, length)
-        if fourcc == b"ERR!":
-            raise RuntimeError(f"server error: {payload.decode()}")
-        if fourcc != b"STAT":
-            raise RuntimeError(
-                f"expected STAT reply, got {fourcc!r} — stats() must "
-                f"not race in-flight frames on this connection")
-        return json.loads(payload.decode())
+        while True:
+            fourcc, length = _HDR.unpack(_recv_exact(self.sock, 8))
+            payload = _recv_exact(self.sock, length)
+            if fourcc == b"ERR!":
+                raise RuntimeError(f"server error: {payload.decode()}")
+            if fourcc == b"STAT":
+                return json.loads(payload.decode())
+            if fourcc in (b"OUTR", b"OUTJ"):
+                self._parked.append((fourcc, payload))
+                continue
+            raise RuntimeError(f"unexpected message {fourcc!r} while "
+                               f"waiting for STAT")
 
     def stream(self, frames) -> Iterator[np.ndarray]:
         """Depth-1 pipelined request stream (send t+1 before recv t)."""

@@ -10,11 +10,6 @@ _EXPORTS = {
 
 __all__ = list(_EXPORTS)
 
+from ir2rgb_tpu._lazy import lazy_exports
 
-def __getattr__(name):
-    mod = _EXPORTS.get(name)
-    if mod is None:
-        raise AttributeError(f"module {__name__!r} has no attribute "
-                             f"{name!r}")
-    import importlib
-    return getattr(importlib.import_module(mod, __name__), name)
+__getattr__ = lazy_exports(__name__, _EXPORTS, globals())

@@ -59,8 +59,13 @@ def main() -> None:
             c.push(frames[0])
         # the close event is processed async by the tick loop — wait for
         # the slot to free before the timed clients connect
-        while fs.srv.active_slots:
+        # (fs.slots_active is the thread-safe read; srv.active_slots is
+        # tick-loop-only)
+        while fs.slots_active:
             time.sleep(0.01)
+        # baseline the counters so the warm-up tick doesn't dilute the
+        # frames_per_tick batching metric
+        ticks0, frames0 = fs.ticks_served, fs.frames_served
 
         done = []
         lock = threading.Lock()
@@ -86,8 +91,10 @@ def main() -> None:
             "wire": "jpeg" if jpeg else "raw",
             "frames": total, "secs": round(dt, 3),
             "aggregate_fps": round(total / dt, 1),
-            "ticks": fs.ticks_served,
-            "frames_per_tick": round(total / max(fs.ticks_served, 1), 2),
+            "ticks": fs.ticks_served - ticks0,
+            "frames_per_tick": round(
+                (fs.frames_served - frames0)
+                / max(fs.ticks_served - ticks0, 1), 2),
         }), flush=True)
         fs.stop()
 

@@ -108,3 +108,22 @@ def test_inspect_plain_directory_rejected(tmp_path):
     os.makedirs(d)
     with pytest.raises(SystemExit, match="not an ir2rgb run dir"):
         inspect_path(d)
+
+
+def test_inspect_full_module_pickle_rejected(tmp_path):
+    """A whole pickled nn.Module (torch.save(model)) must produce a
+    clean refusal, not a raw UnpicklingError — unpickling it would
+    execute arbitrary code, which an inspection tool must never do."""
+    import torch
+    p = str(tmp_path / "model.pth")
+    torch.save(torch.nn.Linear(2, 2), p)
+    with pytest.raises(SystemExit, match="not a plain state_dict"):
+        inspect_path(p)
+
+
+def test_inspect_non_dict_pickle_rejected(tmp_path):
+    import torch
+    p = str(tmp_path / "list.pth")
+    torch.save([1, 2, 3], p)
+    with pytest.raises(SystemExit, match="not a state_dict"):
+        inspect_path(p)

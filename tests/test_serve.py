@@ -351,6 +351,12 @@ def test_multistream_artifact_loader_guards(tmp_path):
         load_multistream_artifact(single)
     with pytest.raises(ValueError, match="exceeds the artifact"):
         MultiStreamServer.from_artifact(multi, n_slots=5)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        MultiStreamServer.from_artifact(multi, n_slots=0)
+    # clamp=True (the CLI's forgiving mode): a cap above the sealed
+    # batch serves every sealed slot instead of raising
+    srv = MultiStreamServer.from_artifact(multi, n_slots=5, clamp=True)
+    assert srv.n_slots == 2 and srv.physical_slots == 2
 
 
 def test_serve_cli_artifact_e2e(tmp_path):
@@ -420,6 +426,28 @@ def test_stats_message(served):
     assert st["slots_active"] >= 1  # this connection holds a slot
 
 
+def test_stats_with_frames_in_flight(served):
+    """stats() composes with pipelining: the STAT reply may overtake or
+    trail in-flight frame outputs; either way every frame's output is
+    still delivered, in order."""
+    fs, _, _ = served
+    fr = _frames(41, 3)
+    with FrameClient("127.0.0.1", fs.port) as c:
+        for f in fr:
+            c.send(f)
+        st = c.stats()  # races the 3 in-flight frames by design
+        outs = [c.recv() for _ in range(3)]
+    assert st["slots_total"] == 4
+    assert all(o.shape == (32, 32, 3) for o in outs)
+    # the batched step is deterministic per (slot, carry): replaying the
+    # same frames on a fresh connection must reproduce the outputs,
+    # proving stats() didn't swallow or reorder any
+    with FrameClient("127.0.0.1", fs.port) as c:
+        outs2 = [c.push(f) for f in fr]
+    for a, b in zip(outs, outs2):
+        _assert_lsb(a, b)
+
+
 def test_thin_client_imports_no_framework(tmp_path):
     """The protocol client and video IO import without the model stack
     (lazy package __init__s) — the thin-deployment claim in
@@ -441,6 +469,19 @@ def test_thin_client_imports_no_framework(tmp_path):
     assert out.returncode == 0, out.stderr[-1500:]
 
 
+def test_lazy_exports_cache_into_module():
+    """A lazily-resolved package attribute is bound into the module
+    namespace, so later accesses skip __getattr__ entirely."""
+    import ir2rgb_tpu.data as d
+    vars(d).pop("make_dataset", None)
+    assert "make_dataset" not in vars(d)
+    first = d.make_dataset
+    assert "make_dataset" in vars(d)
+    assert d.make_dataset is first
+    with pytest.raises(AttributeError, match="no attribute"):
+        d.not_an_export
+
+
 def test_serve_cli_artifact_flag_refusals(tmp_path):
     from ir2rgb_tpu.cli.serve import main
     art = str(tmp_path / "x.ir2rgb")  # never opened: refusals come first
@@ -458,6 +499,16 @@ def test_export_cli_batch_slots_exclusive():
     from ir2rgb_tpu.cli.export import main
     with pytest.raises(SystemExit, match="mutually exclusive"):
         main(["--batch", "4", "--slots", "8"])
+
+
+def test_export_cli_flag_validation():
+    from ir2rgb_tpu.cli.export import main
+    with pytest.raises(SystemExit, match="must be >= 1"):
+        main(["--slots", "0"])
+    with pytest.raises(SystemExit, match="expects an integer"):
+        main(["--slots", "x8"])
+    with pytest.raises(SystemExit, match="must be >= 1"):
+        main(["--batch", "-1"])
 
 
 def test_multistream_artifact_version_guards_old_loaders(tmp_path):
