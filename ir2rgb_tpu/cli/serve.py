@@ -94,7 +94,8 @@ def main(argv=None) -> int:
                      port=cfg.infer.serve_port,
                      encode=cfg.infer.serve_encode,
                      quality=cfg.infer.serve_quality,
-                     tick_ms=cfg.infer.serve_tick_ms)
+                     tick_ms=cfg.infer.serve_tick_ms,
+                     max_pending=cfg.infer.serve_max_pending)
     fs.start()  # resolves an ephemeral port before the banner
     print(f"serving {label} at "
           f"{fs.host}:{fs.port}  frame {h}x{w}x{srv.in_nc} -> "

@@ -234,6 +234,9 @@ class InferConfig:
     serve_encode: str = "raw"
     serve_quality: int = 90
     serve_tick_ms: float = 5.0
+    # max frames the daemon holds end-to-end per connection before TCP
+    # backpressure throttles a pipelining client (no error, no drop)
+    serve_max_pending: int = 32
 
 
 @dataclass(frozen=True)

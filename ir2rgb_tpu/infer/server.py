@@ -31,7 +31,11 @@ Wire protocol (version 1, little-endian, dependency-free):
 Clients may pipeline frames; per-connection output order matches input
 order. One frame per connection joins each tick (FIFO), so a pipelining
 client's backlog drains one frame per tick while OTHER connections'
-frames still batch into the same step.
+frames still batch into the same step. Backlog is bounded: the server
+holds at most ``max_pending`` frames end-to-end per connection — when a
+client outruns the tick loop by more than that, the reader stops
+reading its socket and TCP backpressure throttles the sender (no error,
+no drop; ``send()`` just blocks until outputs drain).
 
 Threading: one reader + one writer thread per connection, one tick-loop
 thread, one accept thread. Only the tick loop touches the
@@ -86,14 +90,17 @@ class FrameServer:
 
     def __init__(self, srv, host: str = "127.0.0.1", port: int = 7788,
                  encode: str = "raw", quality: int = 90,
-                 tick_ms: float = 5.0):
+                 tick_ms: float = 5.0, max_pending: int = 32):
         if encode not in ("raw", "jpeg"):
             raise ValueError(f"encode must be raw|jpeg, got {encode!r}")
+        if max_pending < 1:
+            raise ValueError(f"max_pending must be >= 1, got {max_pending}")
         self.srv = srv
         self.host, self.port = host, int(port)
         self.encode = encode
         self.quality = int(quality)
         self.tick_ms = float(tick_ms)
+        self.max_pending = int(max_pending)
         self.out_nc = srv.out_nc
         self._listener: Optional[socket.socket] = None
         self._threads: list = []
@@ -216,6 +223,9 @@ class FrameServer:
             except Exception as e:  # keep the serving thread alive
                 for conn in frames.values():
                     conn.send_error(f"tick failed: {e}")
+                    # the frame was consumed without an output message;
+                    # hand its flow-control credit back directly
+                    conn._credits.release()
                 continue
             self.ticks_served += 1
             self.frames_served += len(outs)
@@ -272,6 +282,13 @@ class _Conn:
         # frames parsed but not yet served, in arrival order; owned by
         # the tick loop (readers hand frames over via the event queue)
         self.pending = deque()
+        # flow control: one credit per frame the server may hold for
+        # this connection end-to-end (event queue + pending + outbox +
+        # socket buffer). The reader stops reading when credits run out,
+        # so a runaway pipelining client is throttled by TCP
+        # backpressure instead of growing server memory without bound.
+        # Credits return when the writer finishes sending the output.
+        self._credits = threading.Semaphore(server.max_pending)
         self._dead = threading.Event()
         # serializes the writer thread with synchronous error sends
         # (reader-thread protocol errors must flush BEFORE the close
@@ -329,6 +346,9 @@ class _Conn:
                         gray=srv.in_nc == 1)[0]
                 else:
                     raise ValueError(f"unknown message {fourcc!r}")
+                while not self._credits.acquire(timeout=0.2):
+                    if self._dead.is_set():
+                        return  # finally still emits the close event
                 self.server._events.put(("frame", self, frame))
         except (ConnectionError, OSError):
             pass
@@ -352,6 +372,10 @@ class _Conn:
                     _send_msg(self.sock, fourcc, payload)
             except OSError:
                 return
+            if fourcc in (b"OUTR", b"OUTJ"):
+                # the frame's output left the server — return its
+                # flow-control credit (STAT replies carry no credit)
+                self._credits.release()
 
     def send_output(self, out: np.ndarray) -> None:
         if self.server.encode == "jpeg":

@@ -469,6 +469,38 @@ def test_thin_client_imports_no_framework(tmp_path):
     assert out.returncode == 0, out.stderr[-1500:]
 
 
+def test_backpressure_transparent():
+    """A pipelining client that outruns the tick loop is throttled by
+    flow-control credits (reader stops reading its socket), never
+    errored or dropped: every frame's output still arrives, in order,
+    even far past max_pending."""
+    model, g_params = _model(temporal=False)
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=2)
+    fs = FrameServer(srv, port=0, tick_ms=0.0, max_pending=2)
+    fs.start()
+    try:
+        fr = _frames(77, 12)
+        with FrameClient("127.0.0.1", fs.port) as c:
+            for f in fr:
+                c.send(f)           # 12 frames deep, credits allow 2
+            st = c.stats()          # STAT carries no credit: no deadlock
+            outs = [c.recv() for _ in range(12)]
+        assert st["slots_total"] == 2
+        with FrameClient("127.0.0.1", fs.port) as c:
+            outs2 = [c.push(f) for f in fr]
+        for a, b in zip(outs, outs2):
+            _assert_lsb(a, b)
+    finally:
+        fs.stop()
+
+
+def test_frameserver_rejects_bad_max_pending():
+    model, g_params = _model(temporal=False)
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=1)
+    with pytest.raises(ValueError, match="max_pending"):
+        FrameServer(srv, port=0, max_pending=0)
+
+
 def test_lazy_exports_cache_into_module():
     """A lazily-resolved package attribute is bound into the module
     namespace, so later accesses skip __getattr__ entirely."""
