@@ -105,7 +105,7 @@ def measure(preset: str, on_tpu: bool, batch: int = 1):
     float(loop(g, x0, k1))  # compile both variants
     float(loop(g, x0, k2))
 
-    def timed(k, reps=3):
+    def timed(k, reps=5):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
