@@ -60,12 +60,9 @@ def main(argv=None) -> int:
     if out is None:
         out = os.path.join(cfg.run_dir(), f"{cfg.train.name}.ir2rgb")
 
-    if cfg.infer.quant != "none":
-        # seal the QUANTIZED serving program into the artifact (the
-        # StableHLO captures the int8 convs; trace-time flag)
-        from ir2rgb_tpu.nn import quant
-        quant.set_mode(cfg.infer.quant)
-
+    # cfg.infer.quant seals the QUANTIZED serving program into the
+    # artifact: the model traces its serving forward under its own quant
+    # mode (nn/quant.py) and the StableHLO captures the int8 convs
     model = create_model(cfg, steps_per_epoch=1)
     if torch_g is not None:
         g_params = import_generator(torch_g, model.gen_cfg)

@@ -69,10 +69,8 @@ def main(argv=None) -> int:
     else:
         crop = None
         size_hw = loader.target_hw
-    if cfg.infer.quant != "none":
-        # trace-time flag: set BEFORE StreamingGenerator jits its step
-        from ir2rgb_tpu.nn import quant
-        quant.set_mode(cfg.infer.quant)
+    # cfg.infer.quant rides the model instance (GanModel.generate traces
+    # its serving forward under quant.using — nn/quant.py); no global
     stream = StreamingGenerator(model, g_params, size_hw)
 
     results_dir = os.path.join(cfg.infer.results_dir, cfg.train.name,

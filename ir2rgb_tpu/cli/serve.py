@@ -82,10 +82,7 @@ def main(argv=None) -> int:
 
         model = create_model(cfg, steps_per_epoch=1)
         g_params = load_generator_params(cfg, model, torch_g)
-        if cfg.infer.quant != "none":
-            # trace-time flag: set BEFORE the server jits its tick
-            from ir2rgb_tpu.nn import quant
-            quant.set_mode(cfg.infer.quant)
+        # cfg.infer.quant rides the model instance (nn/quant.py)
         srv = MultiStreamServer(model, g_params, (h, w),
                                 n_slots=cfg.infer.serve_slots)
         label = f"{cfg.model.model}/{cfg.model.net_g}"

@@ -28,7 +28,7 @@ def main(argv=None) -> int:
 
     cfg = parse_cli(argv)
     from ir2rgb_tpu.nn import quant
-    if quant.mode() != "none" or cfg.infer.quant != "none":
+    if quant.env_override() or cfg.infer.quant != "none":
         # int8 rounding has zero gradient — a quantized train step would
         # silently learn nothing (nn/quant.py is a serving-only path)
         raise SystemExit(

@@ -4,53 +4,104 @@ TPU v5e's MXU runs int8 x int8 -> int32 at twice the bf16 rate, and int8
 activations halve the HBM bytes the conv pipeline moves. This module is
 the single chokepoint every generator conv/matmul flows through
 (``ops.py``, ``s2d_conv.py``, ``s2d_space.py`` call ``quant.conv`` /
-``quant.dot`` instead of ``lax`` directly):
+``quant.dot`` instead of ``lax`` directly). Modes:
 
-- mode "none" (default): bit-exact passthrough to
+- "none" (default): bit-exact passthrough to
   ``lax.conv_general_dilated`` / ``lax.dot_general`` — the fp path is
   untouched.
-- mode "int8": dynamic symmetric post-training quantization. Per call:
+- "int8": dynamic symmetric post-training quantization. Per call:
   activations per-tensor (scale = amax/127), weights per-output-channel,
   int8 conv with ``preferred_element_type=int32``, fp rescale. No
   zero-points, so padding/dilation zeros stay exact — the subpixel
   deconv and s2d lowerings quantize unchanged. Instance norm right after
   each conv renormalizes per channel, absorbing most of the ~1%/layer
   quantization error (measured end-to-end in ``tests/test_quant.py``).
+- "int8_w": weight-only quantization — per-output-channel int8 weights
+  dequantized back to the activation dtype before a normal fp conv.
+  Activations never quantize, so there is no per-frame amax reduction
+  serializing with the conv chain and quality is far higher than w8a8
+  (the error is a static per-channel weight perturbation). NOTE on perf:
+  the quantize→dequantize chain depends only on the (loop-invariant)
+  params, so inside a serving scan XLA hoists it out of the loop and the
+  steady-state program is EXACTLY the fp program on perturbed weights —
+  this mode documents weight-only *quality*, not a traffic win. A real
+  weight-traffic win would need the conv to consume int8 weights
+  directly against bf16 activations, which the MXU does not do (XLA
+  inserts a convert, materializing the bf16 weights again). Measured
+  numbers in docs/DESIGN.md §6b.
+
+HOW THE MODE IS SET (round 4 — no process-global): the mode is a
+trace-time *context*, not a module global. ``GanModel.generate`` (and
+the cycle model's) wraps its body in ``using(resolve(cfg.infer.quant))``
+— each model instance carries its own mode from its own config, so one
+process can serve an int8 artifact and a bf16 model side by side
+(tested: ``tests/test_quant.py::test_side_by_side_modes``), and there is
+no set-after-trace footgun: the mode is established by the model at its
+own trace time. ``IR2RGB_QUANT`` remains an *experiment override* that
+wins over every config (like the other ``IR2RGB_*`` lowering knobs).
 
 SERVING ONLY: ``jnp.round`` has zero gradient, so the int8 mode would
 silently starve training (no straight-through estimator is provided —
-the reference trains fp32, we train bf16/fp32). ``cli/train.py`` refuses
-to start when the mode is active.
-
-Enable with ``--infer.quant int8`` (serving CLI / StreamingGenerator) or
-``IR2RGB_QUANT=int8`` (benches); ``set_mode`` must be called before the
-jitted functions trace — the mode is read at trace time, like the
-``IR2RGB_IN_ELT`` lowering flag.
+the reference trains fp32, we train bf16/fp32). ``generate(train=True)``
+always traces in mode "none", and ``cli/train.py`` refuses to start
+when a quant mode is configured at all.
 """
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
 
 import jax.numpy as jnp
 from jax import lax
 
-_MODE = os.environ.get("IR2RGB_QUANT", "none") or "none"
-_VALID = ("none", "int8")
+_VALID = ("none", "int8", "int8_w")
+
+# experiment override (read once at import, like the IR2RGB_* lowering
+# flags): when set it wins over every model's cfg.infer.quant
+_ENV_OVERRIDE = os.environ.get("IR2RGB_QUANT", "") or ""
+
+_MODE_VAR: contextvars.ContextVar = contextvars.ContextVar(
+    "ir2rgb_quant_mode", default="none")
+
+
+def _validate(m: str) -> str:
+    m = m or "none"
+    if m not in _VALID:
+        raise ValueError(
+            f"unknown quant mode {m!r} (none | int8 | int8_w)")
+    return m
 
 
 def mode() -> str:
-    return _MODE
+    """The mode in effect for ops traced right now."""
+    return _MODE_VAR.get()
 
 
-def set_mode(m: str) -> None:
-    """Switch the quantization mode. Must run BEFORE tracing the jitted
-    step that should use it (trace-time flag)."""
-    global _MODE
-    m = m or "none"
-    if m not in _VALID:
-        raise ValueError(f"unknown quant mode {m!r} (none | int8)")
-    _MODE = m
+def env_override() -> str:
+    """The IR2RGB_QUANT experiment override ('' when unset)."""
+    if _ENV_OVERRIDE:
+        _validate(_ENV_OVERRIDE)
+    return _ENV_OVERRIDE
+
+
+def resolve(cfg_mode: str) -> str:
+    """Effective mode for a model: the IR2RGB_QUANT experiment override
+    if set, else the model's own config value."""
+    return _validate(_ENV_OVERRIDE or cfg_mode)
+
+
+@contextlib.contextmanager
+def using(m: str):
+    """Trace-time scope: ops built inside run in mode ``m``. The model
+    layer wraps its serving forward in this, so the mode travels with
+    the model instance, not the process."""
+    token = _MODE_VAR.set(_validate(m))
+    try:
+        yield
+    finally:
+        _MODE_VAR.reset(token)
 
 
 def _q8(x, scale):
@@ -63,27 +114,40 @@ def _act_scale(x):
     return jnp.maximum(amax, 1e-12) / 127.0
 
 
+def _w_q8_per_channel(rhs32, axes, scale_shape):
+    """Per-output-channel symmetric int8 weights + their scales."""
+    sw = jnp.maximum(jnp.max(jnp.abs(rhs32), axis=axes), 1e-12) / 127.0
+    return _q8(rhs32, sw.reshape(scale_shape)), sw
+
+
 def conv(lhs, rhs, window_strides=(1, 1), padding="VALID", **kw):
     """Drop-in for ``lax.conv_general_dilated`` restricted to the
     NHWC/HWIO layout this framework uses everywhere. In int8 mode the
     ``precision``/``preferred_element_type`` hints are replaced by the
     int32 accumulate + fp rescale."""
-    if _MODE == "none" or not jnp.issubdtype(lhs.dtype, jnp.floating):
+    m = _MODE_VAR.get()
+    if m == "none" or not jnp.issubdtype(lhs.dtype, jnp.floating):
         return lax.conv_general_dilated(
             lhs, rhs, window_strides, padding, **kw)
     dn = kw.get("dimension_numbers")
     spec = dn if isinstance(dn, tuple) else None
     assert spec is None or spec == ("NHWC", "HWIO", "NHWC"), spec
     out_dtype = lhs.dtype
-    sx = _act_scale(lhs)
     rhs32 = rhs.astype(jnp.float32)
-    sw = jnp.maximum(jnp.max(jnp.abs(rhs32), axis=(0, 1, 2)),
-                     1e-12) / 127.0  # per output channel (HWIO axis 3)
+    # per output channel (HWIO axis 3)
+    qw, sw = _w_q8_per_channel(rhs32, (0, 1, 2), (1, 1, 1, -1))
+    if m == "int8_w":
+        # weight-only: dequantized weights, fp conv, untouched activations
+        deq = (qw.astype(jnp.float32)
+               * sw.reshape(1, 1, 1, -1)).astype(out_dtype)
+        return lax.conv_general_dilated(
+            lhs, deq, window_strides, padding, **kw)
+    sx = _act_scale(lhs)
     qkw = dict(kw)
     qkw.pop("precision", None)
     qkw["preferred_element_type"] = jnp.int32
     y = lax.conv_general_dilated(
-        _q8(lhs.astype(jnp.float32), sx), _q8(rhs32, sw),
+        _q8(lhs.astype(jnp.float32), sx), qw,
         window_strides, padding, **qkw)
     # NHWC output: per-channel rescale on the last axis
     return (y.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
@@ -93,19 +157,25 @@ def dot(lhs, rhs, dimension_numbers, **kw):
     """Drop-in for ``lax.dot_general`` for the s2d selection/wide-matmul
     sites: 1 contracting dim on each side, no batch dims, rhs 2-D with
     its free (output) dim last — per-output-column weight scales."""
-    if _MODE == "none" or not jnp.issubdtype(lhs.dtype, jnp.floating):
+    m = _MODE_VAR.get()
+    if m == "none" or not jnp.issubdtype(lhs.dtype, jnp.floating):
         return lax.dot_general(lhs, rhs, dimension_numbers, **kw)
     (lc, rc), (lb, rb) = dimension_numbers
     assert not lb and not rb and len(rc) == 1 and rhs.ndim == 2, \
         "int8 dot supports the framework's matmul-tail pattern only"
     out_dtype = lhs.dtype
-    sx = _act_scale(lhs)
     rhs32 = rhs.astype(jnp.float32)
-    sw = jnp.maximum(jnp.max(jnp.abs(rhs32), axis=rc[0]),
-                     1e-12) / 127.0  # per output column
+    qw, sw = _w_q8_per_channel(rhs32, rc[0], (1, -1) if rc[0] == 0
+                               else (-1, 1))
+    if m == "int8_w":
+        deq = (qw.astype(jnp.float32)
+               * sw.reshape((1, -1) if rc[0] == 0 else (-1, 1))
+               ).astype(out_dtype)
+        return lax.dot_general(lhs, deq, dimension_numbers, **kw)
+    sx = _act_scale(lhs)
     qkw = dict(kw)
     qkw.pop("precision", None)
     qkw["preferred_element_type"] = jnp.int32
-    y = lax.dot_general(_q8(lhs.astype(jnp.float32), sx), _q8(rhs32, sw),
+    y = lax.dot_general(_q8(lhs.astype(jnp.float32), sx), qw,
                         dimension_numbers, **qkw)
     return (y.astype(jnp.float32) * (sx * sw)).astype(out_dtype)

@@ -107,11 +107,17 @@ class CycleGanModel(GanModel):
         """Serve one direction. Default A->B through ``G_A`` — the
         trainer's display hook, ``StreamingGenerator``, and the infer
         CLI all flow through here unchanged. ``direction="BtoA"`` runs
-        ``G_B`` (e.g. for cycle galleries)."""
-        if direction == "AtoB":
-            return self.g_apply(g_params["G_A"], a, train=train, rng=rng)
-        if direction == "BtoA":
-            return self.gb_apply(g_params["G_B"], a, train=train, rng=rng)
+        ``G_B`` (e.g. for cycle galleries). Serving forwards trace under
+        this model's own quant mode, like GanModel.generate."""
+        from ir2rgb_tpu.nn import quant
+        qm = "none" if train else quant.resolve(self.cfg.infer.quant)
+        with quant.using(qm):
+            if direction == "AtoB":
+                return self.g_apply(g_params["G_A"], a, train=train,
+                                    rng=rng)
+            if direction == "BtoA":
+                return self.gb_apply(g_params["G_B"], a, train=train,
+                                     rng=rng)
         raise ValueError(f"unknown direction {direction!r} (AtoB | BtoA)")
 
     # ------------------------------------------------------------------

@@ -183,7 +183,20 @@ class GanModel:
 
         With label_nc > 0, ``a`` is a raw (B, H, W, 1) integer label map
         and is one-hot encoded here (the reference encode_input's
-        scatter_ oneHot path) before any concatenation."""
+        scatter_ oneHot path) before any concatenation.
+
+        Serving forwards (train=False) trace under this model's own
+        quantization mode (``cfg.infer.quant``, nn/quant.py) — the mode
+        travels with the model instance, so two models with different
+        modes coexist in one process. Training forwards always trace in
+        mode "none" (round() has zero gradient)."""
+        from ir2rgb_tpu.nn import quant
+        qm = "none" if train else quant.resolve(self.cfg.infer.quant)
+        with quant.using(qm):
+            return self._generate(g_params, a, prev, train, rng, feat,
+                                  edges)
+
+    def _generate(self, g_params, a, prev, train, rng, feat, edges):
         a = self.encode_label(a)
         if self.cfg.model.use_instance_edges:
             if edges is None:
