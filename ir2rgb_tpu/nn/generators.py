@@ -117,6 +117,37 @@ def _up_apply(p, x, cfg: GenConfig, act="relu"):
     return ops.norm_act(p.get("norm", {}), h, cfg.norm, act)
 
 
+def _up_phase_mode() -> str:
+    """Lowering for the mid-stack (plain-rep, >64ch) upsamplers inside
+    the s2d generators: 'phase' emits the subpixel deconv's 4co phase
+    rep, runs IN+relu on it (phase-grouped fp32 stats — exactly the
+    image-space statistics), and interleaves ONCE on the normalized
+    output, instead of deconv->d2s->IN which materializes the
+    interleaved tensor for the stats reduce and again for the apply
+    (round-4 global-512 profile: the three mid-up d2s transposes +
+    relayout copies were ~370 us of the 0.73 ms formatting bucket).
+    IR2RGB_UP=plain|phase|phase_dot; phase_dot additionally lowers the
+    final interleave as selection matmuls (_d2s_dot) instead of the
+    reshape-transpose. Measured on-chip (round 4, global-512
+    median-of-5): plain 199.7 / phase 205.6 / phase_dot 210.9 fps —
+    phase_dot is the default."""
+    if jax.default_backend() != "tpu":
+        return "plain"
+    return os.environ.get("IR2RGB_UP", "phase_dot")
+
+
+def _up_apply_phase(p, x, cfg: GenConfig, mode: str, act="relu"):
+    """Phase-rep mid upsampler (see _up_phase_mode). Exact: normalize
+    and interleave commute elementwise; tested vs _up_apply in
+    tests/test_s2d_space.py."""
+    from .s2d_space import from_s2d, instance_norm_act_s2d, _d2s_dot_any
+    ph = ops.deconv_apply_s2d_out(p["up"], x, k=3, pad=1,
+                                  compute_dtype=cfg.compute_dtype)
+    ph = instance_norm_act_s2d(ph, act)
+    co = p["up"]["w"].shape[3]
+    return _d2s_dot_any(ph, co) if mode == "phase_dot" else from_s2d(ph, co)
+
+
 # ---------------------------------------------------------------------------
 # Persistent-s2d high-resolution region (see nn/s2d_space.py)
 # ---------------------------------------------------------------------------
@@ -436,7 +467,11 @@ def _resnet_generator_apply_s2d(p: Params, x: jax.Array, cfg: GenConfig, *,
             hs = instance_norm_act_s2d(hs, "relu")
             in_s2d = True
         else:
-            h = _up_apply(p[f"up{i}"], h, cfg)
+            mode = _up_phase_mode()
+            if mode in ("phase", "phase_dot") and cfg.norm == "instance":
+                h = _up_apply_phase(p[f"up{i}"], h, cfg, mode)
+            else:
+                h = _up_apply(p[f"up{i}"], h, cfg)
     if "tail" not in p:
         if return_s2d:
             return hs

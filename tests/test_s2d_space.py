@@ -100,6 +100,32 @@ def test_deconv_to_s2d_matches_deconv():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.parametrize("mode", ["phase", "phase_dot"])
+def test_up_apply_phase_matches_plain(mode):
+    """The mid-stack phase-rep upsampler (generators._up_apply_phase:
+    subpixel phase output -> phase-grouped IN+relu -> one interleave)
+    equals deconv -> d2s -> IN+relu. Normalize and interleave commute
+    elementwise, so the only differences are float reassociation in the
+    stats reduction order."""
+    from ir2rgb_tpu.nn.generators import (
+        GenConfig,
+        _up_apply,
+        _up_apply_phase,
+    )
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 8, 8, 12).astype(np.float32))
+    p = {"up": {"w": jnp.asarray(rng.randn(3, 3, 12, 6)
+                                 .astype(np.float32) * 0.2),
+                "b": jnp.asarray(rng.randn(6).astype(np.float32))},
+         "norm": {}}
+    cfg = GenConfig(norm="instance", upsample="deconv",
+                    compute_dtype=jnp.float32)
+    ref = _up_apply(p, x, cfg)
+    got = _up_apply_phase(p, x, cfg, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5)
+
+
 def test_chain_resblock_in_s2d():
     """A full residual block computed in s2d space equals the image-space
     one: pad1 + conv3 + IN + relu + pad1 + conv3 + IN + skip."""
