@@ -239,14 +239,44 @@ class GanModel:
         pair_fake_d = jnp.concatenate([a_c, fake_for_d.astype(cdt)],
                                       axis=-1)
 
+        # The step needs up to four D pyramid passes: {fake, real} under
+        # frozen D weights (G's GAN + FM terms) and {real, sg(fake)} under
+        # live D weights (D's own update). Passes sharing params CAN batch
+        # along N into one pass (instance norm is per-sample, so slicing
+        # the batched outputs reproduces the separate passes exactly —
+        # tested), and that halves the 6-channel s2d input conversions.
+        # Measured on the v5e it LOSES: 43.2 -> 47.7 ms/step at 512p b1,
+        # because doubling N pushes every D conv into XLA's mid-batch
+        # (2..7) spatially-split-conv cliff — the same cliff the
+        # multistream server pads around (docs/DESIGN.md §6 ladder:
+        # batch-2 inference costs 2.9x batch-1). Default OFF; kept as an
+        # opt-in (`model._batch_d_pairs = True`) because at batch >= 8,
+        # where the cliff is behind, the pass merge is free bandwidth.
+        # (Batch norm would mix the halves' statistics — never merged.)
+        batch_pairs = (getattr(self, "_batch_d_pairs", False)
+                       and self.disc_cfg.norm != "batch")
+        nb = pair_fake.shape[0]
+
+        def _split(outs):
+            return (jax.tree.map(lambda t: t[:nb], outs),
+                    jax.tree.map(lambda t: t[nb:], outs))
+
         # G side: frozen D weights
         d_params_sg = sg(d_params)
-        d_out_fake_g = self.d_apply(d_params_sg, pair_fake)
+        want_fm = (not loss_cfg.no_gan_feat_loss
+                   and self.disc_cfg.get_interm_feat)
+        if batch_pairs and want_fm:
+            d_out_fake_g, d_out_real_g = _split(self.d_apply(
+                d_params_sg,
+                jnp.concatenate([pair_fake, pair_real], axis=0)))
+        else:
+            d_out_fake_g = self.d_apply(d_params_sg, pair_fake)
+            d_out_real_g = (self.d_apply(d_params_sg, pair_real)
+                            if want_fm else None)
         metrics: Dict[str, jax.Array] = {}
         loss_g = gan_loss_g(d_out_fake_g, loss_cfg.gan_mode)
         metrics["G_GAN"] = loss_g
-        if not loss_cfg.no_gan_feat_loss and self.disc_cfg.get_interm_feat:
-            d_out_real_g = self.d_apply(d_params_sg, pair_real)
+        if want_fm:
             fm = feature_matching_loss(d_out_fake_g, d_out_real_g,
                                        self.disc_cfg.n_layers)
             fm = fm * loss_cfg.lambda_feat
@@ -266,8 +296,13 @@ class GanModel:
             loss_g = loss_g + l1
 
         # D side: frozen G output
-        d_out_real = self.d_apply(d_params, pair_real)
-        d_out_fake = self.d_apply(d_params, sg(pair_fake_d))
+        if batch_pairs:
+            d_out_real, d_out_fake = _split(self.d_apply(
+                d_params,
+                jnp.concatenate([pair_real, sg(pair_fake_d)], axis=0)))
+        else:
+            d_out_real = self.d_apply(d_params, pair_real)
+            d_out_fake = self.d_apply(d_params, sg(pair_fake_d))
         d_real, d_fake = gan_loss_d_parts(d_out_real, d_out_fake,
                                           loss_cfg.gan_mode)
         metrics["D_real"] = d_real
@@ -465,16 +500,34 @@ class GanModel:
             # the intended lr on the just-unfrozen trunk. Only the
             # ScaleByAdamState resets; the lr-schedule state (epoch
             # position) is kept, matching the reference's scheduler.
-            fresh = self.g_tx.init(state.g_params)
+            # Expressed multiplicatively (moments/count times a 0/1
+            # gate — tx.init is all-zeros, so gating IS the fresh init)
+            # rather than as a lax.cond selecting a fresh tree: a cond
+            # result can alias neither branch, so the select introduced
+            # a copy of the full Adam state (1.46 GB for the 512p-recipe
+            # G trunk) into the step program. Measured A/B on the v5e
+            # the win is small — 43.41 -> 43.21 ms/step at 512p b1 (XLA
+            # hoisted most of the copy out of the scan body) — but the
+            # gate multiply fuses into the Adam update's existing read
+            # of mu/nu, so the copy hazard is gone instead of latent.
+            keep = (state.step != self.fix_steps)
 
             def _is_adam(x):
                 return isinstance(x, optax.ScaleByAdamState)
 
-            reset = jax.tree.map(lambda o, f: f if _is_adam(o) else o,
-                                 state.g_opt, fresh, is_leaf=_is_adam)
-            g_opt_in = jax.lax.cond(state.step == self.fix_steps,
-                                    lambda: reset,
-                                    lambda: state.g_opt)
+            def _reset(o):
+                if not _is_adam(o):
+                    return o
+                gate = keep.astype(jnp.float32)
+                return o._replace(
+                    count=o.count * keep.astype(o.count.dtype),
+                    mu=jax.tree.map(lambda m: m * gate.astype(m.dtype),
+                                    o.mu),
+                    nu=jax.tree.map(lambda v: v * gate.astype(v.dtype),
+                                    o.nu))
+
+            g_opt_in = jax.tree.map(_reset, state.g_opt,
+                                    is_leaf=_is_adam)
 
         g_updates, g_opt = self.g_tx.update(g_grads, g_opt_in,
                                             state.g_params)

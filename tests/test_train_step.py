@@ -533,3 +533,62 @@ def test_ema_tracks_generator():
              for e, p in zip(jax.tree.leaves(state1.ema_g),
                              jax.tree.leaves(state1.g_params))]
     assert max(diffs) > 0.0
+
+
+def test_batched_d_pairs_match_separate_passes():
+    """The four per-step D pyramid passes batch into two batch-2N passes
+    (fake+real under frozen D, real+sg(fake) under live D). Instance norm
+    is per-sample, so the batched step must reproduce the separate-pass
+    losses and gradients exactly (same ops per sample, f32 on CPU)."""
+    cfg = tiny_cfg(net_d="multiscale", num_d=2)
+    model = create_model(cfg, steps_per_epoch=10)
+    batch = _norm_batch(synthetic_pair_batch(2, 32))
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+
+    def run(batched):
+        model._batch_d_pairs = batched
+        try:
+            def loss(g_params, d_params):
+                total, (m, _) = model.loss_and_metrics(
+                    g_params, d_params, batch, jax.random.PRNGKey(1),
+                    state.pool)
+                return total, m
+            (total, m), grads = jax.value_and_grad(
+                loss, argnums=(0, 1), has_aux=True)(
+                    state.g_params, state.d_params)
+            return total, m, grads
+        finally:
+            del model._batch_d_pairs
+
+    t_b, m_b, g_b = run(True)
+    t_s, m_s, g_s = run(False)
+    np.testing.assert_allclose(float(t_b), float(t_s), rtol=1e-6)
+    for k in ("G_GAN", "G_GAN_Feat", "D_real", "D_fake"):
+        np.testing.assert_allclose(float(m_b[k]), float(m_s[k]), rtol=1e-6,
+                                   err_msg=k)
+    for leaf_b, leaf_s in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(leaf_b), np.asarray(leaf_s),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_batch_norm_d_never_merges_passes():
+    """Batch-norm D mixes batch statistics across samples, so the
+    fake/real halves must NOT share one batched pass even when the
+    opt-in flag is set: losses must equal the separate-pass run."""
+    cfg = tiny_cfg(norm="batch")
+    model = create_model(cfg, steps_per_epoch=10)
+    batch = _norm_batch(synthetic_pair_batch(2, 32))
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+
+    def total(flag):
+        if flag is not None:
+            model._batch_d_pairs = flag
+        try:
+            t, _ = model.loss_and_metrics(state.g_params, state.d_params,
+                                          batch, jax.random.PRNGKey(1),
+                                          state.pool)
+            return float(t)
+        finally:
+            if flag is not None:
+                del model._batch_d_pairs
+    np.testing.assert_allclose(total(True), total(None), rtol=1e-6)
