@@ -194,6 +194,14 @@ class TrainConfig:
     # practice; the reference has no equivalent). Serve the averaged
     # weights with --infer.use_ema. 0 = off (no extra state kept).
     ema_decay: float = 0.0
+    # dtype of Adam's first-moment accumulator (optax mu_dtype): "f32"
+    # (default, reference-faithful) or "bf16". The 512p trunk's Adam
+    # update is HBM-bound (18x f32[3,3,1024,1024] states re-read and
+    # re-written every step — docs/DESIGN.md train profile); bf16 mu
+    # halves that tensor's traffic at the cost of coarser momentum
+    # rounding. Opt-in, never changes defaults. nu stays f32 (optax
+    # exposes no nu_dtype; the variance term needs the mantissa).
+    adam_mu_dtype: str = "f32"
 
 
 @dataclass(frozen=True)

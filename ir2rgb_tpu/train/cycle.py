@@ -281,8 +281,10 @@ def create_cycle_model(cfg: Config,
     schedule = lr_schedule(tcfg.lr_policy, tcfg.lr, tcfg.niter,
                            tcfg.niter_decay, steps_per_epoch,
                            tcfg.lr_decay_iters)
+    mu_dtype = (jnp.bfloat16 if tcfg.adam_mu_dtype in ("bf16", "bfloat16")
+                else jnp.float32)
     adam = lambda: optax.adam(learning_rate=schedule, b1=tcfg.beta1,
-                              b2=tcfg.beta2, eps=1e-8)
+                              b2=tcfg.beta2, eps=1e-8, mu_dtype=mu_dtype)
 
     return CycleGanModel(
         cfg=cfg, gen_cfg=gen_a, disc_cfg=disc_a,

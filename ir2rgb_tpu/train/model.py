@@ -662,8 +662,10 @@ def create_model(cfg: Config, steps_per_epoch: int = 1000,
     schedule = lr_schedule(tcfg.lr_policy, tcfg.lr, tcfg.niter,
                            tcfg.niter_decay, steps_per_epoch,
                            tcfg.lr_decay_iters)
+    mu_dtype = (jnp.bfloat16 if tcfg.adam_mu_dtype in ("bf16", "bfloat16")
+                else jnp.float32)
     adam = lambda: optax.adam(learning_rate=schedule, b1=tcfg.beta1,
-                              b2=tcfg.beta2, eps=1e-8)
+                              b2=tcfg.beta2, eps=1e-8, mu_dtype=mu_dtype)
     fix_steps = tcfg.niter_fix_global * steps_per_epoch
     freeze_gate = (global_freeze_mask(fix_steps)
                    if m.net_g == "local" else (lambda g, s: g))

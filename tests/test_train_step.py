@@ -592,3 +592,29 @@ def test_batch_norm_d_never_merges_passes():
             if flag is not None:
                 del model._batch_d_pairs
     np.testing.assert_allclose(total(True), total(None), rtol=1e-6)
+
+
+def test_adam_mu_dtype_bf16():
+    """--train.adam_mu_dtype bf16 stores Adam's first moment in bfloat16
+    (optax mu_dtype) — the update runs, moments are bf16, nu stays f32,
+    and the unfreeze-boundary moment reset still composes."""
+    import optax
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                adam_mu_dtype="bf16"))
+    model = create_model(cfg, steps_per_epoch=10)
+    batch = _norm_batch(synthetic_pair_batch(2, 32))
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    state, metrics = jax.jit(model.train_step)(state, batch)
+    assert np.isfinite(float(metrics["G_GAN"]))
+
+    adam_states = [s for s in jax.tree.leaves(
+        state.g_opt, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState)]
+    assert adam_states
+    for s in adam_states:
+        for m in jax.tree.leaves(s.mu):
+            assert m.dtype == jnp.bfloat16, m.dtype
+        for v in jax.tree.leaves(s.nu):
+            assert v.dtype == jnp.float32, v.dtype
