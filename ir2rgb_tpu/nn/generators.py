@@ -280,12 +280,16 @@ def _fold4_head_gate(x: jax.Array) -> bool:
 # four strip convs LOSE (240.8 -> 225 fps, round 2); at the 1024/2048
 # tiers the same pads are 0.7-1.5 ms each (round-3 profile:
 # reflect_pad_s2d's phase-split + compose fusions dominate the enhancer)
-# and the thin strips win.
-_BORDER_FIXUP_MIN_ROWS = 384
+# and the thin strips win. IR2RGB_FIXUP_MIN_ROWS overrides for A/B runs
+# (the crossover is bracketed at (256, 512] — round-3 measured a loss
+# at 256 with the patch-first stats; re-bracketed round 4 with the
+# corrected-stats fusion).
+_BORDER_FIXUP_MIN_ROWS = int(os.environ.get("IR2RGB_FIXUP_MIN_ROWS", "384"))
 
 
 def _resnet_block_apply_s2d(p, hs, cfg: GenConfig, *, train=False, rng=None):
     from .s2d_space import (
+        conv_reflect_in_act_s2d,
         conv_reflect_s2d,
         _fold_prec,
         instance_norm_act_s2d,
@@ -293,6 +297,21 @@ def _resnet_block_apply_s2d(p, hs, cfg: GenConfig, *, train=False, rng=None):
     )
     big = hs.shape[1] >= _BORDER_FIXUP_MIN_ROWS
     prec = _fold_prec(cfg.compute_dtype)
+    corrected = (big and not (cfg.use_dropout and train)
+                 and os.environ.get("IR2RGB_BLOCK_STATS",
+                                    "patch") == "corrected")
+    if corrected:
+        # round-4 fusion experiment: conv + border fixup + IN + act in
+        # one call with the stats corrected algebraically, so the strip
+        # select has a single consumer (see conv_reflect_in_act_s2d)
+        c0, c1 = p["conv0"]["conv"], p["conv1"]["conv"]
+        h = conv_reflect_in_act_s2d(
+            hs.astype(cfg.compute_dtype), c0["w"].astype(cfg.compute_dtype),
+            c0.get("b"), "relu", precision=prec)
+        h = conv_reflect_in_act_s2d(
+            h, c1["w"].astype(cfg.compute_dtype), c1.get("b"), "none",
+            precision=prec)
+        return hs + h
 
     def conv_pad1(pc, x):
         if big:

@@ -790,16 +790,144 @@ def head_fold4_reflect_in_act_s2d(x: jax.Array, w: jax.Array, b=None,
         y = y.transpose(0, 1, 2, 4, 3, 5, 6)    # (n,cell,eh,ew,dh,dw,c)
         return y.reshape(nn, S // 4, 1, 16 * c)
 
-    body = body.at[:, :, :1].set(refold_cols(lef))
-    body = body.at[:, :, w4 - 1:].set(refold_cols(rig))
-
+    t_row, b_row = refold_rows(top), refold_rows(bot)
+    l_col, r_col = refold_cols(lef), refold_cols(rig)
     if b is not None:
-        body = body + jnp.tile(b.astype(body.dtype), 16)
-    body = instance_norm_act_s2d(body, act, phases=16)
+        b16 = jnp.tile(b.astype(body.dtype), 16)
+        body = body + b16
+        t_row, b_row = t_row + b16, b_row + b16
+        l_col, r_col = l_col + b16, r_col + b16
+    if (os.environ.get("IR2RGB_HEAD_STATS", "patch") == "corrected"
+            and h4 >= 3 and w4 >= 3):
+        # Round-4 experiment: the patched body feeding BOTH the IN
+        # stats reduce and the apply gave XLA two consumers of the
+        # strip select, which it materialized in two layouts (2048p
+        # profile: 612 us select_bitcast + a second 385 us stats pass).
+        # Here the stats come from the UNPATCHED body (fusable into the
+        # conv epilogue) corrected algebraically for the strip cells,
+        # so the select's only consumer is the apply.
+        body_p = body.at[:, :1].set(t_row).at[:, h4 - 1:].set(b_row)
+        body_p = body_p.at[:, :, :1].set(l_col)
+        body_p = body_p.at[:, :, w4 - 1:].set(r_col)
+        body = _in_act_head_corrected(body, body_p, t_row, b_row,
+                                      l_col, r_col, act)
+    else:
+        body = body.at[:, :1].set(t_row)
+        body = body.at[:, h4 - 1:].set(b_row)
+        body = body.at[:, :, :1].set(l_col)
+        body = body.at[:, :, w4 - 1:].set(r_col)
+        body = instance_norm_act_s2d(body, act, phases=16)
     if not emit_d2s:
         return body  # fold-4 rep, deconv channel order — for
         # conv_fold4_to_s2d consumers (the enhancer down1)
     return depth_to_space(body, 4 * co)
+
+
+def _in_act_head_corrected(body, body_p, t_row, b_row, l_col, r_col,
+                           act: str, eps: float = 1e-5) -> jax.Array:
+    return _in_act_border_corrected(body, body_p, t_row, b_row,
+                                    l_col, r_col, 1, act, 16, eps)
+
+
+def _in_act_border_corrected(body, body_p, top, bot, lef, rig, ps: int,
+                             act: str, phases: int,
+                             eps: float = 1e-5) -> jax.Array:
+    """Instance norm + act of a border-strip-PATCHED conv body, with the
+    statistics computed from the unpatched ``body`` plus exact
+    inclusion-exclusion corrections over the strip slices (the patched
+    value of every border cell is known: row strips everywhere except
+    the corner blocks, which the column strips overwrite). Same math as
+    instance_norm_act_s2d(body_p, act, phases=phases) up to f32
+    summation order; keeps the strip select single-consumer (the round-4
+    fusion experiment — see head_fold4_reflect_in_act_s2d).
+
+    ``top``/``bot`` are the patched first/last ``ps`` rows over the full
+    width; ``lef``/``rig`` the first/last ``ps`` columns over the full
+    height (column strips win the corners, matching the .at[].set order
+    of conv_reflect_s2d and the fold-4 head)."""
+    n, H, W, cp = body.shape
+    c = cp // phases
+
+    def sums(v):
+        v32 = v.astype(jnp.float32)
+        ax = tuple(range(1, v.ndim - 1))
+        return jnp.sum(v32, ax), jnp.sum(v32 * v32, ax)
+
+    s, ss = sums(body)
+    # body border union: top/bot rows + left/right cols - corner blocks
+    for sl in ((slice(0, ps),), (slice(H - ps, H),),
+               (slice(None), slice(0, ps)),
+               (slice(None), slice(W - ps, W))):
+        ds, dss = sums(body[(slice(None),) + sl])
+        s, ss = s - ds, ss - dss
+    for hc in (slice(0, ps), slice(H - ps, H)):
+        for wc in (slice(0, ps), slice(W - ps, W)):
+            cs, css = sums(body[:, hc, wc])
+            s, ss = s + cs, ss + css
+    # patched border union: row strips minus their corner blocks, column
+    # strips in full (they win the corners)
+    for v in (top[:, :, ps:W - ps], bot[:, :, ps:W - ps], lef, rig):
+        ds, dss = sums(v)
+        s, ss = s + ds, ss + dss
+    cnt = float(H * W * phases)
+    mean_c = jnp.sum(s.reshape(n, phases, c), axis=1) / cnt
+    ex2_c = jnp.sum(ss.reshape(n, phases, c), axis=1) / cnt
+    var_c = jnp.maximum(ex2_c - mean_c * mean_c, 0.0)
+    mean = jnp.tile(mean_c, (1, phases))[:, None, None, :]
+    rstd = jnp.tile(lax.rsqrt(var_c + eps), (1, phases))[:, None, None, :]
+    y = (body_p.astype(jnp.float32) - mean) * rstd
+    if act == "relu":
+        y = jnp.maximum(y, 0.0)
+    elif act == "leaky_relu":
+        y = jnp.where(y >= 0.0, y, y * 0.2)
+    elif act == "tanh":
+        y = jnp.tanh(y)
+    return y.astype(body_p.dtype)
+
+
+def conv_reflect_in_act_s2d(xs: jax.Array, w: jax.Array, b=None,
+                            act: str = "relu",
+                            precision=lax.Precision.HIGHEST) -> jax.Array:
+    """conv_reflect_s2d + instance norm + act with corrected-stats strip
+    patching (round-4 fusion experiment, IR2RGB_BLOCK_STATS=corrected):
+    the border-fixup select feeding BOTH the IN stats reduce and the
+    apply made XLA materialize the patched tensor twice in two layouts
+    at the 1024/2048 tiers (2048p profile: ~410 us relayout copies per
+    res-block conv). Stats from the unpatched body + inclusion-exclusion
+    over the strips leave the select a single consumer. Exact up to f32
+    summation order vs conv_reflect_s2d -> instance_norm_act_s2d."""
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    n, hs, ws, _ = xs.shape
+    ps = (pad + 1) // 2
+    sl = ps + (pad + 1) // 2 + 1
+    if hs <= 2 * sl or ws <= 2 * sl or hs < 3 * ps or ws < 3 * ps:
+        y = conv_reflect_s2d(xs, w, precision=precision)
+        if b is not None:
+            y = y + jnp.tile(b.astype(y.dtype), 4)
+        return instance_norm_act_s2d(y, act)
+
+    if 4 * w.shape[3] <= 16:
+        body = conv_on_s2d_wide(xs, w, pad, precision=precision)
+    else:
+        body = conv_on_s2d(xs, w, stride=1, pad=pad, precision=precision)
+
+    def strip(sub):
+        sp = reflect_pad_s2d(sub, pad)
+        return conv_on_s2d(sp, w, stride=1, pad=0, precision=precision)
+
+    top = strip(xs[:, :sl])[:, :ps]
+    bot = strip(xs[:, hs - sl:])[:, -ps:]
+    lef = strip(xs[:, :, :sl])[:, :, :ps]
+    rig = strip(xs[:, :, ws - sl:])[:, :, -ps:]
+    if b is not None:
+        b4 = jnp.tile(b.astype(body.dtype), 4)
+        body, top, bot = body + b4, top + b4, bot + b4
+        lef, rig = lef + b4, rig + b4
+    body_p = body.at[:, :ps].set(top).at[:, hs - ps:].set(bot)
+    body_p = body_p.at[:, :, :ps].set(lef).at[:, :, ws - ps:].set(rig)
+    return _in_act_border_corrected(body, body_p, top, bot, lef, rig,
+                                    ps, act, 4)
 
 
 @functools.lru_cache(maxsize=None)

@@ -1,5 +1,7 @@
 """Exactness of persistent-s2d-space ops vs image-space ops."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -499,3 +501,52 @@ def test_conv_on_s2d_plain_rep_stride1_rejected():
     w = jnp.zeros((3, 3, 4, 8), jnp.float32)
     with pytest.raises(ValueError, match="out_s2d"):
         conv_on_s2d(xs, w, stride=1, pad=1, out_s2d=False)
+
+
+def test_head_fold4_reflect_corrected_stats():
+    """IR2RGB_HEAD_STATS=corrected (stats from the unpatched body with
+    inclusion-exclusion strip corrections — round-4 fusion experiment)
+    must match the default patch-first path elementwise, borders and
+    corners included, square and non-square, with and without bias."""
+    from ir2rgb_tpu.nn import s2d_space as s
+
+    r = np.random.RandomState(21)
+    for k, ci, co, H, W, use_b in [(7, 3, 8, 16, 16, True),
+                                   (7, 3, 8, 16, 24, False),
+                                   (3, 6, 4, 24, 16, True)]:
+        x = jnp.asarray(r.randn(1, H, W, ci), jnp.float32)
+        w = jnp.asarray(r.randn(k, k, ci, co) * 0.1, jnp.float32)
+        b = jnp.asarray(r.randn(co), jnp.float32) if use_b else None
+        ref = s.head_fold4_reflect_in_act_s2d(
+            x, w, b, "relu", precision=lax.Precision.HIGHEST)
+        os.environ["IR2RGB_HEAD_STATS"] = "corrected"
+        try:
+            got = s.head_fold4_reflect_in_act_s2d(
+                x, w, b, "relu", precision=lax.Precision.HIGHEST)
+        finally:
+            del os.environ["IR2RGB_HEAD_STATS"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_conv_reflect_in_act_corrected_stats():
+    """conv_reflect_in_act_s2d (round-4: conv + border fixup + corrected
+    IN stats in one call) must match conv_reflect_s2d -> bias -> IN
+    elementwise for both res-block activations, square and non-square,
+    including the small-shape fallback."""
+    from ir2rgb_tpu.nn import s2d_space as s
+
+    r = np.random.RandomState(22)
+    for H, W, ci, co, use_b in [(20, 20, 8, 8, True), (24, 16, 4, 8, False),
+                                (6, 6, 4, 4, True)]:  # 6x6: fallback path
+        xs = to_s2d(jnp.asarray(r.randn(1, 2 * H, 2 * W, ci), jnp.float32))
+        w = jnp.asarray(r.randn(3, 3, ci, co) * 0.2, jnp.float32)
+        b = jnp.asarray(r.randn(co), jnp.float32) if use_b else None
+        for act in ("relu", "none"):
+            ref = s.conv_reflect_s2d(xs, w)
+            if b is not None:
+                ref = ref + jnp.tile(b, 4)
+            ref = s.instance_norm_act_s2d(ref, act)
+            got = s.conv_reflect_in_act_s2d(xs, w, b, act)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5, rtol=1e-4)
