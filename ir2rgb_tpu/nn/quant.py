@@ -16,6 +16,17 @@ the single chokepoint every generator conv/matmul flows through
   deconv and s2d lowerings quantize unchanged. Instance norm right after
   each conv renormalizes per channel, absorbing most of the ~1%/layer
   quantization error (measured end-to-end in ``tests/test_quant.py``).
+- "int8_mixed": per-layer mixed precision (round-4 verdict item 7 —
+  "head/tail + first trunk convs fp, interior trunk w8a8"). A conv
+  quantizes w8a8 ONLY when both its input and output channel counts are
+  >= ``MIXED_MIN_CH`` (64; override ``IR2RGB_QUANT_MIXED_MIN`` for
+  experiments); narrower convs pass through in fp. That one width gate
+  is exactly the sensitivity boundary: the c7s1 head (cin=3), the
+  output conv (cout=3), the enhancer down0 (cin=3), the first trunk
+  down conv (ngf=32 < 64 at the 1024/2048 recipes), and — because the
+  s2d reps fold space into channels at 3*s^2 = 48 — every s2d head/tail
+  fold stays fp, while the interior trunk (>=64ch), where the HBM
+  traffic lives, quantizes. Quality/perf record: docs/DESIGN.md §6b.
 - "int8_w": weight-only quantization — per-output-channel int8 weights
   dequantized back to the activation dtype before a normal fp conv.
   Activations never quantize, so there is no per-frame amax reduction
@@ -56,7 +67,12 @@ import os
 import jax.numpy as jnp
 from jax import lax
 
-_VALID = ("none", "int8", "int8_w")
+_VALID = ("none", "int8", "int8_w", "int8_mixed")
+
+# int8_mixed: a conv/dot quantizes only when both its channel-ish dims
+# reach this width (see module docstring); env override is an
+# experiment knob like the IR2RGB_* lowering flags
+MIXED_MIN_CH = int(os.environ.get("IR2RGB_QUANT_MIXED_MIN", "64"))
 
 # experiment override (read once at import, like the IR2RGB_* lowering
 # flags): when set it wins over every model's cfg.infer.quant
@@ -126,6 +142,10 @@ def conv(lhs, rhs, window_strides=(1, 1), padding="VALID", **kw):
     ``precision``/``preferred_element_type`` hints are replaced by the
     int32 accumulate + fp rescale."""
     m = _MODE_VAR.get()
+    if m == "int8_mixed":
+        # HWIO: gate on the real channel widths of this layer
+        m = ("int8" if min(rhs.shape[2], rhs.shape[3]) >= MIXED_MIN_CH
+             else "none")
     if m == "none" or not jnp.issubdtype(lhs.dtype, jnp.floating):
         return lax.conv_general_dilated(
             lhs, rhs, window_strides, padding, **kw)
@@ -153,11 +173,18 @@ def conv(lhs, rhs, window_strides=(1, 1), padding="VALID", **kw):
     return (y.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
 
 
-def dot(lhs, rhs, dimension_numbers, **kw):
+def dot(lhs, rhs, dimension_numbers, mixed_ch=None, **kw):
     """Drop-in for ``lax.dot_general`` for the s2d selection/wide-matmul
     sites: 1 contracting dim on each side, no batch dims, rhs 2-D with
-    its free (output) dim last — per-output-column weight scales."""
+    its free (output) dim last — per-output-column weight scales.
+    ``mixed_ch=(ci, co)`` is the UNDERLYING conv's channel widths (the
+    s2d folds inflate the matmul dims, so the int8_mixed gate can't read
+    them off ``rhs.shape``); sites that don't pass it stay fp in mixed
+    mode."""
     m = _MODE_VAR.get()
+    if m == "int8_mixed":
+        m = ("int8" if mixed_ch and min(mixed_ch) >= MIXED_MIN_CH
+             else "none")
     if m == "none" or not jnp.issubdtype(lhs.dtype, jnp.floating):
         return lax.dot_general(lhs, rhs, dimension_numbers, **kw)
     (lc, rc), (lb, rb) = dimension_numbers

@@ -349,6 +349,7 @@ def conv_image_to_s2d_im2col(x: jax.Array, w: jax.Array, pad: int = 0,
     wk = wk.transpose(0, 1, 2, 3, 6, 4, 5, 7)
     wk = wk.reshape(kk2 * kk2 * 4 * ci, 4 * co).astype(x.dtype)
     y = quant.dot(patches, wk, (((3,), (0,)), ((), ())),
+                        mixed_ch=(ci, co),
                         precision=precision,
                         preferred_element_type=jnp.float32
                         if x.dtype == jnp.float32 else None)
@@ -1249,6 +1250,7 @@ def conv_on_s2d_wide(xs: jax.Array, w: jax.Array, pad: int,
 
     wide = wk.transpose(2, 0, 1, 3).reshape(4 * ci, kk * kk * P * co)
     y = quant.dot(xs, wide, (((3,), (0,)), ((), ())),
+                        mixed_ch=(ci, co),
                         precision=precision,
                         preferred_element_type=jnp.float32 if
                         xs.dtype == jnp.float32 else None)

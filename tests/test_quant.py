@@ -127,6 +127,57 @@ def test_generator_int8_psnr_global():
     assert float(psnr(ref, q)) >= 27.0  # 31.6 measured
 
 
+def test_int8_mixed_gates_on_width():
+    """int8_mixed: convs narrower than MIXED_MIN_CH on either side pass
+    through bit-exact (the head/tail sensitivity boundary); wide convs
+    quantize exactly as mode int8 does."""
+    rs = np.random.RandomState(2)
+    dn = dict(dimension_numbers=("NHWC", "HWIO", "NHWC"), padding="SAME")
+    x_narrow = jnp.asarray(rs.randn(1, 8, 8, 3), jnp.float32)
+    w_narrow = jnp.asarray(rs.randn(3, 3, 3, 128) * 0.1, jnp.float32)
+    x_wide = jnp.asarray(rs.randn(1, 8, 8, 64), jnp.float32)
+    w_wide = jnp.asarray(rs.randn(3, 3, 64, 64) * 0.1, jnp.float32)
+    ref_n = lax.conv_general_dilated(x_narrow, w_narrow, (1, 1), **dn)
+    with quant.using("int8"):
+        q8_w = quant.conv(x_wide, w_wide, (1, 1), **dn)
+    with quant.using("int8_mixed"):
+        m_n = quant.conv(x_narrow, w_narrow, (1, 1), **dn)
+        m_w = quant.conv(x_wide, w_wide, (1, 1), **dn)
+    np.testing.assert_array_equal(np.asarray(m_n), np.asarray(ref_n))
+    np.testing.assert_array_equal(np.asarray(m_w), np.asarray(q8_w))
+    # dot: quantizes only when the underlying conv widths are passed
+    xd = jnp.asarray(rs.randn(2, 4, 4, 72), jnp.float32)
+    wd = jnp.asarray(rs.randn(72, 32) * 0.1, jnp.float32)
+    dnd = (((3,), (0,)), ((), ()))
+    ref_d = lax.dot_general(xd, wd, dnd)
+    with quant.using("int8"):
+        q_d = quant.dot(xd, wd, dnd)
+    with quant.using("int8_mixed"):
+        m_d_unmarked = quant.dot(xd, wd, dnd)
+        m_d_wide = quant.dot(xd, wd, dnd, mixed_ch=(64, 64))
+        m_d_narrow = quant.dot(xd, wd, dnd, mixed_ch=(3, 64))
+    np.testing.assert_array_equal(np.asarray(m_d_unmarked),
+                                  np.asarray(ref_d))
+    np.testing.assert_array_equal(np.asarray(m_d_narrow),
+                                  np.asarray(ref_d))
+    np.testing.assert_array_equal(np.asarray(m_d_wide), np.asarray(q_d))
+
+
+def test_generator_int8_mixed_psnr():
+    """Mixed mode's quality sits at-or-above w8a8's (31.97 vs 31.61 dB
+    measured on the global config at He weights) — but NOT at int8_w's
+    level: the activation rounding error lives in the wide trunk that
+    mixed still quantizes, which is why the docs call the ">=36 dB with
+    a perf win" target unreachable for dynamic PTQ (DESIGN.md §6b;
+    per-input-channel activation scales were also measured, 32.6 dB,
+    same conclusion)."""
+    ref, q = _gen_outputs("global", jnp.float32)
+    ref_m, qm = _gen_outputs("global", jnp.float32, mode="int8_mixed")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(ref_m))
+    assert float(psnr(ref, qm)) >= float(psnr(ref, q)) - 0.1
+    assert float(psnr(ref, qm)) >= 28.0
+
+
 def test_generator_int8_w_psnr_beats_w8a8():
     """Weight-only int8 ('int8_w') keeps activations exact, so its
     end-to-end PSNR materially beats the w8a8 mode on the same net."""
