@@ -13,10 +13,10 @@ inflation; the rest complete the serving ladder):
 - ``pix2pixhd_1024`` — the family's high-res tier.
 - ``pix2pixhd_2048`` — two local enhancers, the 2048-wide recipe.
 - ``pix2pixhd_512`` at batch 8 — batched serving throughput.
-- ``pix2pixhd_512_int8`` — the w8a8 dynamic-int8 quantized serving path
-  (nn/quant.py, threaded per-model via cfg.infer.quant); carried so the
-  quantized path's hardware cost stays on the record (docs/DESIGN.md §6b
-  — a measured LOSS at this tier).
+- ``pix2pixhd_2048_int8_mixed`` — the width-gated mixed-int8 serving
+  mode (nn/quant.py) at its win tier: +10.7% over the bf16 2048p row
+  (docs/DESIGN.md §6b; round 5 — replaces the 512p full-int8 row,
+  which documented a measured LOSS and lives on under ``studies``).
 
 Methodology — in-compiled-loop slope timing: K generator steps run inside
 ONE jitted lax.scan with the output fed back as the next input (so no step
@@ -280,13 +280,22 @@ def main() -> None:
     if argv:
         # ad-hoc rows: bench.py PRESET[:bN][:QUANT] ... — printed only
         # (and appended to `studies` when --study NOTE was given); the
-        # committed default table (`configs`) is never overwritten here
+        # committed default table (`configs`) is never overwritten here.
+        # A canary pair brackets the rows so every study records the
+        # chip state it was measured under.
+        pre = canary_ms() if on_tpu else None
         rows = []
         for spec in argv:
             preset, batch, qm = parse_spec(spec)
             r = measure(preset, on_tpu, batch=batch, quant_mode=qm)
             rows.append(r)
             print(json.dumps(r))
+        if on_tpu:
+            post = canary_ms()
+            for r in rows:
+                r["canary_ms"] = [pre, post]
+            print(json.dumps({"canary_ms_pre": pre,
+                              "canary_ms_post": post}))
         if study_note and on_tpu:
             write_detail(study_rows=rows, study_note=study_note)
         return
@@ -304,9 +313,10 @@ def main() -> None:
         # model traces under its own cfg.infer.quant). MFU is still
         # reported against the bf16 peak, so >1.0 would mean the int8
         # MXU rate is actually being hit.
-        r = measure("pix2pixhd_512", on_tpu, quant_mode="int8")
-        r["preset"] = "pix2pixhd_512_int8"
-        rows.append(r)
+        # the recommended quantized mode at its win tier (DESIGN §6b);
+        # parse_spec-style suffix naming keeps the row self-describing
+        rows.append(measure("pix2pixhd_2048", on_tpu,
+                            quant_mode="int8_mixed"))
     primary = rows[0]
 
     if on_tpu:

@@ -221,9 +221,27 @@ class InferConfig:
     # serve the EMA-averaged generator weights (requires the run to have
     # trained with --train.ema_decay > 0)
     use_ema: bool = False
-    # quantized serving: "int8" runs every generator conv/matmul as
-    # dynamic symmetric int8 on the MXU (2x the bf16 rate on v5e, half
-    # the HBM traffic; nn/quant.py). Serving-only — training refuses it.
+    # quantized serving (nn/quant.py; serving-only — training refuses
+    # it). READ BEFORE USING — every mode is measured on the chip
+    # (docs/DESIGN.md §6b):
+    #   "int8_mixed"  — w8a8 on wide convs only (nn/quant.py width
+    #       gate). The mode with real wins: +10.7% fps at 2048p (34.1
+    #       vs 30.8), +9.0% at 1024p (86.7 vs 79.5), +11.7% at 512p
+    #       batch-8 (462.7 vs 414); neutral at 512p batch-1. Quality
+    #       ~30 dB vs the fp output on the 2048p-class local net at
+    #       He-random weights (trained weights measure better; the
+    #       fp-level >=36 dB bar is unreachable for ANY dynamic-PTQ
+    #       variant here — layer exclusion, per-channel activation
+    #       scales, and weight-only were each measured; see DESIGN §6b).
+    #   "int8"        — w8a8 everywhere: strictly worse than int8_mixed
+    #       at every tier, LOSES to bf16 at 512p (kept as the ablation
+    #       baseline).
+    #   "int8_w"      — weight-only: no throughput win by construction
+    #       (documented in nn/quant.py); its value is the half-size
+    #       sealed artifact and near-fp quality (34-36 dB).
+    # Recommendation: default "none" (exact serving); switch to
+    # "int8_mixed" at the HBM-bound tiers (1024p+, or batched 512p)
+    # when ~+10% fps is worth a ~30 dB-vs-fp quantization floor.
     quant: str = "none"
     # write generated frames to an MJPEG/AVI video file (obs/video.py;
     # dependency-free container + native libjpeg frames). Empty = off.

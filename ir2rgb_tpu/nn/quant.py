@@ -19,14 +19,17 @@ the single chokepoint every generator conv/matmul flows through
 - "int8_mixed": per-layer mixed precision (round-4 verdict item 7 —
   "head/tail + first trunk convs fp, interior trunk w8a8"). A conv
   quantizes w8a8 ONLY when both its input and output channel counts are
-  >= ``MIXED_MIN_CH`` (64; override ``IR2RGB_QUANT_MIXED_MIN`` for
-  experiments); narrower convs pass through in fp. That one width gate
-  is exactly the sensitivity boundary: the c7s1 head (cin=3), the
-  output conv (cout=3), the enhancer down0 (cin=3), the first trunk
-  down conv (ngf=32 < 64 at the 1024/2048 recipes), and — because the
-  s2d reps fold space into channels at 3*s^2 = 48 — every s2d head/tail
-  fold stays fp, while the interior trunk (>=64ch), where the HBM
-  traffic lives, quantizes. Quality/perf record: docs/DESIGN.md §6b.
+  >= ``MIXED_MIN_CH`` (default 32; override ``IR2RGB_QUANT_MIXED_MIN``
+  for experiments); narrower convs pass through in fp. That one width
+  gate is exactly the sensitivity boundary: the c7s1 head (cin=3), the
+  output conv (cout=3), and the enhancer down0 (cin=3) stay fp — and
+  because the s2d reps fold space into channels at 3*s^2 = 48 < 64, the
+  s2d tail folds stay fp too at thresholds >= 64 — while the interior
+  trunk, where the HBM traffic lives, quantizes. THE mode with a
+  measured win: +9-12% fps at the HBM-bound tiers (2048p 34.1 vs 30.8
+  bf16; 1024p 86.7 vs 79.5; 512p b8 462.7 vs 414.3) where full "int8"
+  LOSES or barely gains — the narrow-layer quantize chains were pure
+  overhead. Quality/perf record: docs/DESIGN.md §6b.
 - "int8_w": weight-only quantization — per-output-channel int8 weights
   dequantized back to the activation dtype before a normal fp conv.
   Activations never quantize, so there is no per-frame amax reduction
@@ -71,8 +74,14 @@ _VALID = ("none", "int8", "int8_w", "int8_mixed")
 
 # int8_mixed: a conv/dot quantizes only when both its channel-ish dims
 # reach this width (see module docstring); env override is an
-# experiment knob like the IR2RGB_* lowering flags
-MIXED_MIN_CH = int(os.environ.get("IR2RGB_QUANT_MIXED_MIN", "64"))
+# experiment knob like the IR2RGB_* lowering flags. Default 32 from the
+# round-5 sweep: on the local-enhancer nets quality is FLAT across
+# 32/64/128 (30.28 dB each on ngf32-local at He weights — the error
+# lives in the >=128ch deep trunk) while 2048p fps is best at 32
+# (34.07 vs 33.2 at 64/128: the 32->64 full-res enhancer convs are
+# giant HBM movers worth quantizing). Raise to 128 for global-only
+# nets where it buys ~3 dB (35.28 vs 31.97) at ~the same speed.
+MIXED_MIN_CH = int(os.environ.get("IR2RGB_QUANT_MIXED_MIN", "32"))
 
 # experiment override (read once at import, like the IR2RGB_* lowering
 # flags): when set it wins over every model's cfg.infer.quant
