@@ -51,6 +51,8 @@ def main() -> None:
             for sub, acc in (("A", frames_a), ("B", frames_b)):
                 im = Image.open(os.path.join(dataroot, sub, vid, f))
                 a = np.asarray(im, np.float32) / 127.5 - 1.0
+                if a.ndim == 2:  # grayscale IR (input_nc=1)
+                    a = a[..., None]
                 # center-crop to the train geometry
                 h, w = a.shape[:2]
                 y0, x0 = (h - size) // 2, (w - size) // 2
