@@ -38,12 +38,17 @@ from ir2rgb_tpu.infer.stream import _dev_normalize, _dev_quantize
 def main() -> None:
     from bench import build  # the shared preset->bf16-model setup
 
-    preset = sys.argv[1] if len(sys.argv) > 1 else "temporal_512"
+    args = sys.argv[1:]
+    quant = None
+    if "--quant" in args:
+        quant = args[args.index("--quant") + 1]
+        del args[args.index("--quant"):args.index("--quant") + 2]
+    preset = args[0] if args else "temporal_512"
     on_tpu = jax.default_backend() == "tpu"
-    slots = ([int(s) for s in sys.argv[2].split(",")]
-             if len(sys.argv) > 2 else ([1, 2, 4, 8] if on_tpu else [1, 2]))
+    slots = ([int(s) for s in args[1].split(",")]
+             if len(args) > 1 else ([1, 2, 4, 8] if on_tpu else [1, 2]))
 
-    model, g = build(preset, on_tpu)
+    model, g = build(preset, on_tpu, quant_mode=quant)
     size = model.cfg.data.crop_size if on_tpu else 64
 
     cfgm = model.cfg.model
@@ -108,7 +113,8 @@ def main() -> None:
 
         per_tick = (timed(k2) - timed(k1)) / (k2 - k1)
         print(json.dumps({
-            "preset": preset, "size": size, "slots": s_count,
+            "preset": preset + (f"_{quant}" if quant else ""),
+            "size": size, "slots": s_count,
             "ms_per_tick": round(per_tick * 1e3, 3),
             "fps_per_stream": round(1.0 / per_tick, 2),
             "fps_aggregate": round(s_count / per_tick, 1),

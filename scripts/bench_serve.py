@@ -50,6 +50,10 @@ def main() -> None:
     if "--frames" in args:
         frames_flag = int(args[args.index("--frames") + 1])
         del args[args.index("--frames"):args.index("--frames") + 2]
+    quant = None
+    if "--quant" in args:
+        quant = args[args.index("--quant") + 1]
+        del args[args.index("--quant"):args.index("--quant") + 2]
     argv = [a for a in args if a != "--jpeg"]
     preset = argv[0] if argv else "temporal_512"
     on_tpu = jax.default_backend() == "tpu"
@@ -57,7 +61,7 @@ def main() -> None:
                if len(argv) > 1 else ([1, 2, 8] if on_tpu else [1, 2]))
     frames_per_client = frames_flag or (48 if on_tpu else 8)
 
-    model, g = build(preset, on_tpu)
+    model, g = build(preset, on_tpu, quant_mode=quant)
     size = model.cfg.data.crop_size if on_tpu else 64
     in_nc = model.cfg.model.input_nc
 
@@ -124,7 +128,8 @@ def main() -> None:
         lat_ms = np.sort(np.asarray(latencies)) * 1e3
         pct = lambda p: round(float(np.percentile(lat_ms, p)), 2)
         print(json.dumps({
-            "preset": preset, "clients": n_clients, "size": size,
+            "preset": preset + (f"_{quant}" if quant else ""),
+            "clients": n_clients, "size": size,
             "wire": "jpeg" if jpeg else "raw", "pipeline_depth": depth,
             "frames": total, "secs": round(dt, 3),
             "aggregate_fps": round(total / dt, 1),
