@@ -42,8 +42,12 @@ thread, one accept thread. Only the tick loop touches the
 MultiStreamServer (slot open/close included — readers enqueue control
 events), so the JAX side stays single-threaded. The batching window
 (``tick_ms``) bounds added latency: the loop blocks for the first
-pending frame, then sleeps at most tick_ms to let concurrent
-connections' frames join the batch.
+pending frame, then waits at most tick_ms for concurrent connections'
+frames to join the batch — exiting early the moment every attached
+connection has contributed one, and skipping the window entirely when
+only one connection is attached (round 5: the fixed sleep was pure
+added latency for a lone or fully-arrived batch; measured in
+scripts/bench_serve.py's p50).
 """
 
 from __future__ import annotations
@@ -52,6 +56,7 @@ import queue
 import socket
 import struct
 import threading
+import time
 from collections import deque
 from typing import Dict, Iterator, Optional, Tuple
 
@@ -188,9 +193,30 @@ class FrameServer:
             except queue.Empty:
                 events = []
             if (events and events[0][0] == "frame" and self.tick_ms > 0
-                    and not backlog):
-                # batching window: let other connections' frames join
-                self._stop.wait(self.tick_ms / 1e3)
+                    and not backlog and len(self._conns) > 1):
+                # batching window: let other connections' frames join —
+                # but never wait longer than it takes for every attached
+                # connection to contribute one (and a lone connection
+                # skips the window entirely: there is nobody to batch
+                # with, so the wait would be pure added latency)
+                deadline = time.perf_counter() + self.tick_ms / 1e3
+                have = {events[0][1].sid}
+                while len(have) < len(self._conns):
+                    left = deadline - time.perf_counter()
+                    if left <= 0:
+                        break
+                    try:
+                        ev = self._events.get(timeout=left)
+                    except queue.Empty:
+                        break
+                    events.append(ev)
+                    if ev[0] == "frame" and ev[1].sid is not None:
+                        have.add(ev[1].sid)
+                    else:
+                        # open/close/stat changes membership mid-window:
+                        # step with what we have rather than reasoning
+                        # about a moving set
+                        break
             while True:
                 try:
                     events.append(self._events.get_nowait())

@@ -5,6 +5,8 @@ error paths, and the CLI entry point end-to-end in a subprocess."""
 import os
 import subprocess
 import sys
+import threading
+import time
 
 import jax
 import numpy as np
@@ -490,6 +492,70 @@ def test_backpressure_transparent():
             outs2 = [c.push(f) for f in fr]
         for a, b in zip(outs, outs2):
             _assert_lsb(a, b)
+    finally:
+        fs.stop()
+
+
+def test_lone_connection_skips_batching_window():
+    """With a single attached connection the batching window is pure
+    added latency (nobody else's frame can join) — the tick loop must
+    skip it (round 5). tick_ms is set absurdly high so a regression
+    shows up as a multi-second stall, not a flaky few-ms delta."""
+    model, g_params = _model(temporal=False)
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=2)
+    fs = FrameServer(srv, port=0, tick_ms=1500.0)
+    fs.start()
+    try:
+        fr = _frames(31, 4)
+        with FrameClient("127.0.0.1", fs.port) as c:
+            c.push(fr[0])  # warm-up: compile outside the timed region
+            t0 = time.perf_counter()
+            for f in fr[1:]:
+                c.push(f)
+            assert time.perf_counter() - t0 < 1.5, (
+                "lone-connection frames waited the batching window")
+    finally:
+        fs.stop()
+
+
+def test_window_exits_when_every_connection_contributed():
+    """With N connections the window must close as soon as all N have a
+    frame in — waiting out the full tick_ms cannot improve the batch."""
+    model, g_params = _model(temporal=False)
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=2)
+    fs = FrameServer(srv, port=0, tick_ms=3000.0)
+    fs.start()
+    try:
+        fr = _frames(32, 2)
+        with FrameClient("127.0.0.1", fs.port) as a, \
+                FrameClient("127.0.0.1", fs.port) as b:
+            outs = {}
+
+            def push(name, cli):
+                outs[name] = cli.push(fr[0])
+
+            # warm-up round compiles the batched step (both arrive, so
+            # the window exits on the all-contributed condition too)
+            ts = [threading.Thread(target=push, args=(n, c))
+                  for n, c in (("a", a), ("b", b))]
+            t0 = time.perf_counter()
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            # generous bound: CPU compile of the 32px step dominates,
+            # but a full-window wait would add 3 s on top per round
+            warm = time.perf_counter() - t0
+            ts = [threading.Thread(target=push, args=(n, c))
+                  for n, c in (("a", a), ("b", b))]
+            t1 = time.perf_counter()
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            assert time.perf_counter() - t1 < 2.0, (
+                f"window did not exit early (warm-up {warm:.1f}s)")
+            assert outs["a"].shape == (32, 32, 3)
     finally:
         fs.stop()
 
