@@ -36,10 +36,16 @@ spatially-split form whose layouts conflict with the fp32 instance-norm
 elementwise math, materializing ~0.4 ms layout copies per conv (batch-4
 at 512p costs 25.4 ms/tick — MORE than batch 8; 6 costs 42 ms). The
 server therefore pads its physical batch to the nearest good size
-{1, 2, 8, 16, 24, ...} on TPU by default — masked pad slots cost less
-than the cliff. IR2RGB_IN_ELT=input additionally trims the cliff
-itself (~14% at batch 4) by keeping the normalize multiply in bf16
-(stats stay fp32); see nn/s2d_space.instance_norm_act_s2d.
+{1, 2, 8} on TPU by default — masked pad slots cost less than the
+cliff — and CAPS it at the knee (round 5): past 8 slots a bigger
+compiled batch loses absolute aggregate (512p: 383-403 fps at 16,
+391-400 at 24, vs 429-479 at 8) while multiplying latency, so >8
+attached streams are served by chained knee-sized chunk ticks over a
+carry pool (gather by slot index, scatter the advanced carry back; a
+scratch pool row absorbs pad-row writes). IR2RGB_IN_ELT=input
+additionally trims the cliff itself (~14% at batch 4) by keeping the
+normalize multiply in bf16 (stats stay fp32); see
+nn/s2d_space.instance_norm_act_s2d.
 """
 
 from __future__ import annotations
@@ -54,12 +60,25 @@ from ir2rgb_tpu.infer.stream import _dev_normalize, _dev_quantize
 from ir2rgb_tpu.train.model import GanModel
 
 
+# the measured aggregate-throughput knee of the batched tick (round-5
+# ladder, one v5e chip, temporal configs): 8 slots peak BOTH tiers
+# (512p 429 bf16 / 479 int8_mixed aggregate fps; 1024p 95), and larger
+# compiled batches LOSE absolute aggregate (512p: 16 slots 383-403,
+# 24 slots 391-400) while multiplying per-stream latency — two chained
+# 8-ticks serve 16 streams faster than one 16-tick (37.3 vs 41.8 ms).
+KNEE_SLOTS = 8
+
+
 def _good_physical_slots(n: int) -> int:
-    """Nearest measured-good batch size >= n (see module docstring):
-    1 and 2 are fine natively; 3..7 pad to 8; beyond 8, multiples of 8."""
+    """Measured-good compiled batch size for n requested slots (see
+    module docstring): 1 and 2 are fine natively; 3..8 pad to 8 (the
+    mid-batch XLA cliff); beyond 8 the physical batch is CAPPED at the
+    knee — more slots are served by chunked round-robin over a carry
+    pool, which beats a bigger compiled batch in both aggregate fps and
+    latency on the measured ladder."""
     if n <= 2:
         return n
-    return ((n + 7) // 8) * 8
+    return min(((n + 7) // 8) * 8, KNEE_SLOTS)
 
 
 def build_tick(model: GanModel, temporal: bool, carry_c: int):
@@ -92,6 +111,26 @@ def build_tick(model: GanModel, temporal: bool, carry_c: int):
     return tick
 
 
+def build_pool_tick(model: GanModel, carry_c: int):
+    """Temporal tick over a carry POOL: the compiled batch (physical
+    rows) is smaller than the attachable slot count, so per-row slot
+    indices gather each row's carry from the (n_slots+1)-row pool and
+    scatter the advanced carry back. Row semantics are unchanged from
+    ``build_tick`` — reset/valid masks compose identically.
+
+    Pad rows point at the pool's dedicated SCRATCH row (index n_slots)
+    with valid=False: their write-back is the scratch row's own held
+    value, so duplicate pad indices scatter identical data and the
+    update stays deterministic."""
+    base = build_tick(model, True, carry_c)
+
+    def tick(params, frames_u8, pool, slot_idx, reset, valid):
+        out, new_carry = base(params, frames_u8, pool[slot_idx],
+                              reset, valid)
+        return out, pool.at[slot_idx].set(new_carry)
+    return tick
+
+
 class MultiStreamServer:
     """Serve up to ``n_slots`` independent streams with one batched step.
 
@@ -114,10 +153,13 @@ class MultiStreamServer:
         shards across chips (each chip serves S/n_dev streams; params
         replicated). See ``parallel.dp_mesh``.
 
-        ``physical_slots``: compiled batch size; defaults to the nearest
-        measured-good size >= n_slots on TPU (see module docstring — a
-        batch-5 step is SLOWER than a masked batch-8 step) and to
-        n_slots elsewhere. Must be >= n_slots."""
+        ``physical_slots``: compiled batch size; defaults on TPU to the
+        nearest measured-good size for n_slots CAPPED at the measured
+        knee of 8 (see module docstring — a batch-5 step is SLOWER than
+        a masked batch-8 step, and a batch-16 step is slower than two
+        chained batch-8 ticks), and to n_slots elsewhere. May be smaller
+        than n_slots: extra slots are then served by chunked round-robin
+        ticks over a carry pool (one gather + one scatter per tick)."""
         cfgm = model.cfg.model
         self.model = model
         self.n_slots = int(n_slots)
@@ -125,10 +167,17 @@ class MultiStreamServer:
             physical_slots = (_good_physical_slots(self.n_slots)
                               if jax.default_backend() == "tpu"
                               else self.n_slots)
-        if physical_slots < self.n_slots:
-            raise ValueError(f"physical_slots={physical_slots} < "
-                             f"n_slots={self.n_slots}")
+        if physical_slots < 1:
+            raise ValueError(f"physical_slots={physical_slots} must "
+                             f"be >= 1")
         self.physical_slots = int(physical_slots)
+        self._pooled = self.physical_slots < self.n_slots
+        if self._pooled and mesh is not None:
+            raise ValueError(
+                "physical_slots < n_slots (chunked round-robin) is "
+                "single-chip knee logic — a mesh shards slots across "
+                "chips instead; give each chip's server <= "
+                f"{KNEE_SLOTS} slots")
         self.temporal = cfgm.model == "temporal"
         n_prev = (cfgm.n_frames_g - 1) if self.temporal else 0
         self.carry_c = cfgm.output_nc * n_prev
@@ -141,9 +190,16 @@ class MultiStreamServer:
         self.out_nc = cfgm.output_nc
         self._free = list(range(self.n_slots))
         self._attached: set = set()
-        self._pending_reset = np.zeros(self.physical_slots, np.bool_)
-        self._carry = (jnp.zeros((self.physical_slots, h, w, self.carry_c),
-                                 jnp.float32) if self.temporal else None)
+        self._pending_reset = np.zeros(self.n_slots, np.bool_)
+        # non-pooled: carry row == slot id (physical >= n_slots).
+        # pooled temporal: carries live in an (n_slots+1)-row pool whose
+        # last row is scratch for pad rows; each tick gathers its chunk.
+        self._carry = None
+        if self.temporal:
+            rows = (self.n_slots + 1 if self._pooled
+                    else self.physical_slots)
+            self._carry = jnp.zeros((rows, h, w, self.carry_c),
+                                    jnp.float32)
 
         self._sharding = None
         if mesh is not None:
@@ -155,15 +211,16 @@ class MultiStreamServer:
             self._sharding = shard
         self.g_params = g_params
 
-        tick = build_tick(model, self.temporal, self.carry_c)
         if self.temporal:
+            tick = (build_pool_tick(model, self.carry_c) if self._pooled
+                    else build_tick(model, True, self.carry_c))
             # donate ONLY the server-owned carry (HBM recycled for the
             # new carry). The frames buffer is caller-visible through
             # step_device — donating it would delete a device array the
             # caller may reuse next tick, for a few MB of uint8 savings.
             self._tick = jax.jit(tick, donate_argnums=(2,))
         else:
-            self._tick = jax.jit(tick)
+            self._tick = jax.jit(build_tick(model, False, self.carry_c))
 
     @classmethod
     def from_artifact(cls, path: str, n_slots: Optional[int] = None,
@@ -204,7 +261,8 @@ class MultiStreamServer:
         self.out_nc = int(meta["output_nc"])
         self._free = list(range(self.n_slots))
         self._attached = set()
-        self._pending_reset = np.zeros(self.physical_slots, np.bool_)
+        self._pooled = False  # sealed batch is the physical batch
+        self._pending_reset = np.zeros(self.n_slots, np.bool_)
         self._carry = (jnp.zeros((self.physical_slots, h, w, self.carry_c),
                                  jnp.float32) if self.temporal else None)
         self._sharding = None
@@ -239,42 +297,80 @@ class MultiStreamServer:
 
     # -- serving --------------------------------------------------------
 
-    def _dispatch(self, frames: Dict[int, np.ndarray]):
-        """H2D + compute dispatch for one tick; returns (out_dev, sids).
-        Does not block — pair with :meth:`_fetch`."""
-        unknown = set(frames) - self._attached
-        if unknown:
-            raise KeyError(f"frames for unattached slots {sorted(unknown)}")
+    def _wire_u8(self, a) -> np.ndarray:
+        a = np.asarray(a)
+        if a.dtype != np.uint8:
+            # ONE shared conversion across all serving surfaces
+            from ir2rgb_tpu.infer.stream import host_to_wire_u8
+            a = host_to_wire_u8(a, self._label)
+        return a
+
+    def _dispatch_chunk(self, frames: Dict[int, np.ndarray], sids):
+        """H2D + compute dispatch for <= physical_slots streams; returns
+        (out_dev, row->sid map). Does not block — pair with _fetch."""
         h, w = self.frame_hw
         batch = np.zeros((self.physical_slots, h, w, self.in_nc), np.uint8)
         valid = np.zeros(self.physical_slots, np.bool_)
-        for sid, a in frames.items():
-            a = np.asarray(a)
-            if a.dtype != np.uint8:
-                # ONE shared conversion across all serving surfaces
-                from ir2rgb_tpu.infer.stream import host_to_wire_u8
-                a = host_to_wire_u8(a, self._label)
-            batch[sid] = a
-            valid[sid] = True
-        reset = self._pending_reset & valid
+        reset = np.zeros(self.physical_slots, np.bool_)
+        if self._pooled:
+            # rows are chunk-local; pad rows gather the pool's scratch
+            idx = np.full(self.physical_slots, self.n_slots, np.int32)
+            rowmap = {}
+            for row, sid in enumerate(sids):
+                batch[row] = self._wire_u8(frames[sid])
+                valid[row] = True
+                reset[row] = self._pending_reset[sid]
+                idx[row] = sid
+                rowmap[row] = sid
+        else:
+            # carry row == slot id (physical >= n_slots)
+            for sid in sids:
+                batch[sid] = self._wire_u8(frames[sid])
+                valid[sid] = True
+                reset[sid] = self._pending_reset[sid]
+            rowmap = {sid: sid for sid in sids}
         # one sharded H2D straight from host memory — asarray-then-
         # reshard would transfer the batch twice on the serving hot path
         frames_dev = (jnp.asarray(batch) if self._sharding is None
                       else jax.device_put(batch, self._sharding))
-        if self.temporal:
+        if self.temporal and self._pooled:
+            out, self._carry = self._tick(
+                self.g_params, frames_dev, self._carry, jnp.asarray(idx),
+                jnp.asarray(reset), jnp.asarray(valid))
+        elif self.temporal:
             out, self._carry = self._tick(self.g_params, frames_dev,
                                           self._carry, jnp.asarray(reset),
                                           jnp.asarray(valid))
         else:
             out = self._tick(self.g_params, frames_dev,
                              jnp.asarray(reset), jnp.asarray(valid))
-        self._pending_reset &= ~valid  # reset consumed for served slots
-        return out, sorted(frames)
+        for sid in sids:
+            self._pending_reset[sid] = False  # reset consumed
+        return out, rowmap
+
+    def _dispatch(self, frames: Dict[int, np.ndarray]):
+        """Dispatch one logical tick as one or more chunk ticks (chunked
+        round-robin when more streams than physical rows — module
+        docstring: chained knee-sized ticks beat one big batch). Returns
+        a list of (out_dev, rowmap); all chunks are dispatched before
+        any result is fetched, so chunk k+1's host prep overlaps chunk
+        k's device compute."""
+        unknown = set(frames) - self._attached
+        if unknown:
+            raise KeyError(f"frames for unattached slots {sorted(unknown)}")
+        sids = sorted(frames)
+        p = self.physical_slots
+        return [self._dispatch_chunk(frames, sids[i:i + p])
+                for i in range(0, len(sids), p)]
 
     @staticmethod
-    def _fetch(out: jax.Array, sids) -> Dict[int, np.ndarray]:
-        arr = np.asarray(jax.device_get(out))
-        return {sid: arr[sid] for sid in sids}
+    def _fetch(parts) -> Dict[int, np.ndarray]:
+        outs: Dict[int, np.ndarray] = {}
+        for out, rowmap in parts:
+            arr = np.asarray(jax.device_get(out))
+            for row, sid in rowmap.items():
+                outs[sid] = arr[row]
+        return outs
 
     def step(self, frames: Dict[int, np.ndarray]) -> Dict[int, np.ndarray]:
         """One synchronous tick: {slot: IR frame} -> {slot: uint8 RGB}.
@@ -283,7 +379,7 @@ class MultiStreamServer:
         output and carries hold, so the batched forward is skipped."""
         if not frames:
             return {}
-        return self._fetch(*self._dispatch(frames))
+        return self._fetch(self._dispatch(frames))
 
     def ticks(self, feed: Iterable[Dict[int, np.ndarray]]
               ) -> Iterator[Dict[int, np.ndarray]]:
@@ -297,7 +393,7 @@ class MultiStreamServer:
         for frames in feed:
             out = self._dispatch(frames) if frames else None
             if pending is not None:
-                yield self._fetch(*pending)
+                yield self._fetch(pending)
             elif out is None and pending is None:
                 # keep 1-tick latency alignment: empty tick, nothing
                 # pending -> emit the empty output now
@@ -308,7 +404,7 @@ class MultiStreamServer:
                 yield {}
                 pending = None
         if pending is not None:
-            yield self._fetch(*pending)
+            yield self._fetch(pending)
 
     def step_device(self, frames_dev: jax.Array,
                     reset: Optional[jax.Array] = None,
@@ -321,6 +417,12 @@ class MultiStreamServer:
             valid = jnp.ones(self.physical_slots, bool)
         if self._sharding is not None:
             frames_dev = jax.device_put(frames_dev, self._sharding)
+        if self.temporal and self._pooled:
+            # physical rows map to slots 0..physical_slots-1
+            idx = jnp.arange(self.physical_slots, dtype=jnp.int32)
+            out, self._carry = self._tick(self.g_params, frames_dev,
+                                          self._carry, idx, reset, valid)
+            return out
         if self.temporal:
             out, self._carry = self._tick(self.g_params, frames_dev,
                                           self._carry, reset, valid)

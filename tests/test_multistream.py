@@ -149,13 +149,93 @@ def test_physical_slot_padding_exact():
         for k in seqs:
             _assert_lsb(outs[sids[k]], ref[k][t])
 
-    with pytest.raises(ValueError, match="physical_slots"):
-        MultiStreamServer(model, g_params, (32, 32), n_slots=4,
-                          physical_slots=2)
-
     from ir2rgb_tpu.infer.multistream import _good_physical_slots
+    # capped at the measured knee of 8 (round 5): past 8 a bigger
+    # compiled batch loses aggregate fps AND latency vs chained 8-ticks
     assert [_good_physical_slots(n) for n in (1, 2, 3, 7, 8, 9, 16, 17)] \
-        == [1, 2, 8, 8, 8, 16, 16, 24]
+        == [1, 2, 8, 8, 8, 8, 8, 8]
+
+
+def test_pooled_chunked_round_robin_matches_streaming():
+    """physical_slots < n_slots (round 5: the compiled batch caps at the
+    measured knee; extra streams ride chained chunk ticks over a carry
+    pool): outputs must be identical to per-stream StreamingGenerators —
+    gather/scatter carry pooling, chunk splitting, reset and skip-tick
+    hold semantics all exact."""
+    model, g_params = _model()
+    seqs = {k: _frames(60 + k, 3) for k in range(5)}
+
+    ref = {}
+    for k, frames in seqs.items():
+        s = StreamingGenerator(model, g_params, (32, 32))
+        ref[k] = [s.push(f) for f in frames]
+
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=5,
+                            physical_slots=2)
+    assert srv.physical_slots == 2 and srv._pooled
+    sids = {k: srv.open() for k in seqs}
+    # tick 0: everyone (3 chunks of <=2)
+    outs = srv.step({sids[k]: seqs[k][0] for k in seqs})
+    for k in seqs:
+        _assert_lsb(outs[sids[k]], ref[k][0])
+    # tick 1: streams 0 and 3 skip (carry must hold across chunks)
+    live = [k for k in seqs if k not in (0, 3)]
+    outs = srv.step({sids[k]: seqs[k][1] for k in live})
+    assert set(outs) == {sids[k] for k in live}
+    for k in live:
+        _assert_lsb(outs[sids[k]], ref[k][1])
+    # tick 2: the skipped streams resume where they left off
+    outs = srv.step({sids[0]: seqs[0][1], sids[3]: seqs[3][1]})
+    _assert_lsb(outs[sids[0]], ref[0][1])
+    _assert_lsb(outs[sids[3]], ref[3][1])
+    # close + reopen gets a FRESH carry through the pool reset path
+    srv.close(sids[4])
+    nid = srv.open()
+    outs = srv.step({nid: seqs[4][0]})
+    _assert_lsb(outs[nid], ref[4][0])
+
+
+def test_pooled_non_temporal_chunks():
+    """Stateless models chunk the same way (rows are chunk-local)."""
+    model, g_params = _model(temporal=False)
+    frames = _frames(70, 5)
+    s = StreamingGenerator(model, g_params, (32, 32))
+    ref = [s.push(f) for f in frames]
+    srv = MultiStreamServer(model, g_params, (32, 32), n_slots=5,
+                            physical_slots=2)
+    sids = [srv.open() for _ in range(5)]
+    outs = srv.step({sids[i]: frames[i] for i in range(5)})
+    for i in range(5):
+        _assert_lsb(outs[sids[i]], ref[i])
+
+
+def test_pooled_pipelined_ticks_match_step():
+    """ticks() pipelining composes with chunked dispatch."""
+    model, g_params = _model()
+    seqs = {k: _frames(80 + k, 3) for k in range(3)}
+    srv1 = MultiStreamServer(model, g_params, (32, 32), n_slots=3,
+                             physical_slots=2)
+    sids1 = {k: srv1.open() for k in seqs}
+    seq_out = [srv1.step({sids1[k]: seqs[k][t] for k in seqs})
+               for t in range(3)]
+    srv2 = MultiStreamServer(model, g_params, (32, 32), n_slots=3,
+                             physical_slots=2)
+    sids2 = {k: srv2.open() for k in seqs}
+    piped = list(srv2.ticks(
+        [{sids2[k]: seqs[k][t] for k in seqs} for t in range(3)]))
+    assert len(piped) == 3
+    for got, want in zip(piped, seq_out):
+        for k in seqs:
+            np.testing.assert_array_equal(got[sids2[k]], want[sids1[k]])
+
+
+def test_pooled_with_mesh_raises():
+    model, g_params = _model()
+    class FakeMesh:  # never touched — the guard fires first
+        pass
+    with pytest.raises(ValueError, match="single-chip"):
+        MultiStreamServer(model, g_params, (32, 32), n_slots=4,
+                          physical_slots=2, mesh=FakeMesh())
 
 
 def test_non_temporal_batched_serving():
