@@ -313,9 +313,14 @@ def main() -> None:
         # model traces under its own cfg.infer.quant). MFU is still
         # reported against the bf16 peak, so >1.0 would mean the int8
         # MXU rate is actually being hit.
-        # the recommended quantized mode at its win tier (DESIGN §6b);
-        # parse_spec-style suffix naming keeps the row self-describing
+        # the recommended quantized mode at its win tiers (DESIGN §6b);
+        # parse_spec-style suffix naming keeps the rows self-describing.
+        # 1024p int8_mixed is the tier's ">=85 fps" path cited by the
+        # round-5 per-op audit — graded every round so the claim rides
+        # the artifact record, not a one-off study
         rows.append(measure("pix2pixhd_2048", on_tpu,
+                            quant_mode="int8_mixed"))
+        rows.append(measure("pix2pixhd_1024", on_tpu,
                             quant_mode="int8_mixed"))
     primary = rows[0]
 
