@@ -226,22 +226,23 @@ class InferConfig:
     # (docs/DESIGN.md §6b):
     #   "int8_mixed"  — w8a8 on wide convs only (nn/quant.py width
     #       gate). The mode with real wins: +10.7% fps at 2048p (34.1
-    #       vs 30.8), +9.0% at 1024p (86.7 vs 79.5), +11.7% at 512p
-    #       batch-8 (462.7 vs 414); neutral at 512p batch-1. Quality
-    #       ~30 dB vs the fp output on the 2048p-class local net at
-    #       He-random weights (trained weights measure better; the
-    #       fp-level >=36 dB bar is unreachable for ANY dynamic-PTQ
-    #       variant here — layer exclusion, per-channel activation
-    #       scales, and weight-only were each measured; see DESIGN §6b).
+    #       vs 30.8), +9.0% at 1024p (86.4 vs 80.0), +11.7% at 512p
+    #       batch-8 (462.7 vs 414), +11.6% at the 8-stream serving
+    #       knee; neutral at 512p batch-1. Quality on a TRAINED
+    #       checkpoint: 44 dB vs the fp output with identical
+    #       ground-truth PSNR (round-5 soak eval, DESIGN §6b addendum);
+    #       the older ~30 dB figure was He-random-weights pessimism.
     #   "int8"        — w8a8 everywhere: strictly worse than int8_mixed
     #       at every tier, LOSES to bf16 at 512p (kept as the ablation
     #       baseline).
     #   "int8_w"      — weight-only: no throughput win by construction
     #       (documented in nn/quant.py); its value is the half-size
-    #       sealed artifact and near-fp quality (34-36 dB).
+    #       sealed artifact and top quality (54.7 dB vs fp trained).
     # Recommendation: default "none" (exact serving); switch to
-    # "int8_mixed" at the HBM-bound tiers (1024p+, or batched 512p)
-    # when ~+10% fps is worth a ~30 dB-vs-fp quantization floor.
+    # "int8_mixed" at the HBM-bound tiers (1024p+, batched 512p, or
+    # multi-stream serving) — ~+10% fps at 44 dB-vs-fp on trained
+    # weights (verify on your own checkpoint with
+    # scripts/quant_trained_eval.py).
     quant: str = "none"
     # write generated frames to an MJPEG/AVI video file (obs/video.py;
     # dependency-free container + native libjpeg frames). Empty = off.
