@@ -29,8 +29,8 @@ Design (TPU-first):
 
 Slot-count choice (scripts/bench_multistream.py measures the ladder,
 slope method, one v5e chip): batch 8 is the throughput knee at both
-512p (18.5 ms/tick, 433 aggregate fps vs 291 at batch 1) and 1024p
-(81 ms/tick, 99 aggregate fps vs 76). Batches 3-7 sit in a measured
+512p (18.65 ms/tick, 429 aggregate fps vs 296 at batch 1; 479 under
+int8_mixed) and 1024p (84 ms/tick, 95 vs 81). Batches 3-7 sit in a measured
 XLA cliff: the compiler rewrites the convolutions into a
 spatially-split form whose layouts conflict with the fp32 instance-norm
 elementwise math, materializing ~0.4 ms layout copies per conv (batch-4
