@@ -254,7 +254,13 @@ class InferConfig:
     video_quality: int = 90
     # ir2rgb-serve network daemon (infer/server.py): TCP endpoint, slot
     # count for the batched MultiStreamServer step, reply encoding
-    # (raw | jpeg) and the batching window in milliseconds
+    # (raw | jpeg) and the batching window in milliseconds. The default
+    # 8 slots IS the measured per-chip throughput knee at 512p (429-479
+    # aggregate fps; DESIGN §6); more slots are fine — the compiled
+    # batch stays capped at 8 and extra streams round-robin — while
+    # 1024p serving prefers 1 slot/chip unless aggregate fps outranks
+    # latency. The window exits early once every connection contributed
+    # (lone connections skip it entirely).
     serve_host: str = "127.0.0.1"
     serve_port: int = 7788
     serve_slots: int = 8
