@@ -6,8 +6,10 @@ Two deployment shapes for the same serving step (docs/DESIGN.md §6):
 1. **Multi-stream server** — N independent streams share one compiled
    batched generator step; each stream keeps its own previous-frame
    carry in HBM and can join, leave, or skip ticks without retracing.
-   At 8 streams/chip the aggregate throughput is ~1.5x the sum of 8
-   single-stream loops (433 vs 291 fps at 512p).
+   8 streams/chip is the measured throughput knee: ~1.45x one
+   stream's rate in aggregate (429 vs 296 fps at 512p bf16; 479 with
+   --infer.quant int8_mixed). More streams are served by chunked
+   round-robin over the carry pool — the compiled batch stays at 8.
 
 2. **Sealed artifact** — the same step exported to a one-file
    `.ir2rgb` (StableHLO + weights); `load_serving_artifact` serves it
