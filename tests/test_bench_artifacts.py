@@ -82,3 +82,20 @@ def test_committed_docs_match_artifacts():
         cwd=REPO, capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, (
         f"docs drifted from artifacts:\n{out.stdout}\n{out.stderr}")
+
+
+def test_all_scripts_compile():
+    """Every offline tool under scripts/ must at least parse — the
+    soak/eval/bench scripts are cited by the docs as reproduction
+    paths and have no other CI coverage (round 5)."""
+    import ast
+    sdir = os.path.join(REPO, "scripts")
+    bad = []
+    for f in sorted(os.listdir(sdir)):
+        if f.endswith(".py"):
+            try:
+                with open(os.path.join(sdir, f)) as fh:
+                    ast.parse(fh.read(), filename=f)
+            except SyntaxError as e:
+                bad.append(f"{f}: {e}")
+    assert not bad, "\n".join(bad)
